@@ -1,0 +1,20 @@
+"""searchengine_spark — a PySpark-native inverted-index + BM25 query engine
+with the capabilities of charlene0122/SearchEngine, rebuilt Spark-first.
+
+Modules:
+  session     SparkSession defaults (Arrow, AQE, shuffle partitions)
+  corpus      deterministic synthetic web corpus (FIXTURES.md)
+  textprep    byte-identical extraction/tokenization (Arrow-vectorized)
+  porter      Porter stemmer matching the reference Java class
+  ids         deterministic doc ids + reference Hasher replica
+  compress    delta+varbyte posting blobs with block-max metadata
+  indexer     resumable staged index build (tokens/docstats/postings/title)
+  query       distributed exhaustive top-k scoring + blend
+  wand        block-max WAND pruned top-k (serving path)
+  pagerank    iterative DataFrame PageRank over the extracted link graph
+  checkpoint  per-partition lineage/metrics + resume
+  oracle      single-process golden implementation
+  pipelines   training-data ops: dedup, similarity, text stats, multimodal
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,375 @@
+"""Inverted-index build: pages -> tokens -> docstats -> salted compressed
+posting segments, with per-partition lineage (resume) at every stage.
+
+Reference parity: this is the Spark-first rebuild of ``jobs/Indexer.java``
+(title index) + ``jobs/TF_IDF.java`` (scored index). The reference's
+implicit shuffle (KVS routed puts, ``spark/Worker.java:95``) becomes the
+``repartition``/``groupBy`` below; its accidental fromTable predicates
+(``spark/Worker.java:310-319``) become the explicit ingestion filter.
+
+Scale design (the part that must survive 1000 executors / 100 TB):
+
+* tokenize is embarrassingly parallel and chunked for resume: chunk =
+  pmod(xxhash64(url), N_CHUNKS); each chunk writes its token rows
+  *partitioned by term-bucket* so the postings stage reads only its own
+  bucket directories (partition pruning, no re-scan of the corpus).
+* postings build runs per bucket (resume unit), so a killed build
+  restarts at the first incomplete bucket. Inside a bucket, head terms
+  are salted: n_salts = ceil(df / TARGET_POSTINGS); salt =
+  pmod(xxhash64(doc_id), n_salts) — every (term, salt) blob is bounded,
+  which bounds applyInPandas group memory and kills Zipf skew
+  (the reference has no skew story at all: ``tools/Partitioner.java``).
+* doc_len is varbyte-encoded alongside each posting so BM25 needs no
+  join against docstats at query time.
+* all IDs are deterministic (xxhash64(url)), all blobs sorted by doc_id:
+  two builds at different parallelism produce byte-identical segments.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import catalog, checkpoint
+from .bm25 import B, K1
+from .compress import encode_postings, varbyte_encode
+from .textprep import (
+    extract_titlep_lower_series,
+    java_tokens,
+    stem_tokens,
+    tokenize_partition,
+)
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("doc_len", T.IntegerType()),
+        T.StructField("max_tf", T.IntegerType()),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("n_postings", T.IntegerType()),
+        T.StructField("doc_blob", T.BinaryType()),
+        T.StructField("tf_blob", T.BinaryType()),
+        T.StructField("dl_blob", T.BinaryType()),
+        T.StructField("pos_blob", T.BinaryType()),
+        T.StructField("block_last", T.ArrayType(T.LongType())),
+        T.StructField("block_max_norm", T.ArrayType(T.FloatType())),
+        T.StructField("max_norm", T.FloatType()),
+    ]
+)
+
+
+def ingest(spark: SparkSession, pages_path: str) -> DataFrame:
+    """Read the pages corpus and apply the explicit ingestion predicates.
+
+    The reference hard-codes these inside its table-scan executor
+    (``spark/Worker.java:310-319``); here they are declarative so Catalyst
+    pushes them into the parquet scan.
+    """
+    pages = spark.read.parquet(pages_path)
+    return pages.filter(
+        (~F.col("url").contains("..")) & (F.length("url") <= F.lit(2048))
+    )
+
+
+def docs_with_scoring_text(pages: DataFrame) -> DataFrame:
+    """(doc_id, url, text) where text is the TF_IDF scoring pipeline
+    (title + <p>, lowercased) extracted from html — Arrow-vectorized."""
+    extract = F.pandas_udf(extract_titlep_lower_series, T.StringType())
+    return pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        extract(F.col("html")).alias("text"),
+    )
+
+
+def tokenize(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, term, tf, positions, doc_len, max_tf)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return tokenize_partition(batches, "doc_id", "text")
+
+    return docs.mapInPandas(kernel, TOKENS_SCHEMA)
+
+
+def _bucket(col: str = "term", n_buckets: int = catalog.N_BUCKETS):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
+    """Bucket assignment for query terms (tiny Spark job — keeps the hash
+    definition in one place, the JVM)."""
+    if not terms:
+        return {}
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    rows = df.select("term", _bucket("term", n_buckets).alias("bucket")).collect()
+    return {r["term"]: r["bucket"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: tokens (chunked, partitioned by term bucket)
+# ---------------------------------------------------------------------------
+
+def build_tokens_stage(
+    spark: SparkSession,
+    pages_path: str,
+    root: str,
+    build_id: str,
+    n_chunks: int = catalog.N_CHUNKS,
+    n_buckets: int = catalog.N_BUCKETS,
+    kill_after: int | None = None,
+) -> None:
+    fp = checkpoint.fingerprint(
+        stage="tokens", pages=pages_path, n_chunks=n_chunks, n_buckets=n_buckets, v=1
+    )
+    tokens_root = catalog.path(root, catalog.TOKENS)
+
+    def run_chunk(c: int) -> tuple[str, int, int]:
+        pages = ingest(spark, pages_path).filter(
+            F.pmod(F.xxhash64("url"), F.lit(n_chunks)) == F.lit(c)
+        )
+        docs = docs_with_scoring_text(pages)
+        toks = tokenize(docs).withColumn("bucket", _bucket("term", n_buckets))
+        out = os.path.join(tokens_root, f"chunk={c}")
+        (
+            toks.repartition(max(n_buckets, 1), "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        nrows = spark.read.parquet(out).count()
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(out)
+            for f in fs
+        )
+        return out, nrows, nbytes
+
+    checkpoint.run_partitioned_stage(
+        root, build_id, "tokens", list(range(n_chunks)), fp, run_chunk,
+        kill_after=kill_after,
+    )
+
+
+def read_tokens(spark: SparkSession, root: str, bucket: int | None = None) -> DataFrame:
+    tokens_root = catalog.path(root, catalog.TOKENS)
+    df = spark.read.option("basePath", tokens_root).parquet(tokens_root)
+    if bucket is not None:
+        df = df.filter(F.col("bucket") == F.lit(bucket))  # partition-pruned
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: docstats + corpus scalars
+# ---------------------------------------------------------------------------
+
+def build_docstats_stage(
+    spark: SparkSession, pages_path: str, root: str, build_id: str
+) -> None:
+    fp = checkpoint.fingerprint(stage="docstats", pages=pages_path, v=1)
+
+    def run(_pid: int) -> tuple[str, int, int]:
+        docs = ingest(spark, pages_path).select(
+            F.xxhash64("url").alias("doc_id"), "url"
+        )
+        doc_lens = (
+            read_tokens(spark, root)
+            .groupBy("doc_id")
+            .agg(F.max("doc_len").alias("doc_len"))
+        )
+        stats_df = docs.join(doc_lens, "doc_id", "left").select(
+            "doc_id", "url", F.coalesce("doc_len", F.lit(0)).alias("doc_len")
+        )
+        out = catalog.path(root, catalog.DOCSTATS)
+        stats_df.write.mode("overwrite").parquet(out)
+        written = spark.read.parquet(out)
+        agg = written.agg(
+            F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        )
+        agg.write.mode("overwrite").parquet(catalog.path(root, catalog.STATS))
+        n = written.count()
+        return out, n, 0
+
+    checkpoint.run_partitioned_stage(root, build_id, "docstats", [0], fp, run)
+
+
+def read_stats(spark: SparkSession, root: str) -> tuple[int, float]:
+    row = spark.read.parquet(catalog.path(root, catalog.STATS)).collect()[0]
+    return int(row["n_docs"]), float(row["avgdl"])
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: salted compressed postings, per bucket
+# ---------------------------------------------------------------------------
+
+def _postings_kernel(avgdl: float):
+    """applyInPandas kernel: all token rows of one (term, salt) group ->
+    one compressed segment row."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+        tf_norms = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+        doc_blob, tf_blob, block_last, block_max, _ = encode_postings(
+            doc_ids, tfs, tf_norms
+        )
+        dl_blob = varbyte_encode(dls.astype(np.uint64))
+        # positions: per doc, [n, delta1, delta2, ...] concatenated
+        pos_parts: list[np.ndarray] = []
+        for plist in pdf["positions"]:
+            arr = np.asarray(plist, dtype=np.int64)
+            if len(arr):
+                deltas = np.empty_like(arr)
+                deltas[0] = arr[0]
+                deltas[1:] = arr[1:] - arr[:-1]
+                pos_parts.append(
+                    np.concatenate(([len(arr)], deltas)).astype(np.uint64)
+                )
+            else:
+                pos_parts.append(np.zeros(1, dtype=np.uint64))
+        pos_blob = varbyte_encode(np.concatenate(pos_parts)) if pos_parts else b""
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "salt": [int(pdf["salt"].iloc[0])],
+                "n_postings": [len(doc_ids)],
+                "doc_blob": [doc_blob],
+                "tf_blob": [tf_blob],
+                "dl_blob": [dl_blob],
+                "pos_blob": [pos_blob],
+                "block_last": [block_last.tolist()],
+                "block_max_norm": [block_max.tolist()],
+                "max_norm": [float(block_max.max())],
+            }
+        )
+
+    return build
+
+
+def build_postings_stage(
+    spark: SparkSession,
+    root: str,
+    build_id: str,
+    n_buckets: int = catalog.N_BUCKETS,
+    target_postings: int = catalog.TARGET_POSTINGS,
+    kill_after: int | None = None,
+) -> None:
+    fp = checkpoint.fingerprint(
+        stage="postings", n_buckets=n_buckets, target=target_postings, v=1
+    )
+    _, avgdl = read_stats(spark, root)
+    postings_root = catalog.path(root, catalog.POSTINGS)
+    dict_root = catalog.path(root, "dictionary")
+
+    def run_bucket(b: int) -> tuple[str, int, int]:
+        toks = read_tokens(spark, root, bucket=b)
+        term_stats = toks.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        salt_plan = term_stats.select(
+            "term",
+            "df",
+            "cf",
+            F.ceil(F.col("df") / F.lit(target_postings)).cast("int").alias("n_salts"),
+        )
+        salted = toks.join(F.broadcast(salt_plan.select("term", "n_salts")), "term").withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
+        )
+        segments = salted.groupBy("term", "salt").applyInPandas(
+            _postings_kernel(avgdl), POSTINGS_SCHEMA
+        )
+        out = os.path.join(postings_root, f"bucket={b}")
+        segments.write.mode("overwrite").parquet(out)
+        salt_plan.write.mode("overwrite").parquet(os.path.join(dict_root, f"bucket={b}"))
+        n = spark.read.parquet(out).count()
+        return out, n, 0
+
+    checkpoint.run_partitioned_stage(
+        root, build_id, "postings", list(range(n_buckets)), fp, run_bucket,
+        kill_after=kill_after,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: title index (reference pt-title analog: Indexer pipeline —
+# raw tokens of the title-only extraction, stemmed, NOT lowercased)
+# ---------------------------------------------------------------------------
+
+TITLE_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+
+def build_title_index_stage(
+    spark: SparkSession, pages_path: str, root: str, build_id: str
+) -> None:
+    fp = checkpoint.fingerprint(stage="title_index", pages=pages_path, v=1)
+
+    def run(_pid: int) -> tuple[str, int, int]:
+        pages = ingest(spark, pages_path)
+        docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_t, out_d = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    # Indexer.java:47-52: raw whitespace tokens, stemmed,
+                    # no lowercasing, no length guard on the title path.
+                    toks = stem_tokens(java_tokens(text or "", max_len=1 << 30))
+                    uniq = sorted(set(toks))
+                    out_t.extend(uniq)
+                    out_d.extend([doc_id] * len(uniq))
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series(out_t, dtype="object"),
+                        "doc_id": pd.Series(out_d, dtype="int64"),
+                    }
+                )
+
+        out = catalog.path(root, catalog.TITLE_INDEX)
+        docs.mapInPandas(kernel, TITLE_SCHEMA).write.mode("overwrite").parquet(out)
+        return out, spark.read.parquet(out).count(), 0
+
+    checkpoint.run_partitioned_stage(root, build_id, "title_index", [0], fp, run)
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+def build_index(
+    spark: SparkSession,
+    pages_path: str,
+    root: str,
+    build_id: str = "build-1",
+    n_chunks: int = catalog.N_CHUNKS,
+    n_buckets: int = catalog.N_BUCKETS,
+    target_postings: int = catalog.TARGET_POSTINGS,
+) -> None:
+    """Full resumable index build. Re-running after a kill recomputes only
+    partitions absent from the lineage table."""
+    build_tokens_stage(spark, pages_path, root, build_id, n_chunks, n_buckets)
+    build_docstats_stage(spark, pages_path, root, build_id)
+    build_postings_stage(spark, root, build_id, n_buckets, target_postings)
+    build_title_index_stage(spark, pages_path, root, build_id)

@@ -1,0 +1,256 @@
+"""Top-k query execution over the compressed index.
+
+Two physical strategies, one semantics:
+
+* ``score_exhaustive`` — the fully-distributed DataFrame path: bucket-
+  pruned segment scan -> Arrow decode -> broadcast-join of the (tiny)
+  query-term table -> deterministic fold-sum per (query, doc) ->
+  window top-k. This is the scale path: no per-group memory beyond one
+  segment blob, every join against query terms is a broadcast, the scan
+  touches only the buckets holding query terms.
+* ``wand.py`` — per-query block-max WAND over the same segments for
+  low-latency serving (validated equal to the exhaustive path).
+
+Determinism contract (rank-identity across parallelism — SURVEY.md §7.3):
+per-term idf is computed once, driver-side, in Python float64; per-posting
+scores use one fixed expression shape; the per-(query,doc) sum folds the
+per-term scores in sorted-term order via sort_array + aggregate, never a
+float ``sum()`` whose partial-aggregation order varies with partitioning.
+
+Reference parity: disjunctive (OR) scoring with per-term accumulation is
+``frontend/Mainpage.java:63-110``; conjunctive (AND) is new per the
+north_rule. The blend weights 0.3 (pagerank) / 0.5 (title hit) /
+0.2 (relevance) are ``Mainpage.java:88-89,105``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import catalog
+from .bm25 import B, K1, W_PAGERANK, W_RELEVANCE, W_TITLE
+from .compress import varbyte_decode, to_signed
+from .indexer import term_buckets
+from .porter import porter_stem
+from .textprep import java_tokens
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("doc_len", T.IntegerType()),
+    ]
+)
+
+
+def parse_query(query: str) -> list[str]:
+    """Reference query parsing: lowercase, whitespace split, Porter stem
+    (``Mainpage.java:58-61``). Duplicate terms are kept once (the
+    reference's HashMap accumulation is idempotent per term)."""
+    toks = java_tokens(query.lower())
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(porter_stem(t), None)
+    return list(seen)
+
+
+def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame:
+    """Bucket-pruned read of posting segments for the given terms."""
+    postings_root = catalog.path(root, catalog.POSTINGS)
+    buckets = sorted(set(term_buckets(spark, terms, _n_buckets(root)).values()))
+    paths = [os.path.join(postings_root, f"bucket={b}") for b in buckets]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return spark.read.parquet(postings_root).filter(F.lit(False))
+    df = spark.read.option("basePath", postings_root).parquet(*paths)
+    return df.filter(F.col("term").isin(terms))
+
+
+def _n_buckets(root: str) -> int:
+    postings_root = catalog.path(root, catalog.POSTINGS)
+    return max(
+        1,
+        len([d for d in os.listdir(postings_root) if d.startswith("bucket=")]),
+    )
+
+
+def decode_segments(segments: DataFrame) -> DataFrame:
+    """Arrow-vectorized decode: segment blobs -> (term, doc_id, tf, doc_len)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: list[np.ndarray] = []
+            docs: list[np.ndarray] = []
+            tfs: list[np.ndarray] = []
+            dls: list[np.ndarray] = []
+            for term, doc_blob, tf_blob, dl_blob in zip(
+                pdf["term"], pdf["doc_blob"], pdf["tf_blob"], pdf["dl_blob"]
+            ):
+                d = to_signed(np.cumsum(varbyte_decode(bytes(doc_blob)), dtype=np.uint64))
+                t = varbyte_decode(bytes(tf_blob)).astype(np.int64)
+                l = varbyte_decode(bytes(dl_blob)).astype(np.int64)
+                terms.append(np.full(len(d), term, dtype=object))
+                docs.append(d)
+                tfs.append(t)
+                dls.append(l)
+            if docs:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(docs),
+                        "tf": np.concatenate(tfs).astype(np.int32),
+                        "doc_len": np.concatenate(dls).astype(np.int32),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series([], dtype="object"),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "tf": pd.Series([], dtype="int32"),
+                        "doc_len": pd.Series([], dtype="int32"),
+                    }
+                )
+
+    return segments.mapInPandas(kernel, MATCH_SCHEMA)
+
+
+def term_idfs(spark: SparkSession, root: str, terms: list[str], n_docs: int) -> dict[str, float]:
+    """Per-term idf from the dictionary, computed driver-side in Python
+    float64 (one ln definition for engine + oracle)."""
+    dict_root = catalog.path(root, "dictionary")
+    df = spark.read.option("basePath", dict_root).parquet(dict_root)
+    rows = df.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    return {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in rows
+    }
+
+
+def _query_terms_df(
+    spark: SparkSession, queries: list[dict], idfs: dict[str, float]
+) -> DataFrame:
+    """(query_id, term, idf, n_terms, mode, k); absent terms are kept for
+    the AND n_terms count but carry no postings."""
+    rows = []
+    for q in queries:
+        terms = parse_query(q["query"])
+        for t in terms:
+            rows.append(
+                (
+                    int(q["query_id"]),
+                    t,
+                    float(idfs.get(t, 0.0)),
+                    len(terms),
+                    q.get("mode", "OR"),
+                    int(q.get("k", 15)),
+                )
+            )
+    schema = "query_id int, term string, idf double, n_terms int, mode string, k int"
+    return spark.createDataFrame(rows, schema)
+
+
+def all_query_terms(queries: list[dict]) -> list[str]:
+    out: dict[str, None] = {}
+    for q in queries:
+        for t in parse_query(q["query"]):
+            out.setdefault(t, None)
+    return list(out)
+
+
+def score_exhaustive(
+    spark: SparkSession, root: str, queries: list[dict]
+) -> DataFrame:
+    """(query_id, doc_id, bm25, blended, rank) for every query, top-k.
+
+    bm25(q,d) = fold-sum over the query's terms (sorted) of
+    idf * (k1+1) * tf / (tf + k1*(1-b+b*dl/avgdl)).
+    blended  = 0.3*pagerank + 0.5*title_hit + 0.2*bm25.
+    Tie-break: score DESC, doc_id ASC (total order).
+    """
+    from .indexer import read_stats
+
+    n_docs, avgdl = read_stats(spark, root)
+    terms = all_query_terms(queries)
+    idfs = term_idfs(spark, root, terms, n_docs)
+    qt = _query_terms_df(spark, queries, idfs)
+
+    matches = decode_segments(load_segments(spark, root, terms))
+    scored = matches.join(F.broadcast(qt), "term").withColumn(
+        "score",
+        F.col("idf")
+        * F.lit(K1 + 1.0)
+        * (
+            F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(avgdl))
+            )
+        ),
+    )
+
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        # deterministic fold order: sort per-term scores by term name
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ).alias("bm25"),
+        F.count("*").alias("n_hit"),
+        F.first("n_terms").alias("n_terms"),
+        F.first("mode").alias("mode"),
+        F.first("k").alias("k"),
+    )
+    candidates = per_doc.filter(
+        (F.col("mode") == "OR") | (F.col("n_hit") == F.col("n_terms"))
+    )
+
+    # blend: pagerank + title hit
+    pr_path = catalog.path(root, catalog.PAGERANKS)
+    if os.path.exists(pr_path):
+        pr = spark.read.parquet(pr_path).select("doc_id", F.col("rank").alias("pagerank"))
+        candidates = candidates.join(pr, "doc_id", "left").fillna({"pagerank": 0.0})
+    else:
+        candidates = candidates.withColumn("pagerank", F.lit(0.0))
+
+    title_path = catalog.path(root, catalog.TITLE_INDEX)
+    if os.path.exists(title_path):
+        title = spark.read.parquet(title_path)
+        th = (
+            qt.select("query_id", "term")
+            .join(title, "term")
+            .select("query_id", "doc_id")
+            .distinct()
+            .withColumn("title_hit", F.lit(1.0))
+        )
+        candidates = candidates.join(th, ["query_id", "doc_id"], "left").fillna(
+            {"title_hit": 0.0}
+        )
+    else:
+        candidates = candidates.withColumn("title_hit", F.lit(0.0))
+
+    blended = candidates.withColumn(
+        "blended",
+        F.lit(W_PAGERANK) * F.col("pagerank")
+        + F.lit(W_TITLE) * F.col("title_hit")
+        + F.lit(W_RELEVANCE) * F.col("bm25"),
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("blended"), F.asc("doc_id")
+    )
+    return (
+        blended.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "bm25", "blended")
+    )
