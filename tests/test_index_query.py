@@ -1,0 +1,101 @@
+"""Rank-identity of the full engine vs the single-process oracle
+(BASELINE.md: top-k doc IDs exact, scores to 1e-9, tie-break
+blended DESC doc_id ASC), plus resume semantics."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_spark import checkpoint, corpus
+from searchengine_spark.indexer import build_index
+from searchengine_spark.oracle import (
+    build_oracle_index,
+    oracle_all_queries,
+    oracle_pagerank,
+)
+from searchengine_spark.query import score_exhaustive
+
+
+@pytest.fixture(scope="module")
+def golden_rows(tiny_oracle, tiny_pages_path):
+    idx = tiny_oracle
+    idx.links = {}
+    # oracle uses the engine-extracted edge truth = planted graph
+    pages = pq.read_table(tiny_pages_path).to_pylist()
+    idx2 = build_oracle_index(pages, edges=corpus.expected_edges(len(pages)))
+    oracle_pagerank(idx2, threshold=1e-4)
+    return oracle_all_queries(idx2, corpus.reference_queries())
+
+
+def test_rank_identity(spark, tiny_index, golden_rows):
+    res = score_exhaustive(spark, tiny_index, corpus.reference_queries()).collect()
+    eng = {(r["query_id"], r["rank"]): (r["doc_id"], r["bm25"], r["blended"]) for r in res}
+    gol = {(r["query_id"], r["rank"]): (r["doc_id"], r["bm25"], r["blended"]) for r in golden_rows}
+    assert set(eng) == set(gol)
+    for key in gol:
+        e, g = eng[key], gol[key]
+        assert e[0] == g[0], f"doc mismatch at {key}: {e} vs {g}"
+        assert abs(e[1] - g[1]) < 1e-9, f"bm25 mismatch at {key}"
+        assert abs(e[2] - g[2]) < 1e-9, f"blended mismatch at {key}"
+
+
+def test_parallelism_invariance(spark, tiny_pages_path, tiny_index, golden_rows):
+    """Same corpus indexed with different chunk/bucket/parallelism settings
+    must produce identical query results (SURVEY.md §5.3)."""
+    root2 = "/tmp/se_spark_fixtures/index_tiny_p2"
+    shutil.rmtree(root2, ignore_errors=True)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        build_index(spark, tiny_pages_path, root2, n_chunks=1, n_buckets=2)
+        from searchengine_spark.pagerank import build_pagerank_stage
+
+        build_pagerank_stage(spark, tiny_pages_path, root2, "build-1")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    res = score_exhaustive(spark, root2, corpus.reference_queries()).collect()
+    eng = {(r["query_id"], r["rank"]): (r["doc_id"], r["bm25"], r["blended"]) for r in res}
+    gol = {(r["query_id"], r["rank"]): (r["doc_id"], r["bm25"], r["blended"]) for r in golden_rows}
+    assert set(eng) == set(gol)
+    for key in gol:
+        assert eng[key][0] == gol[key][0]
+        assert abs(eng[key][2] - gol[key][2]) < 1e-9
+
+
+def test_resume_skips_completed_partitions(spark, tiny_pages_path):
+    """Kill the build mid-postings; re-run; completed partitions are not
+    recomputed and the final index equals an uninterrupted one."""
+    from searchengine_spark.indexer import (
+        build_docstats_stage,
+        build_postings_stage,
+        build_tokens_stage,
+    )
+
+    root = "/tmp/se_spark_fixtures/index_resume"
+    shutil.rmtree(root, ignore_errors=True)
+    build_tokens_stage(spark, tiny_pages_path, root, "b1", n_chunks=2, n_buckets=4)
+    build_docstats_stage(spark, tiny_pages_path, root, "b1")
+    with pytest.raises(KeyboardInterrupt):
+        build_postings_stage(spark, root, "b1", n_buckets=4, kill_after=2)
+    done_before = checkpoint.completed_partitions(
+        root, "postings",
+        checkpoint.fingerprint(stage="postings", n_buckets=4, target=1 << 17, v=1),
+    )
+    assert len(done_before) == 2
+    # resume: must run exactly the remaining 2 buckets
+    build_postings_stage(spark, root, "b1", n_buckets=4)
+    metrics = [m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"]
+    assert len(metrics) == 4  # 2 + 2, no partition recorded twice
+    assert sorted(m["partition_id"] for m in metrics) == [0, 1, 2, 3]
+
+
+def test_and_semantics(spark, tiny_index, tiny_oracle):
+    """AND queries return only docs containing every term."""
+    idx = tiny_oracle
+    planted = "zyqvexa"  # title-planted term, df = |{i : i%211==7}|
+    q = [{"query_id": 0, "query": planted, "mode": "AND", "k": 50}]
+    res = score_exhaustive(spark, tiny_index, q).collect()
+    expected_docs = set(idx.postings.get(planted, {}))
+    assert {r["doc_id"] for r in res} == expected_docs
+    assert len(expected_docs) == len([i for i in range(200) if i % 211 == 7])
