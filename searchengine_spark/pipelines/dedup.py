@@ -1,0 +1,406 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables —
+the training-data-pipeline side of the engine (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Every operator is pure JVM-side DataFrame code (no Python UDFs) built on
+one *portable* 60-bit token hash — ``int(md5(term)[:15hex], 16)`` — that
+DuckDB can reproduce verbatim, so each entry ships with a full SQL oracle.
+
+Scale design:
+* exact dedup groups by md5(text), never by the full text blob (at
+  100 TB the shuffle key must be 16 bytes, not the document);
+* MinHash/LSH is the scale path for near-dup: candidate generation is
+  an equi-self-join on (band, band_key) — a hash shuffle, no O(n²)
+  cross product; only candidates pay the exact-Jaccard verify;
+* the exhaustive Jaccard entry exists as the small-scale oracle twin of
+  the LSH path (and is what pytest uses to bound LSH recall);
+* SimHash packs to one int64 per doc, so near-dup at scale is a
+  band-bucketed self-join on simhash prefixes (here: pairs by
+  hamming distance, demonstrated exhaustively).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---- portable hashing ----------------------------------------------------
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+# fixed (a, b) parameters, a odd, all < P (seeded once, committed)
+MINHASH_AB = [
+    (1_203_991_247, 395_186_321),
+    (666_999_777, 1_911_842_563),
+    (1_543_217_865, 88_771_123),
+    (2_011_939_471, 1_300_500_007),
+    (877_905_281, 1_744_829_003),
+    (1_111_111_121, 222_333_445),
+    (1_888_421_837, 999_999_937),
+    (432_100_987, 1_567_654_321),
+]
+N_BANDS = 4  # 8 signatures -> 4 bands x 2 rows
+
+JACCARD_THRESHOLD = (9, 10)  # inter/union >= 9/10, compared in integers
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 6
+EMB_NEARDUP_COS = 0.4
+
+
+def portable_hash(col: Column) -> Column:
+    """60-bit integer hash of a string, identical in Spark and DuckDB:
+    first 15 hex chars of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_HASH_SQL = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks: sorted distinct token array, n: set size)."""
+    return load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+
+
+def doc_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) one row per distinct token per doc."""
+    return (
+        doc_token_sets(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q15: exact dedup by content hash
+# --------------------------------------------------------------------------
+
+def q15_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
+    groups = docs.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        docs.join(groups, "h")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16: exhaustive n-gram (token-set) Jaccard near-dup — the oracle twin
+# of the LSH path. O(n²); at scale use q17.
+# --------------------------------------------------------------------------
+
+def q16_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = doc_token_sets(spark, sf_dir)
+    a = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    num, den = JACCARD_THRESHOLD
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter") / F.col("uni"), 9).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# q17: MinHash + LSH banding near-dup (the scale path)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig0..sig7) — min over the doc's distinct tokens of
+    (a_i * h + b_i) mod P, h = portable_hash(term) mod P."""
+    terms = doc_distinct_terms(spark, sf_dir).withColumn(
+        "h", portable_hash(F.col("term")) % F.lit(MINHASH_P)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return terms.groupBy("doc_id").agg(*aggs)
+
+
+def q17_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = []
+    for bi in range(N_BANDS):
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                (
+                    F.col(f"sig{2 * bi}") * F.lit(MINHASH_P)
+                    + F.col(f"sig{2 * bi + 1}")
+                ).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+    l = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    r = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    s = doc_token_sets(spark, sf_dir)
+    num, den = JACCARD_THRESHOLD
+    verified = (
+        cand.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"),
+                     F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"),
+                     F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter") / F.col("uni"), 9).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# q18: SimHash near-dup (tf-weighted 60-bit fingerprint, hamming pairs)
+# --------------------------------------------------------------------------
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", portable_hash(F.col("term")))
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
+    contrib = tf.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "j",
+        F.expr("tf * ((shiftright(h, j) & 1) * 2 - 1)").alias("v"),
+    )
+    return (
+        contrib.groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+        .withColumn("bit", (F.col("s") > 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("bit * shiftleft(cast(1 as bigint), j)")).alias("simhash")
+        )
+    )
+
+
+def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = simhash_docs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19: embedding-cosine near-dup (double-precision, fixed fold order)
+# --------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+
+
+def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embeddings_double(spark, sf_dir).withColumn("nrm", _dot(F.col("v"), F.col("v")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 9
+            ),
+        )
+        .filter(F.col("cos") >= EMB_NEARDUP_COS)
+    )
+    return pairs.select("vec_a", "vec_b", "cos").orderBy("vec_a", "vec_b")
+
+
+QUERIES = {
+    "q15_dedup_exact": q15_dedup_exact,
+    "q16_ngram_jaccard": q16_ngram_jaccard,
+    "q17_minhash_lsh": q17_minhash_lsh,
+    "q18_simhash": q18_simhash,
+    "q19_embedding_neardup": q19_embedding_neardup,
+}
+
+_TOKSETS_CTE = """
+toksets AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> ''))) AS toks
+  FROM documents
+),
+tsn AS (SELECT doc_id, toks, len(toks) AS n FROM toksets)
+"""
+
+_H = PORTABLE_HASH_SQL.format(c="term")
+
+_SIG_EXPRS = ",\n       ".join(
+    f"min(({a} * h + {b}) % 2147483647) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_AB)
+)
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {bi} AS band, sig{2*bi} * 2147483647 + sig{2*bi+1} AS band_key FROM sigs"
+    for bi in range(N_BANDS)
+)
+
+ORACLE = {
+    "q15_dedup_exact": """
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+g AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS group_size FROM d GROUP BY h)
+SELECT doc_id, canonical_id, group_size,
+       CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS is_dup
+FROM d JOIN g USING (h)
+ORDER BY doc_id
+""",
+    "q16_ngram_jaccard": f"""
+WITH {_TOKSETS_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.toks, b.toks))), 9) AS jaccard
+FROM tsn a JOIN tsn b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
+      >= (a.n + b.n - len(list_intersect(a.toks, b.toks))) * {JACCARD_THRESHOLD[0]}
+ORDER BY doc_a, doc_b
+""",
+    "q17_minhash_lsh": f"""
+WITH {_TOKSETS_CTE},
+terms AS (
+  SELECT doc_id, {_H} % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toksets)
+),
+sigs AS (
+  SELECT doc_id, {_SIG_EXPRS}
+  FROM terms GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.toks, b.toks))), 9) AS jaccard
+FROM cand JOIN tsn a ON a.doc_id = doc_a JOIN tsn b ON b.doc_id = doc_b
+WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
+      >= (a.n + b.n - len(list_intersect(a.toks, b.toks))) * {JACCARD_THRESHOLD[0]}
+ORDER BY doc_a, doc_b
+""",
+    "q18_simhash": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+th AS (SELECT doc_id, tf, {_H} AS h FROM tf),
+bits AS (SELECT i AS j FROM generate_series(0, {SIMHASH_BITS - 1}) t(i)),
+contrib AS (
+  SELECT doc_id, j, tf * (((h >> j) & 1) * 2 - 1) AS v
+  FROM th CROSS JOIN bits
+),
+bitvals AS (
+  SELECT doc_id, j, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id, sum(bit * (1::BIGINT << j)) AS simhash
+  FROM bitvals GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+""",
+    "q19_embedding_neardup": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+en AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+           (acc, x) -> acc + x) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+           (acc, x) -> acc + x)
+         / sqrt(a.nrm * b.nrm), 9) AS cos
+FROM en a JOIN en b ON a.vec_id < b.vec_id
+WHERE round(
+        list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+          (acc, x) -> acc + x)
+        / sqrt(a.nrm * b.nrm), 9) >= {EMB_NEARDUP_COS}
+ORDER BY vec_a, vec_b
+""",
+}

@@ -1,0 +1,113 @@
+"""Engine-native operators exposed through the driver contract: the
+Porter stemmer UDF and the compressed posting-list codec, run over the
+driver's ``documents`` table.
+
+q28 round-trips every posting list through the real varbyte+delta codec
+(``compress.py`` — the physical format of the inverted index) inside
+``applyInPandas`` and emits per-term stats decoded *from the blob*; the
+DuckDB oracle recomputes the same stats relationally, so a single
+mismatched byte in encode/decode fails the gate.
+
+q29 stems every distinct token with the vectorized Porter UDF
+(byte-validated against the reference's ``external/PorterStemmer.java``
+via the committed Java goldens). No SQL oracle — DuckDB has no Porter —
+so the driver records the weaker rows-only check; fidelity is enforced
+by tests/test_porter.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compress import encode_postings, varbyte_decode, to_signed
+from ..porter import porter_stem
+
+SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("n_postings", T.IntegerType()),
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("last_doc", T.LongType()),
+        T.StructField("sum_tf", T.LongType()),
+    ]
+)
+
+
+def q28_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        doc_blob, tf_blob, _, _, _ = encode_postings(
+            doc_ids, tfs, np.zeros(len(tfs))
+        )
+        # decode back from the physical blobs — the values below come
+        # from the codec, not the input frame
+        d = to_signed(np.cumsum(varbyte_decode(bytes(doc_blob)), dtype=np.uint64))
+        t = varbyte_decode(bytes(tf_blob)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "n_postings": [len(d)],
+                "first_doc": [int(d[0])],
+                "last_doc": [int(d[-1])],
+                "sum_tf": [int(t.sum())],
+            }
+        )
+
+    return tf.groupBy("term").applyInPandas(kernel, SEG_SCHEMA).orderBy("term")
+
+
+def q29_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    terms = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+    @F.pandas_udf(T.StringType())
+    def stem_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: porter_stem(x) if x else x)
+
+    return terms.select("term", stem_udf("term").alias("stem")).orderBy("term")
+
+
+QUERIES = {
+    "q28_postings_roundtrip": q28_postings_roundtrip,
+    "q29_porter_stems": q29_porter_stems,
+}
+
+ORACLE = {
+    "q28_postings_roundtrip": """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+)
+SELECT term,
+       count(*)::INT AS n_postings,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       sum(tf)::BIGINT AS sum_tf
+FROM tf GROUP BY term ORDER BY term
+""",
+    # q29_porter_stems: intentionally no SQL oracle (rows-only check);
+    # stemmer fidelity is byte-validated against the Java goldens in
+    # tests/test_porter.py.
+}

@@ -1,0 +1,180 @@
+"""Full-text scoring over the driver's ``documents`` table, expressed as
+pure DataFrame ops so DuckDB can mirror every step (the oracle-checked
+twin of the engine's compressed-segment path in ``indexer.py``/``query.py``).
+
+Reference parity:
+* wordcount     — Indexer tokenize + foldByKey-sum (jobs/Indexer.java:22-66)
+* tfidf         — augmented TF ``0.4 + 0.6*f/maxf`` and ``idf = ln(N/df)``
+                  exactly as jobs/TF_IDF.java:59,81-86,119-125,150-153
+* bm25_topk     — the north_rule's BM25 (k1=1.2, b=0.75) with the total
+                  tie-break (score DESC, doc_id ASC) from SURVEY §7.3
+
+Scale notes: tokenization is a JVM-side split+explode (no Python at all);
+the per-term DF table is tiny relative to the token table, so the
+idf join is an explicit broadcast; every float that crosses the
+engine/oracle boundary is rounded to 9 dp so partial-agg order can't
+flip a hash compare (sums themselves are over int tf counts — exact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+BM25_QUERY_TERMS = ["spark", "query", "table"]
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) one row per token occurrence — split + explode,
+    empty tokens dropped (double spaces)."""
+    docs = load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def q11_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy("term")
+    )
+
+
+def q12_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference TF-IDF: per-(doc,term) augmented tf times ln(N/df),
+    for terms with df >= 5 (keeps the result compact)."""
+    toks = tokens(spark, sf_dir)
+    n_docs = load_docs(spark, sf_dir).count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    max_tf = tf.groupBy("doc_id").agg(F.max("tf").alias("max_tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(max_tf, "doc_id")
+        .join(F.broadcast(df_t.filter(F.col("df") >= 5)), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (0.4 + 0.6 * F.col("tf") / F.col("max_tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                9,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def q13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25 top-15 per query term set {spark,query,table},
+    each term treated as its own single-term query (query_id = term)."""
+    toks = tokens(spark, sf_dir)
+    n_docs = load_docs(spark, sf_dir).count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    avgdl = float(stats["avgdl"])
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    hits = (
+        tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .withColumn(
+            "score",
+            F.log(
+                1.0
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.lit(K1 + 1.0)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("term", "rank", "doc_id", F.round("score", 9).alias("bm25"))
+        .orderBy("term", "rank")
+    )
+
+
+QUERIES = {
+    "q11_wordcount": q11_wordcount,
+    "q12_tfidf": q12_tfidf,
+    "q13_bm25_topk": q13_bm25_topk,
+}
+
+_TOKENS_CTE = """
+toks AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+"""
+
+ORACLE = {
+    "q11_wordcount": f"""
+WITH {_TOKENS_CTE}
+SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY term ORDER BY term
+""",
+    "q12_tfidf": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term,
+       round((0.4 + 0.6 * tf.tf / mx.max_tf)
+             * ln(CAST(n.n_docs AS DOUBLE) / dft.df), 9) AS tfidf
+FROM tf JOIN mx USING (doc_id) JOIN dft USING (term) CROSS JOIN n
+WHERE dft.df >= 5
+ORDER BY doc_id, term
+""",
+    "q13_bm25_topk": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT tf.term, tf.doc_id,
+         ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (1.2 + 1.0) * tf.tf
+           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / ad.avgdl)) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+  CROSS JOIN n CROSS JOIN ad
+  WHERE tf.term IN ('spark', 'query', 'table')
+)
+SELECT term, rank, doc_id, round(score, 9) AS bm25
+FROM (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM hits
+)
+WHERE rank <= 15
+ORDER BY term, rank
+""",
+}

@@ -1,0 +1,400 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each query here is the Spark-first realization of one row of the
+SURVEY.md §2 operator inventory (fold/agg, joins incl. broadcast /
+semi / anti / as-of, window top-k, set ops, deterministic sampling,
+sessionization). Every function takes (spark, sf_dir) and returns a
+DataFrame whose column names match the paired oracle SQL in ``ORACLE``.
+
+Scale notes (100 TB discipline):
+* fact-side scans carry their filters declaratively so Catalyst pushes
+  them into the parquet scan (PushedFilters) and prunes columns;
+* every dimension join is an explicit ``F.broadcast`` — at 10^12 rows
+  the fact table must never shuffle for a kilobyte-sized dim;
+* money aggregates run in DECIMAL(18,2) so partial/final aggregation is
+  exact and order-insensitive (rank-identity across parallelism —
+  the same property SURVEY §7.3 demands of the index build).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# q01: groupBy fold-aggregation (reference foldByKey sum/max —
+# spark/Worker.java:119-140 — done right: partial+final combine).
+# --------------------------------------------------------------------------
+
+def q01_fold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).cast("double").alias("sum_disc_price"),
+            F.max(F.col("l_quantity").cast(DEC)).alias("max_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02: multi-way join with broadcast dims (reference join =
+# index-nested-loop HTTP lookups, spark/Worker.java:257-277).
+# --------------------------------------------------------------------------
+
+def q02_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03: window top-k per group (frontend sort+paginate,
+# Mainpage.java:117-132, generalized; total tie-break order).
+# --------------------------------------------------------------------------
+
+def q03_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rk",
+            "o_orderkey",
+            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+        )
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q04: set operations (intersection — spark/Worker.java:164-189;
+# union/except absent in the reference, built-in here).
+# --------------------------------------------------------------------------
+
+def q04_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nations = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_nations.intersect(supp_nations)
+    cust_only = cust_nations.distinct().subtract(supp_nations.distinct())
+    return (
+        both.withColumn("side", F.lit("both"))
+        .unionAll(cust_only.withColumn("side", F.lit("cust_only")))
+        .orderBy("side", "nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05: semi/anti joins (absent in the reference — SURVEY §2.3 last row).
+# --------------------------------------------------------------------------
+
+def q05_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("without_orders"))
+    )
+    return with_orders.unionAll(without_orders).orderBy("kind", "c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# q06: selective filter + projection (predicate pushdown / column pruning
+# — the reference ships full rows always, kvs/Worker.java:280-344).
+# --------------------------------------------------------------------------
+
+def q06_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q07: sessionization over the events stream table (lag window + gap
+# cut; the closest reference analog is the crawl frontier iteration,
+# jobs/Crawler.java:72-150, rebuilt as a declarative window).
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q07_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > SESSION_GAP_S * 1_000_000, 1)
+        .otherwise(0),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q08: tumbling-window aggregation over events (time-series groupBy).
+# --------------------------------------------------------------------------
+
+def q08_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09: as-of join — for each 'purchase' event, the most recent prior
+# 'click' by the same user. Spark lacks ASOF JOIN; the scalable
+# realization is the union-tag + last_value window trick (one shuffle
+# by user_id, no range cross-product).
+# --------------------------------------------------------------------------
+
+def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.lit(0).alias("is_q"),
+        F.lit(None).cast("long").alias("q_event_id"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.lit(1).alias("is_q"),
+        F.col("event_id").alias("q_event_id"),
+    )
+    # at identical ts, purchases sort BEFORE clicks so the preceding-rows
+    # frame sees only strictly-earlier clicks (ASOF "p.ts > c.ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", F.desc("is_q"), "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = clicks.unionAll(purch).withColumn(
+        "last_click_id",
+        F.last(F.when(F.col("is_q") == 0, F.col("eid")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter((F.col("is_q") == 1) & F.col("last_click_id").isNotNull())
+        .select(
+            F.col("q_event_id").alias("purchase_id"),
+            "user_id",
+            F.col("last_click_id").alias("click_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10: deterministic sampling + take (reference sample uses
+# Math.random(), spark/Worker.java:191-205 — rebuilt seeded/deterministic
+# per SURVEY §2.6 so results are reproducible across runs).
+# --------------------------------------------------------------------------
+
+def q10_sample_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.pmod(F.col("o_orderkey") * 2654435761, F.lit(1000)) < 50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "q01_fold_agg": q01_fold_agg,
+    "q02_join_revenue": q02_join_revenue,
+    "q03_window_topk": q03_window_topk,
+    "q04_set_ops": q04_set_ops,
+    "q05_semi_anti": q05_semi_anti,
+    "q06_filter_pushdown": q06_filter_pushdown,
+    "q07_sessionize": q07_sessionize,
+    "q08_window_agg": q08_window_agg,
+    "q09_asof_join": q09_asof_join,
+    "q10_sample_take": q10_sample_take,
+}
+
+ORACLE = {
+    "q01_fold_agg": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS sum_disc_price,
+       max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "q02_join_revenue": """
+SELECT r_name, n_name,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    "q03_window_topk": """
+SELECT o_orderpriority, rk, o_orderkey, totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+""",
+    "q04_set_ops": """
+WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT s_nationkey AS nationkey FROM supplier),
+     both_side AS (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn),
+     conly AS (SELECT DISTINCT nationkey FROM cn
+               EXCEPT SELECT DISTINCT nationkey FROM sn)
+SELECT nationkey, 'both' AS side FROM both_side
+UNION ALL
+SELECT nationkey, 'cust_only' AS side FROM conly
+ORDER BY side, nationkey
+""",
+    "q05_semi_anti": """
+SELECT c_nationkey, count(*) AS n, 'with_orders' AS kind
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+UNION ALL
+SELECT c_nationkey, count(*) AS n, 'without_orders' AS kind
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+ORDER BY kind, c_nationkey
+""",
+    "q06_filter_pushdown": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "q07_sessionize": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+    "q08_window_agg": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+    "q09_asof_join": """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+ORDER BY purchase_id
+""",
+    "q10_sample_take": """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+FROM orders
+WHERE (o_orderkey * 2654435761) % 1000 < 50
+ORDER BY o_orderkey
+LIMIT 100
+""",
+}

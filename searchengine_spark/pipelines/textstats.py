@@ -1,0 +1,241 @@
+"""Text-analysis operators for the training-data pipeline over
+``documents``: language-ID (marker-word heuristic), quality scoring,
+token counting, and rolling-hash document fingerprinting.
+
+All four are single-pass, shuffle-free per-document projections (the
+shape a 100 TB filter pass must have: map-only, predicate-pushdown
+friendly, no Python). Each carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# marker-word profiles for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "row", "table"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "une"],
+    "zh": ["de", "le", "shi", "zai", "he"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+FP_MOD = 2_147_483_647
+FP_BASE = 31
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tok_arr() -> F.Column:
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+# --------------------------------------------------------------------------
+# q22: language-ID — score each doc against each language's marker list,
+# argmax with lang-name tie-break. (The fixture text is synthetic word
+# soup, so accuracy is moot — the operator shape is what matters.)
+# --------------------------------------------------------------------------
+
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(F.col("toks"), lambda x: F.array_contains(marker_arr, x))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax: max score; tie -> lexicographically SMALLEST lang.
+    # struct max picks largest (score, lang) pair, so invert via negated
+    # per-lang rank: use (score, reverse-sort by lang) -> pick max score,
+    # then min lang among maxima, via two-step expression.
+    arr = F.array(*scores)
+    best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
+    pred = F.array_min(
+        F.transform(
+            F.filter(arr, lambda s: s["score"] == best_score),
+            lambda s: s["lang"],
+        )
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best_score.cast("int").alias("marker_hits"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q23: quality scoring — length / punctuation ratio / stopword ratio /
+# mean token length, blended to one score.
+# --------------------------------------------------------------------------
+
+def q23_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_chars = F.length("text")
+    n_toks = F.size("toks")
+    n_alnum = F.length(F.regexp_replace(F.col("text"), "[^a-z0-9]", ""))
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
+    mean_tok_len = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) / n_toks
+    punct_ratio = (n_chars - n_alnum) / n_chars
+    stop_ratio = n_stop / n_toks
+    quality = F.round(
+        F.lit(0.4) * F.least(n_toks / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.1) * F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)),
+        9,
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.cast("int").alias("n_tokens"),
+        F.round(punct_ratio, 9).alias("punct_ratio"),
+        F.round(stop_ratio, 9).alias("stop_ratio"),
+        F.round(mean_tok_len, 9).alias("mean_tok_len"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q24: token counting — whitespace tokens + a BPE-ish alnum-run count.
+# --------------------------------------------------------------------------
+
+def q24_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_ws_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+        F.size(
+            F.filter(
+                F.split(F.regexp_replace(F.col("text"), "[^a-z0-9]+", " "), " "),
+                lambda x: x != "",
+            )
+        ).cast("int").alias("n_alnum_runs"),
+        F.length("text").cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q25: document fingerprint — order-sensitive rolling polynomial hash
+# over the portable per-token hash (acc*31 + h mod 2^31-1).
+# --------------------------------------------------------------------------
+
+def q25_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    th = F.transform(
+        F.col("toks"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+        % F.lit(FP_MOD),
+    )
+    fp = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % F.lit(FP_MOD),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+QUERIES = {
+    "q22_lang_id": q22_lang_id,
+    "q23_quality": q23_quality,
+    "q24_token_stats": q24_token_stats,
+    "q25_fingerprint": q25_fingerprint,
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_LANG_STRUCTS = ", ".join(
+    "{'score': len(list_filter(toks, x -> x IN (%s))), 'lang': '%s'}"
+    % (_sql_list(m), lang)
+    for lang, m in sorted(LANG_MARKERS.items())
+)
+
+ORACLE = {
+    "q22_lang_id": f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, lang, [{_LANG_STRUCTS}] AS arr FROM d),
+m AS (
+  SELECT doc_id, lang, arr,
+         list_max(list_transform(arr, s -> s.score)) AS best_score
+  FROM s
+)
+SELECT doc_id,
+       list_min(list_transform(list_filter(arr, s -> s.score = best_score),
+                               s -> s.lang)) AS pred_lang,
+       best_score::INT AS marker_hits,
+       lang
+FROM m ORDER BY doc_id
+""",
+    "q23_quality": f"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_toks,
+         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_alnum,
+         len(list_filter(toks, x -> x IN ({_sql_list(STOPWORDS)}))) AS n_stop,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(toks, x -> length(x)::BIGINT)),
+           (acc, x) -> acc + x) / CAST(len(toks) AS DOUBLE) AS mean_tok_len
+  FROM d
+)
+SELECT doc_id,
+       n_toks::INT AS n_tokens,
+       round((n_chars - n_alnum) / CAST(n_chars AS DOUBLE), 9) AS punct_ratio,
+       round(n_stop / CAST(n_toks AS DOUBLE), 9) AS stop_ratio,
+       round(mean_tok_len, 9) AS mean_tok_len,
+       round(0.4 * least(n_toks / 100.0, 1.0)
+           + 0.3 * (1.0 - (n_chars - n_alnum) / CAST(n_chars AS DOUBLE))
+           + 0.2 * (n_stop / CAST(n_toks AS DOUBLE))
+           + 0.1 * least(mean_tok_len / 8.0, 1.0), 9) AS quality
+FROM b ORDER BY doc_id
+""",
+    "q24_token_stats": """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_ws_tokens,
+       len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::INT
+         AS n_distinct,
+       len(list_filter(string_split(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'), ' '),
+                       x -> x <> ''))::INT AS n_alnum_runs,
+       length(text)::INT AS n_chars
+FROM documents ORDER BY doc_id
+""",
+    "q25_fingerprint": f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {FP_MOD}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+                   (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
+FROM d ORDER BY doc_id
+""",
+}

@@ -1,0 +1,153 @@
+"""Driver-contract pipelines: Spark vs DuckDB oracle at sf0.001, plus
+invariants DuckDB can't express (LSH ⊆ exhaustive, IVF vs brute-force
+recall, multimodal stub plumbing)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from searchengine_spark.pipelines import all_oracles, all_queries
+
+SF_DIR = os.environ.get("PIPE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# fast representatives of each family (the full matrix runs in
+# tools/check_driver_contract.py at sf0.01)
+ORACLE_CHECKED = [
+    "q01_fold_agg",
+    "q07_sessionize",
+    "q09_asof_join",
+    "q13_bm25_topk",
+    "q15_dedup_exact",
+    "q17_minhash_lsh",
+    "q18_simhash",
+    "q20_ann_bruteforce",
+    "q21_ann_ivf",
+    "q25_fingerprint",
+    "q27_pagerank",
+    "q28_postings_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_matches_oracle(spark, duck, name):
+    got = _norm(all_queries()[name](spark, SF_DIR).toPandas())
+    want = _norm(duck.execute(all_oracles()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            assert np.array_equal(
+                g.astype("float64").to_numpy(),
+                w.astype("float64").to_numpy(),
+                equal_nan=True,
+            ), f"{name}.{c}"
+        else:
+            assert g.astype(str).equals(w.astype(str)), f"{name}.{c}"
+
+
+def test_lsh_subset_of_exhaustive(spark):
+    """Every LSH-found near-dup pair must also be found exhaustively, and
+    recall at jaccard>=0.9 with 4x2 banding should be essentially total."""
+    from searchengine_spark.pipelines.dedup import q16_ngram_jaccard, q17_minhash_lsh
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in q16_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in q17_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from searchengine_spark.pipelines.similarity import (
+        TOP_K,
+        q20_ann_bruteforce,
+        q21_ann_ivf,
+    )
+
+    brute = q20_ann_bruteforce(spark, SF_DIR).collect()
+    ivf = q21_ann_ivf(spark, SF_DIR).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    v = {(r["query_id"], r["vec_id"]) for r in ivf}
+    n_queries = len({r["query_id"] for r in brute})
+    assert len(v) == n_queries * TOP_K
+    # probing 3 of ~centroids cells must still recover a solid fraction
+    assert len(b & v) / len(b) >= 0.3
+
+
+def test_multimodal_stub_plumbing(spark):
+    from searchengine_spark.pipelines.multimodal import (
+        FEATURE_DIM,
+        decode_image,
+        extract_features,
+        fake_features,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    assert fake_features(b"") == [0.0] * FEATURE_DIM
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    media = docs.selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    out = extract_features(media).collect()
+    assert len(out) == docs.count()
+    row = {r["doc_id"]: r for r in out}
+    one = docs.select("doc_id", "text").first()
+    import hashlib
+
+    payload = one["text"].encode()
+    assert row[one["doc_id"]]["checksum"] == hashlib.md5(payload).hexdigest()
+    assert row[one["doc_id"]]["n_bytes"] == len(payload)
+    assert row[one["doc_id"]]["features"] == fake_features(payload)
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    """Rolling hash must distinguish permuted token orders (unlike the
+    set-based dedup signatures)."""
+    from searchengine_spark.pipelines.textstats import FP_BASE, FP_MOD
+
+    import searchengine_spark.pipelines.textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], ["doc_id", "text"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r["fingerprint"] for r in ts.q25_fingerprint(
+            spark, d
+        ).collect()}
+    assert out[1] != out[2]
+    assert 0 <= out[1] < FP_MOD and FP_BASE > 1
