@@ -34,6 +34,7 @@ LINEAGE = "_lineage"
 N_BUCKETS = 8
 N_CHUNKS = 8
 TARGET_POSTINGS = 1 << 17  # max postings per (term, salt) blob
+BUCKET_GROUP_SIZE = 4  # buckets per postings job (resume unit = group)
 
 
 def path(root: str, table: str) -> str:
@@ -42,3 +43,28 @@ def path(root: str, table: str) -> str:
 
 def exists(root: str, table: str) -> bool:
     return os.path.exists(path(root, table))
+
+
+def parquet_rows_bytes(dir_path: str) -> tuple[int, int]:
+    """(row_count, file_bytes) for a parquet directory tree, from file
+    footers only — no Spark job, no data read. Used by the lineage
+    records so a completed partition never pays a verification rescan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    paths = [
+        os.path.join(dp, f)
+        for dp, _dirs, files in os.walk(dir_path)
+        for f in files
+    ]
+    nbytes = sum(os.path.getsize(p) for p in paths)
+
+    def _rows(p: str) -> int:
+        return pq.ParquetFile(p).metadata.num_rows if p.endswith(".parquet") else 0
+
+    if not paths:
+        return 0, 0
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        rows = sum(pool.map(_rows, paths))
+    return rows, nbytes

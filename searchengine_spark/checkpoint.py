@@ -117,19 +117,25 @@ def run_partitioned_stage(
     input_fingerprint: str,
     fn: Callable[[int], tuple[str, int, int]],
     kill_after: int | None = None,
+    max_parallel: int | None = None,
 ) -> dict:
     """Run ``fn(pid) -> (output_path, rows, bytes)`` for every partition not
     already completed (idempotent resume). ``kill_after`` aborts after that
     many completions — used by the resume tests to simulate a killed build.
 
+    Partitions run as *concurrent Spark jobs* from driver threads
+    (``max_parallel`` at a time, default 4): one partition's shuffle
+    rarely saturates the cluster, and the per-partition lineage write
+    stays atomic per thread. ``kill_after`` forces sequential execution
+    so the resume tests keep a deterministic completion order.
+
     Returns {"ran": [...], "skipped": [...]}.
     """
     done = completed_partitions(root, stage, input_fingerprint)
-    ran: list[int] = []
     skipped = [p for p in partition_ids if p in done]
-    for pid in partition_ids:
-        if pid in done:
-            continue
+    todo = [p for p in partition_ids if p not in done]
+
+    def run_one(pid: int) -> int:
         t0 = time.monotonic()
         output_path, rows, nbytes = fn(pid)
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -137,9 +143,26 @@ def run_partitioned_stage(
             root, build_id, stage, pid, input_fingerprint,
             output_path, rows, nbytes, wall_ms,
         )
-        ran.append(pid)
-        if kill_after is not None and len(ran) >= kill_after:
-            raise KeyboardInterrupt(f"simulated kill after {kill_after} partitions")
+        return pid
+
+    ran: list[int] = []
+    if kill_after is not None:
+        for pid in todo:
+            ran.append(run_one(pid))
+            if len(ran) >= kill_after:
+                raise KeyboardInterrupt(
+                    f"simulated kill after {kill_after} partitions"
+                )
+        return {"ran": ran, "skipped": skipped}
+
+    n_workers = min(max_parallel or 4, max(len(todo), 1))
+    if n_workers <= 1:
+        ran = [run_one(pid) for pid in todo]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            ran = list(pool.map(run_one, todo))
     return {"ran": ran, "skipped": skipped}
 
 

@@ -212,16 +212,45 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def write_pages_parquet(path: str, n_pages: int, batch_rows: int = 10_000) -> None:
-    """Write the corpus to one parquet file (row groups of batch_rows)."""
-    writer = pq.ParquetWriter(path, PAGES_SCHEMA, compression="zstd")
-    try:
-        for start in range(0, n_pages, batch_rows):
-            rows = [render_page(i, n_pages) for i in range(start, min(start + batch_rows, n_pages))]
-            cols = {k: [r[k] for r in rows] for k in ("url", "warc_ts", "html", "text", "lang")}
-            writer.write_table(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA))
-    finally:
-        writer.close()
+def write_pages_parquet(
+    path: str, n_pages: int, batch_rows: int = 2_000, n_files: int = 16
+) -> None:
+    """Write the corpus as a DIRECTORY of parquet part files (row groups
+    of ``batch_rows``). Multiple files mirror the real corpus shape
+    (Common Crawl = many WARCs) and give the index build file-granular
+    chunk lineage + natural scan parallelism. Content depends only on
+    page ids — the file split never changes what is written."""
+    import os
+    import shutil
+
+    n_files = min(n_files, max(1, n_pages // max(batch_rows // 4, 1)) or 1)
+    if os.path.exists(path) and not os.path.isdir(path):
+        os.remove(path)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    per = (n_pages + n_files - 1) // n_files
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n_pages)
+        if lo >= hi:
+            break
+        writer = pq.ParquetWriter(
+            os.path.join(path, f"part-{f:05d}.parquet"),
+            PAGES_SCHEMA,
+            compression="zstd",
+        )
+        try:
+            for start in range(lo, hi, batch_rows):
+                rows = [
+                    render_page(i, n_pages)
+                    for i in range(start, min(start + batch_rows, hi))
+                ]
+                cols = {
+                    k: [r[k] for r in rows]
+                    for k in ("url", "warc_ts", "html", "text", "lang")
+                }
+                writer.write_table(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA))
+        finally:
+            writer.close()
 
 
 def expected_edges(n_pages: int) -> list[tuple[str, str]]:

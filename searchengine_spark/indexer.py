@@ -60,6 +60,7 @@ TOKENS_SCHEMA = T.StructType(
 
 POSTINGS_SCHEMA = T.StructType(
     [
+        T.StructField("bucket", T.IntegerType()),
         T.StructField("term", T.StringType()),
         T.StructField("salt", T.IntegerType()),
         T.StructField("n_postings", T.IntegerType()),
@@ -74,6 +75,12 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
+def _ingest_filter(pages: DataFrame) -> DataFrame:
+    return pages.filter(
+        (~F.col("url").contains("..")) & (F.length("url") <= F.lit(2048))
+    )
+
+
 def ingest(spark: SparkSession, pages_path: str) -> DataFrame:
     """Read the pages corpus and apply the explicit ingestion predicates.
 
@@ -81,10 +88,24 @@ def ingest(spark: SparkSession, pages_path: str) -> DataFrame:
     (``spark/Worker.java:310-319``); here they are declarative so Catalyst
     pushes them into the parquet scan.
     """
-    pages = spark.read.parquet(pages_path)
-    return pages.filter(
-        (~F.col("url").contains("..")) & (F.length("url") <= F.lit(2048))
+    return _ingest_filter(spark.read.parquet(pages_path))
+
+
+def _chunk_files(pages_path: str, n_chunks: int) -> list[list[str]] | None:
+    """File-granular chunk plan: corpus directories are split by part
+    file (the Common-Crawl shape — lineage and resume at WARC-file
+    granularity, and each chunk scans ONLY its own files). Returns None
+    for a single-file corpus (falls back to hash-chunking rows)."""
+    if not os.path.isdir(pages_path):
+        return None
+    files = sorted(
+        os.path.join(pages_path, f)
+        for f in os.listdir(pages_path)
+        if f.endswith(".parquet")
     )
+    if not files:
+        return None
+    return [files[c::n_chunks] for c in range(n_chunks)]
 
 
 def docs_with_scoring_text(pages: DataFrame) -> DataFrame:
@@ -138,27 +159,42 @@ def build_tokens_stage(
         stage="tokens", pages=pages_path, n_chunks=n_chunks, n_buckets=n_buckets, v=1
     )
     tokens_root = catalog.path(root, catalog.TOKENS)
+    file_chunks = _chunk_files(pages_path, n_chunks)
 
     def run_chunk(c: int) -> tuple[str, int, int]:
-        pages = ingest(spark, pages_path).filter(
-            F.pmod(F.xxhash64("url"), F.lit(n_chunks)) == F.lit(c)
-        )
+        out = os.path.join(tokens_root, f"chunk={c}")
+        if file_chunks is not None:
+            if not file_chunks[c]:
+                os.makedirs(out, exist_ok=True)
+                return out, 0, 0
+            pages = _ingest_filter(spark.read.parquet(*file_chunks[c]))
+        else:
+            pages = ingest(spark, pages_path).filter(
+                F.pmod(F.xxhash64("url"), F.lit(n_chunks)) == F.lit(c)
+            )
+        # The Python extraction is the hot path; its parallelism is the
+        # input-split count. When the chunk has fewer splits than cores
+        # (small fixtures, few row groups) spread it first — at real
+        # scale each chunk holds many files and this is a no-op.
+        target = spark.sparkContext.defaultParallelism
+        if pages.rdd.getNumPartitions() < target:
+            pages = pages.repartition(target)
         docs = docs_with_scoring_text(pages)
         toks = tokenize(docs).withColumn("bucket", _bucket("term", n_buckets))
-        out = os.path.join(tokens_root, f"chunk={c}")
+        # spread across ALL cores, not just n_buckets tasks, while
+        # bounding the partitionBy write fan-out: shuffle on (bucket,
+        # sub) where sub has n_out/n_buckets values, so each write task
+        # holds ~1 bucket and the output stays ~n_out files per chunk
+        n_out = max(n_buckets, spark.sparkContext.defaultParallelism)
+        sub = F.pmod(F.xxhash64("doc_id"), F.lit(max(n_out // n_buckets, 1)))
         (
-            toks.repartition(max(n_buckets, 1), "bucket")
+            toks.repartition(n_out, "bucket", sub)
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out)
         )
-        nrows = spark.read.parquet(out).count()
-        nbytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(out)
-            for f in fs
-        )
+        nrows, nbytes = catalog.parquet_rows_bytes(out)
         return out, nrows, nbytes
 
     checkpoint.run_partitioned_stage(
@@ -203,8 +239,8 @@ def build_docstats_stage(
             F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
         )
         agg.write.mode("overwrite").parquet(catalog.path(root, catalog.STATS))
-        n = written.count()
-        return out, n, 0
+        n, nbytes = catalog.parquet_rows_bytes(out)
+        return out, n, nbytes
 
     checkpoint.run_partitioned_stage(root, build_id, "docstats", [0], fp, run)
 
@@ -248,6 +284,7 @@ def _postings_kernel(avgdl: float):
         pos_blob = varbyte_encode(np.concatenate(pos_parts)) if pos_parts else b""
         return pd.DataFrame(
             {
+                "bucket": [int(pdf["bucket"].iloc[0])],
                 "term": [pdf["term"].iloc[0]],
                 "salt": [int(pdf["salt"].iloc[0])],
                 "n_postings": [len(doc_ids)],
@@ -270,41 +307,55 @@ def build_postings_stage(
     build_id: str,
     n_buckets: int = catalog.N_BUCKETS,
     target_postings: int = catalog.TARGET_POSTINGS,
+    group_size: int = catalog.BUCKET_GROUP_SIZE,
     kill_after: int | None = None,
 ) -> None:
+    """Compressed salted postings. The resume unit is a GROUP of
+    ``group_size`` term buckets: one Spark job per group (salt-plan,
+    salt, encode, write partitionBy(bucket)) instead of one per bucket
+    — per-job fixed cost amortizes over the group while the on-disk
+    layout stays bucket-partitioned for query-time pruning."""
+    n_groups = max((n_buckets + group_size - 1) // group_size, 1)
     fp = checkpoint.fingerprint(
-        stage="postings", n_buckets=n_buckets, target=target_postings, v=1
+        stage="postings", n_buckets=n_buckets, target=target_postings,
+        group_size=group_size, v=2,
     )
     _, avgdl = read_stats(spark, root)
     postings_root = catalog.path(root, catalog.POSTINGS)
     dict_root = catalog.path(root, "dictionary")
 
-    def run_bucket(b: int) -> tuple[str, int, int]:
-        toks = read_tokens(spark, root, bucket=b)
-        term_stats = toks.groupBy("term").agg(
+    def run_group(g: int) -> tuple[str, int, int]:
+        bs = list(range(g * group_size, min((g + 1) * group_size, n_buckets)))
+        toks = read_tokens(spark, root).filter(F.col("bucket").isin(bs))
+        term_stats = toks.groupBy("bucket", "term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
         salt_plan = term_stats.select(
+            "bucket",
             "term",
             "df",
             "cf",
             F.ceil(F.col("df") / F.lit(target_postings)).cast("int").alias("n_salts"),
         )
-        salted = toks.join(F.broadcast(salt_plan.select("term", "n_salts")), "term").withColumn(
+        salted = toks.join(
+            F.broadcast(salt_plan.select("term", "n_salts")), "term"
+        ).withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
         )
-        segments = salted.groupBy("term", "salt").applyInPandas(
+        segments = salted.groupBy("bucket", "term", "salt").applyInPandas(
             _postings_kernel(avgdl), POSTINGS_SCHEMA
         )
-        out = os.path.join(postings_root, f"bucket={b}")
-        segments.write.mode("overwrite").parquet(out)
-        salt_plan.write.mode("overwrite").parquet(os.path.join(dict_root, f"bucket={b}"))
-        n = spark.read.parquet(out).count()
-        return out, n, 0
+        out = os.path.join(postings_root, f"group={g}")
+        segments.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        salt_plan.write.mode("overwrite").parquet(
+            os.path.join(dict_root, f"group={g}")
+        )
+        n, nbytes = catalog.parquet_rows_bytes(out)
+        return out, n, nbytes
 
     checkpoint.run_partitioned_stage(
-        root, build_id, "postings", list(range(n_buckets)), fp, run_bucket,
-        kill_after=kill_after,
+        root, build_id, "postings", list(range(n_groups)), fp, run_group,
+        kill_after=kill_after, max_parallel=4,
     )
 
 
@@ -349,7 +400,8 @@ def build_title_index_stage(
 
         out = catalog.path(root, catalog.TITLE_INDEX)
         docs.mapInPandas(kernel, TITLE_SCHEMA).write.mode("overwrite").parquet(out)
-        return out, spark.read.parquet(out).count(), 0
+        n, nbytes = catalog.parquet_rows_bytes(out)
+        return out, n, nbytes
 
     checkpoint.run_partitioned_stage(root, build_id, "title_index", [0], fp, run)
 

@@ -64,11 +64,18 @@ def parse_query(query: str) -> list[str]:
 
 
 def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame:
-    """Bucket-pruned read of posting segments for the given terms."""
+    """Bucket-pruned read of posting segments for the given terms.
+    Layout: postings/group=<g>/bucket=<b>/ (group = build resume unit,
+    bucket = term-hash pruning unit)."""
+    import glob as _glob
+
     postings_root = catalog.path(root, catalog.POSTINGS)
     buckets = sorted(set(term_buckets(spark, terms, _n_buckets(root)).values()))
-    paths = [os.path.join(postings_root, f"bucket={b}") for b in buckets]
-    paths = [p for p in paths if os.path.exists(p)]
+    paths = [
+        p
+        for b in buckets
+        for p in _glob.glob(os.path.join(postings_root, "group=*", f"bucket={b}"))
+    ]
     if not paths:
         return spark.read.parquet(postings_root).filter(F.lit(False))
     df = spark.read.option("basePath", postings_root).parquet(*paths)
@@ -76,10 +83,12 @@ def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame
 
 
 def _n_buckets(root: str) -> int:
+    import glob as _glob
+
     postings_root = catalog.path(root, catalog.POSTINGS)
     return max(
         1,
-        len([d for d in os.listdir(postings_root) if d.startswith("bucket=")]),
+        len(_glob.glob(os.path.join(postings_root, "group=*", "bucket=*"))),
     )
 
 

@@ -39,6 +39,13 @@ def get_spark(
                 or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
             ),
         )
+        # Smaller input splits: the corpus parquet is dense (binary html),
+        # and the tokenize mapInPandas must fan out to every core even
+        # when the file count is small. Real clusters re-tune per job.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -77,14 +77,16 @@ def test_resume_skips_completed_partitions(spark, tiny_pages_path):
     build_tokens_stage(spark, tiny_pages_path, root, "b1", n_chunks=2, n_buckets=4)
     build_docstats_stage(spark, tiny_pages_path, root, "b1")
     with pytest.raises(KeyboardInterrupt):
-        build_postings_stage(spark, root, "b1", n_buckets=4, kill_after=2)
+        build_postings_stage(spark, root, "b1", n_buckets=4, group_size=1,
+                             kill_after=2)
     done_before = checkpoint.completed_partitions(
         root, "postings",
-        checkpoint.fingerprint(stage="postings", n_buckets=4, target=1 << 17, v=1),
+        checkpoint.fingerprint(stage="postings", n_buckets=4, target=1 << 17,
+                               group_size=1, v=2),
     )
     assert len(done_before) == 2
-    # resume: must run exactly the remaining 2 buckets
-    build_postings_stage(spark, root, "b1", n_buckets=4)
+    # resume: must run exactly the remaining 2 bucket-groups
+    build_postings_stage(spark, root, "b1", n_buckets=4, group_size=1)
     metrics = [m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"]
     assert len(metrics) == 4  # 2 + 2, no partition recorded twice
     assert sorted(m["partition_id"] for m in metrics) == [0, 1, 2, 3]
