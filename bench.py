@@ -63,7 +63,7 @@ def _build(master: str, cpus: int, pages_path: str, root: str,
     from searchengine_spark.indexer import build_index
     from searchengine_spark.session import get_spark
 
-    warm_pages = f"/tmp/bench_pages_{WARMUP_PAGES}.parquet"
+    warm_pages = os.path.join(BENCH_TMP, f"pages_{WARMUP_PAGES}.parquet")
     if not os.path.exists(warm_pages):
         corpus.write_pages_parquet(warm_pages, WARMUP_PAGES)
     # equal cache state for every parallelism level: touch the corpus
@@ -75,10 +75,10 @@ def _build(master: str, cpus: int, pages_path: str, root: str,
     spark = get_spark("bench-build", master=master,
                       shuffle_partitions=max(cpus, 8))
     try:
-        shutil.rmtree("/tmp/bench_warm_idx", ignore_errors=True)
-        build_index(spark, warm_pages, "/tmp/bench_warm_idx",
+        shutil.rmtree(os.path.join(BENCH_TMP, "warm_idx"), ignore_errors=True)
+        build_index(spark, warm_pages, os.path.join(BENCH_TMP, "warm_idx"),
                     n_chunks=2, n_buckets=8)
-        shutil.rmtree("/tmp/bench_warm_idx", ignore_errors=True)
+        shutil.rmtree(os.path.join(BENCH_TMP, "warm_idx"), ignore_errors=True)
         best = float("inf")
         for _ in range(reps):
             shutil.rmtree(root, ignore_errors=True)
@@ -90,10 +90,18 @@ def _build(master: str, cpus: int, pages_path: str, root: str,
         spark.stop()
 
 
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/dev/shm/se_bench")
+
+
 def main() -> None:
     # plenty of heap so high-parallelism runs never spill where the
     # low-parallelism run wouldn't (the box has 128 GiB)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # corpus, index, and shuffle scratch live on tmpfs: the VM's virtio
+    # disk throttles unpredictably (4-7x swings observed) and would
+    # otherwise dominate the scaling measurement
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", os.path.join(BENCH_TMP, "spark"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
@@ -101,7 +109,7 @@ def main() -> None:
 
     from searchengine_spark import corpus
 
-    pages_path = f"/tmp/bench_pages_{n_pages}.parquet"
+    pages_path = os.path.join(BENCH_TMP, f"pages_{n_pages}.parquet")
     if not os.path.exists(pages_path):
         corpus.write_pages_parquet(pages_path, n_pages)
 
@@ -115,15 +123,15 @@ def main() -> None:
     # too), so N=2 is the honest scaling pair; the local[cpus] build is
     # reported as the saturated-throughput headline.
     scale_n, scale_4n = 2, 8
-    t_head = _build(f"local[{cpus}]", cpus, pages_path, "/tmp/bench_idx")
+    t_head = _build(f"local[{cpus}]", cpus, pages_path, os.path.join(BENCH_TMP, "idx"))
     # scaling pair runs after the head build so both see identical
     # (warm) cache state; N before 4N; best-of-2 against machine noise
     t_low = _build(f"local[{scale_n}]", scale_n, pages_path,
-                   "/tmp/bench_idx_n", reps=1)
+                   os.path.join(BENCH_TMP, "idx_n"), reps=1)
     t_high = _build(f"local[{scale_4n}]", scale_4n, pages_path,
-                    "/tmp/bench_idx_4n", reps=2)
-    shutil.rmtree("/tmp/bench_idx_4n", ignore_errors=True)
-    shutil.rmtree("/tmp/bench_idx_n", ignore_errors=True)
+                    os.path.join(BENCH_TMP, "idx_4n"), reps=2)
+    shutil.rmtree(os.path.join(BENCH_TMP, "idx_4n"), ignore_errors=True)
+    shutil.rmtree(os.path.join(BENCH_TMP, "idx_n"), ignore_errors=True)
     dps_head = n_pages / t_head
     dps_high = n_pages / t_high
     dps_low = n_pages / t_low
@@ -142,8 +150,13 @@ def main() -> None:
     try:
         qs = corpus.reference_queries()
         t0 = time.time()
-        n_topk = score_exhaustive(spark, "/tmp/bench_idx", qs).count()
+        n_topk = score_exhaustive(spark, os.path.join(BENCH_TMP, "idx"), qs).count()
         timings["topk_refset"] = round(time.time() - t0, 3)
+        from searchengine_spark.wand import score_wand
+
+        t0 = time.time()
+        score_wand(spark, os.path.join(BENCH_TMP, "idx"), qs).count()
+        timings["topk_wand"] = round(time.time() - t0, 3)
 
         registry = all_queries()
         for name in BENCH_QUERIES:

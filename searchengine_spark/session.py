@@ -47,6 +47,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # shuffle/scratch location; benchmarks point this at tmpfs so
+        # virtio-disk throttling can't distort scaling measurements
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,146 @@
+"""Block-max WAND: rank-identity vs exhaustive BM25 (oracle), AND/OR
+semantics, degenerate queries, and randomized algorithm-level checks."""
+
+import math
+
+import numpy as np
+import pytest
+
+from searchengine_spark.bm25 import B, K1
+from searchengine_spark.corpus import reference_queries
+from searchengine_spark.query import parse_query
+from searchengine_spark.wand import _TermList, score_wand, wand_topk
+
+
+def _oracle_bm25_topk(idx, query, mode, k):
+    terms = parse_query(query)
+    present = [t for t in terms if t in idx.postings]
+    if mode == "AND":
+        if len(present) != len(terms) or not terms:
+            return []
+        cands = set(idx.postings[present[0]])
+        for t in present[1:]:
+            cands &= set(idx.postings[t])
+    else:
+        cands = set()
+        for t in present:
+            cands |= set(idx.postings[t])
+    rows = []
+    for d in cands:
+        s = 0.0
+        for t in sorted(present):
+            if d in idx.postings[t]:
+                tf = idx.postings[t][d]
+                df = len(idx.postings[t])
+                idf = math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
+                dl = idx.doc_len[d]
+                s += idf * (K1 + 1.0) * tf / (
+                    tf + K1 * (1.0 - B + B * dl / idx.avgdl)
+                )
+        rows.append((d, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def test_wand_rank_identical_to_oracle(spark, tiny_index, tiny_oracle):
+    qs = reference_queries()
+    got = score_wand(spark, tiny_index, qs).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    n_nonempty = 0
+    for q in qs:
+        want = _oracle_bm25_topk(
+            tiny_oracle, q["query"], q.get("mode", "OR"), int(q.get("k", 15))
+        )
+        have = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert len(have) == len(want), f"query {q['query_id']}: {q['query']!r}"
+        for h, (doc, score) in zip(have, want):
+            assert h["doc_id"] == doc, f"query {q['query_id']}"
+            assert abs(h["bm25"] - score) < 1e-9
+        n_nonempty += bool(want)
+    assert n_nonempty > 10  # the fixture query set is non-trivial
+
+
+def test_wand_degenerate_queries(spark, tiny_index):
+    qs = [
+        {"query_id": 0, "query": "", "mode": "OR", "k": 10},
+        {"query_id": 1, "query": "zzznotaterm", "mode": "OR", "k": 10},
+        {"query_id": 2, "query": "zzznotaterm merge", "mode": "AND", "k": 10},
+        {"query_id": 3, "query": "merge", "mode": "OR", "k": 0},
+    ]
+    rows = score_wand(spark, tiny_index, qs).collect()
+    assert rows == []
+
+
+def _random_termlists(rng, n_terms, n_docs, full_range=False):
+    # full_range exercises xxhash64-style doc ids spanning all of int64
+    # (regression: an _END sentinel below int64 max truncated lists)
+    universe = (
+        rng.choice(
+            np.arange(n_docs, dtype=np.int64) * (2**63 // max(n_docs, 1) // 2) * 2
+            - (2**62),
+            size=n_docs,
+            replace=False,
+        )
+        if full_range
+        else np.arange(n_docs, dtype=np.int64)
+    )
+    tls = []
+    for order in range(n_terms):
+        size = rng.integers(1, n_docs)
+        docs = np.sort(rng.choice(universe, size=size, replace=False))
+        norms = rng.uniform(0.1, 0.9, size=size)
+        idf = float(rng.uniform(0.2, 3.0))
+        from searchengine_spark.compress import BLOCK
+
+        n_blocks = (size + BLOCK - 1) // BLOCK
+        bl = np.empty(n_blocks, dtype=np.int64)
+        bm = np.empty(n_blocks)
+        for b in range(n_blocks):
+            lo, hi = b * BLOCK, min((b + 1) * BLOCK, size)
+            bl[b] = docs[hi - 1]
+            bm[b] = idf * (K1 + 1.0) * norms[lo:hi].max()
+        tl = _TermList(idf, docs, norms, bl, bm)
+        tl.max_score = float(bm.max())
+        tl.field_order = order
+        tls.append(tl)
+    return tls
+
+
+def _brute(tls, k, mode):
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for t in tls:
+        for d, nv in zip(t.docs, t.norms):
+            per_doc[int(d)].append((t.field_order, t.idf * (K1 + 1.0) * nv))
+    rows = []
+    for d, parts in per_doc.items():
+        if mode == "AND" and len(parts) != len(tls):
+            continue
+        s = 0.0
+        for _o, v in sorted(parts):
+            s += v
+        rows.append((d, s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+@pytest.mark.parametrize("full_range", [False, True])
+def test_wand_randomized_vs_bruteforce(mode, full_range):
+    rng = np.random.default_rng(1234)
+    for trial in range(15):
+        n_terms = int(rng.integers(1, 5))
+        n_docs = int(rng.integers(50, 1500))
+        k = int(rng.integers(1, 25))
+        tls = _random_termlists(rng, n_terms, n_docs, full_range)
+        import copy
+
+        want = _brute(copy.deepcopy(tls), k, mode)
+        got = wand_topk(tls, k, mode)
+        assert len(got) == len(want), f"trial {trial}"
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd, f"trial {trial} mode {mode}"
+            assert abs(gs - ws) < 1e-12
