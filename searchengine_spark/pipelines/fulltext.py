@@ -118,10 +118,38 @@ def q13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("spark", "query")
+
+
+def q14_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase match ("spark query" adjacent tokens) as pure
+    JVM array expressions — the oracle-checked twin of the index-side
+    positional phrase query (``query.phrase_match`` over pos_blob)."""
+    docs = load_docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    w1, w2 = PHRASE
+    hits = F.when(
+        F.size(toks) > 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: (F.element_at(toks, i) == w1)
+                & (F.element_at(toks, i + 1) == w2),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", hits.cast("int").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q11_wordcount": q11_wordcount,
     "q12_tfidf": q12_tfidf,
     "q13_bm25_topk": q13_bm25_topk,
+    "q14_phrase_match": q14_phrase_match,
 }
 
 _TOKENS_CTE = """
@@ -150,6 +178,20 @@ SELECT tf.doc_id, tf.term,
 FROM tf JOIN mx USING (doc_id) JOIN dft USING (term) CROSS JOIN n
 WHERE dft.df >= 5
 ORDER BY doc_id, term
+""",
+    "q14_phrase_match": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(generate_series(1, len(toks) - 1),
+                       i -> toks[i] = 'spark' AND toks[i+1] = 'query'))::INT
+         AS n_hits
+FROM d
+WHERE len(list_filter(generate_series(1, len(toks) - 1),
+                      i -> toks[i] = 'spark' AND toks[i+1] = 'query')) > 0
+ORDER BY doc_id
 """,
     "q13_bm25_topk": f"""
 WITH {_TOKENS_CTE},

@@ -133,6 +133,86 @@ def decode_segments(segments: DataFrame) -> DataFrame:
     return segments.mapInPandas(kernel, MATCH_SCHEMA)
 
 
+POS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_positions(segments: DataFrame) -> DataFrame:
+    """Arrow-vectorized decode of the per-posting position lists:
+    pos_blob holds, per doc in blob order, [n, delta1..deltan]
+    varbyte-encoded (``indexer._postings_kernel``)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_t: list[str] = []
+            out_d: list[int] = []
+            out_p: list[list[int]] = []
+            for term, doc_blob, pos_blob in zip(
+                pdf["term"], pdf["doc_blob"], pdf["pos_blob"]
+            ):
+                docs = to_signed(
+                    np.cumsum(varbyte_decode(bytes(doc_blob)), dtype=np.uint64)
+                )
+                flat = varbyte_decode(bytes(pos_blob)).astype(np.int64)
+                i = 0
+                for d in docs:
+                    n = int(flat[i])
+                    deltas = flat[i + 1 : i + 1 + n]
+                    i += 1 + n
+                    out_t.append(term)
+                    out_d.append(int(d))
+                    out_p.append(np.cumsum(deltas).astype(int).tolist())
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(out_t, dtype="object"),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "positions": pd.Series(out_p, dtype="object"),
+                }
+            )
+
+    return segments.mapInPandas(kernel, POS_SCHEMA)
+
+
+def phrase_match(spark: SparkSession, root: str, phrase: list[str]) -> DataFrame:
+    """Exact-phrase docs from the positional index: (doc_id, n_hits)
+    where the stemmed phrase terms occur at consecutive positions.
+    Adjacency is checked JVM-side on the decoded position arrays
+    (arrays_overlap of shifted positions via higher-order functions)."""
+    stemmed = [porter_stem(t) for t in phrase]
+    if not stemmed:
+        return spark.createDataFrame([], "doc_id long, n_hits int")
+    pos = decode_positions(load_segments(spark, root, stemmed))
+    parts = []
+    for i, t in enumerate(stemmed):
+        parts.append(
+            pos.filter(F.col("term") == t).select(
+                "doc_id",
+                # normalize: shift each term's positions back by its
+                # phrase offset; a phrase occurrence = one position
+                # present in every term's shifted set
+                F.transform(
+                    "positions", lambda p, _i=i: p - F.lit(_i)
+                ).alias(f"p{i}"),
+            )
+        )
+    joined = parts[0]
+    for i in range(1, len(parts)):
+        joined = joined.join(parts[i], "doc_id")
+    inter = F.col("p0")
+    for i in range(1, len(stemmed)):
+        inter = F.array_intersect(inter, F.col(f"p{i}"))
+    return (
+        joined.select("doc_id", F.size(inter).alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def term_idfs(spark: SparkSession, root: str, terms: list[str], n_docs: int) -> dict[str, float]:
     """Per-term idf from the dictionary, computed driver-side in Python
     float64 (one ln definition for engine + oracle)."""

@@ -101,3 +101,84 @@ def test_and_semantics(spark, tiny_index, tiny_oracle):
     expected_docs = set(idx.postings.get(planted, {}))
     assert {r["doc_id"] for r in res} == expected_docs
     assert len(expected_docs) == len([i for i in range(200) if i % 211 == 7])
+
+
+def test_positional_phrase_match(spark, tiny_index, tiny_pages_path):
+    """Index-side phrase query (pos_blob) equals a direct scan of the
+    scoring-pipeline token streams."""
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.porter import porter_stem
+    from searchengine_spark.query import phrase_match
+    from searchengine_spark.textprep import (
+        doc_term_stats,
+        extract_text_titlep_lower,
+    )
+    from searchengine_spark.xxhash64 import spark_xxhash64_str
+
+    pages = pq.read_table(tiny_pages_path).to_pylist()
+    # pick a phrase that actually occurs: first two tokens of some doc
+    from searchengine_spark.textprep import java_tokens, stem_tokens
+
+    phrase = None
+    for p in pages:
+        toks = stem_tokens(
+            java_tokens(extract_text_titlep_lower(bytes(p["html"]).decode()))
+        )
+        if len(toks) >= 2:
+            phrase = [toks[5], toks[6]] if len(toks) > 6 else toks[:2]
+            break
+    assert phrase
+    expected: dict[int, int] = {}
+    for p in pages:
+        toks = stem_tokens(
+            java_tokens(extract_text_titlep_lower(bytes(p["html"]).decode()))
+        )
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == phrase[0] and toks[i + 1] == phrase[1]
+        )
+        if n:
+            expected[spark_xxhash64_str(p["url"])] = n
+    # phrase_match stems its input; feed it raw-ish words that stem to
+    # the chosen stemmed tokens (stems are fixed points of the stemmer
+    # for this corpus vocabulary, so pass them directly)
+    assert [porter_stem(t) for t in phrase] == phrase
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_match(spark, tiny_index, phrase).collect()
+    }
+    assert got == expected
+    assert expected, "fixture phrase should occur at least once"
+
+
+def test_serving_search(spark, tiny_index, tiny_pages_path):
+    """Full serving pipeline: titles/snippets/pagination (Mainpage parity)."""
+    from searchengine_spark.corpus import VOCAB
+    from searchengine_spark.serving import SNIPPET_WORDS, search
+
+    q = f"{VOCAB[0]} {VOCAB[1]}"  # Zipf-head corpus terms: many hits
+    page1 = search(spark, tiny_index, tiny_pages_path, q, k=5).collect()
+    assert 0 < len(page1) <= 5
+    assert [r["rank"] for r in page1] == list(range(1, len(page1) + 1))
+    for r in page1:
+        assert r["title"]  # every fixture page has a <title>
+        assert len(r["snippet"].split()) <= SNIPPET_WORDS
+        assert r["url"].startswith("https://")
+    page2 = search(
+        spark, tiny_index, tiny_pages_path, q, k=5, offset=5
+    ).collect()
+    assert {r["url"] for r in page1}.isdisjoint({r["url"] for r in page2})
+    assert [r["rank"] for r in page2] == list(range(6, 6 + len(page2)))
+
+
+def test_exhaustive_degenerate_queries(spark, tiny_index):
+    """Empty / absent-term / k=0 queries return 0 rows, never raise."""
+    qs = [
+        {"query_id": 0, "query": "", "mode": "OR", "k": 10},
+        {"query_id": 1, "query": "zzznotaterm", "mode": "OR", "k": 10},
+        {"query_id": 2, "query": "zzznotaterm merge", "mode": "AND", "k": 10},
+        {"query_id": 3, "query": "merge", "mode": "OR", "k": 0},
+    ]
+    assert score_exhaustive(spark, tiny_index, qs).collect() == []
