@@ -281,8 +281,48 @@ def q10_sample_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q30: grouping sets / cube (absent in the reference — SURVEY §2.4 last
+# row); grouping_id disambiguates aggregate rows from data NULLs.
+# --------------------------------------------------------------------------
+
+def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q31: approximate distinct (HLL sketch) next to the exact count — the
+# kind of cardinality probe a 100 TB profiling pass runs. The sketch
+# value is engine-specific, so this entry is rows-only checked; the
+# exact column is what a reviewer compares.
+# --------------------------------------------------------------------------
+
+def q31_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q01_fold_agg": q01_fold_agg,
+    "q30_cube": q30_cube,
+    "q31_approx_distinct": q31_approx_distinct,
     "q02_join_revenue": q02_join_revenue,
     "q03_window_topk": q03_window_topk,
     "q04_set_ops": q04_set_ops,
@@ -295,6 +335,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q30_cube": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus)::INT AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+    # q31_approx_distinct: rows-only (HLL sketch values are
+    # engine-specific); the exact_users column carries the truth.
     "q01_fold_agg": """
 SELECT l_returnflag, l_linestatus,
        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

@@ -1,0 +1,66 @@
+"""Incremental corpus ingestion via Structured Streaming.
+
+New page files landing in a directory are tokenized with the SAME
+Arrow-vectorized kernel the batch build uses and appended to the
+bucket-partitioned tokens table. The stream checkpoint replaces the
+batch build's chunk lineage: an already-ingested file is never
+re-processed across restarts (exactly-once file-source semantics), so
+this is the continuous-ingestion twin of ``indexer.build_tokens_stage``.
+Downstream stages (docstats, postings, pagerank) then run as batch jobs
+over the accumulated tokens — the classic incremental-index pattern
+(streaming tokenize, periodic segment (re)build).
+
+All processing is inside ``foreachBatch`` re-using the batch code path,
+so streaming and batch can never drift semantically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..indexer import _bucket, _ingest_filter, docs_with_scoring_text, tokenize
+
+PAGES_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_tokenize(
+    spark: SparkSession,
+    pages_dir: str,
+    tokens_out: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (availableNow) the incremental tokenize stream; returns the
+    StreamingQuery. Idempotent across restarts via the checkpoint."""
+    reader = (
+        spark.readStream.schema(PAGES_SPARK_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 16)
+        .parquet(pages_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = docs_with_scoring_text(_ingest_filter(batch_df))
+        toks = tokenize(docs).withColumn("bucket", _bucket("term", n_buckets))
+        (
+            toks.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(tokens_out)
+        )
+
+    return (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
