@@ -229,28 +229,45 @@ def write_pages_parquet(
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     per = (n_pages + n_files - 1) // n_files
-    for f in range(n_files):
-        lo, hi = f * per, min((f + 1) * per, n_pages)
-        if lo >= hi:
-            break
-        writer = pq.ParquetWriter(
-            os.path.join(path, f"part-{f:05d}.parquet"),
-            PAGES_SCHEMA,
-            compression="zstd",
-        )
-        try:
-            for start in range(lo, hi, batch_rows):
-                rows = [
-                    render_page(i, n_pages)
-                    for i in range(start, min(start + batch_rows, hi))
-                ]
-                cols = {
-                    k: [r[k] for r in rows]
-                    for k in ("url", "warc_ts", "html", "text", "lang")
-                }
-                writer.write_table(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA))
-        finally:
-            writer.close()
+    tasks = [
+        (path, f, f * per, min((f + 1) * per, n_pages), n_pages, batch_rows)
+        for f in range(n_files)
+        if f * per < n_pages
+    ]
+    # page content depends only on the page id, so per-file rendering
+    # parallelizes with no effect on the bytes written
+    if len(tasks) > 1 and n_pages >= 20_000:
+        from multiprocessing import Pool
+
+        with Pool(min(len(tasks), 16)) as pool:
+            pool.map(_write_pages_file, tasks)
+    else:
+        for t in tasks:
+            _write_pages_file(t)
+
+
+def _write_pages_file(args: tuple) -> None:
+    import os
+
+    path, f, lo, hi, n_pages, batch_rows = args
+    writer = pq.ParquetWriter(
+        os.path.join(path, f"part-{f:05d}.parquet"),
+        PAGES_SCHEMA,
+        compression="zstd",
+    )
+    try:
+        for start in range(lo, hi, batch_rows):
+            rows = [
+                render_page(i, n_pages)
+                for i in range(start, min(start + batch_rows, hi))
+            ]
+            cols = {
+                k: [r[k] for r in rows]
+                for k in ("url", "warc_ts", "html", "text", "lang")
+            }
+            writer.write_table(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA))
+    finally:
+        writer.close()
 
 
 def expected_edges(n_pages: int) -> list[tuple[str, str]]:
