@@ -274,19 +274,49 @@ def score_exhaustive(
     qt = _query_terms_df(spark, queries, idfs)
 
     matches = decode_segments(load_segments(spark, root, terms))
-    scored = matches.join(F.broadcast(qt), "term").withColumn(
-        "score",
-        F.col("idf")
-        * F.lit(K1 + 1.0)
-        * (
-            F.col("tf")
-            / (
+    scored = matches.join(F.broadcast(qt), "term").select(
+        "query_id",
+        "doc_id",
+        "term",
+        (
+            F.col("idf")
+            * F.lit(K1 + 1.0)
+            * (
                 F.col("tf")
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(avgdl))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(avgdl))
+                )
             )
-        ),
+        ).alias("score"),
+        F.col("n_terms"),
+        F.col("mode"),
+        F.col("k"),
+        F.lit(1).alias("is_match"),
+        F.lit(0.0).alias("title"),
     )
+
+    # title hits ride the SAME aggregation instead of a join+distinct:
+    # their score is exactly 0.0 (an IEEE additive identity), so the
+    # sorted-term bm25 fold is bit-identical with or without them.
+    title_path = catalog.path(root, catalog.TITLE_INDEX)
+    if os.path.exists(title_path):
+        title = spark.read.parquet(title_path)
+        th = title.join(
+            F.broadcast(qt.select("query_id", "term").distinct()), "term"
+        ).select(
+            "query_id",
+            "doc_id",
+            "term",
+            F.lit(0.0).alias("score"),
+            F.lit(None).cast("int").alias("n_terms"),
+            F.lit(None).cast("string").alias("mode"),
+            F.lit(None).cast("int").alias("k"),
+            F.lit(0).alias("is_match"),
+            F.lit(1.0).alias("title"),
+        )
+        scored = scored.unionAll(th)
 
     per_doc = scored.groupBy("query_id", "doc_id").agg(
         # deterministic fold order: sort per-term scores by term name
@@ -295,38 +325,26 @@ def score_exhaustive(
             F.lit(0.0),
             lambda acc, x: acc + x["score"],
         ).alias("bm25"),
-        F.count("*").alias("n_hit"),
-        F.first("n_terms").alias("n_terms"),
-        F.first("mode").alias("mode"),
-        F.first("k").alias("k"),
+        F.sum("is_match").alias("n_hit"),
+        F.max("title").alias("title_hit"),
+        F.first("n_terms", ignorenulls=True).alias("n_terms"),
+        F.first("mode", ignorenulls=True).alias("mode"),
+        F.first("k", ignorenulls=True).alias("k"),
     )
+    # candidates = docs with at least one posting match (title-only rows
+    # are not candidates — reference oracle semantics)
     candidates = per_doc.filter(
-        (F.col("mode") == "OR") | (F.col("n_hit") == F.col("n_terms"))
+        (F.col("n_hit") > 0)
+        & ((F.col("mode") == "OR") | (F.col("n_hit") == F.col("n_terms")))
     )
 
-    # blend: pagerank + title hit
+    # blend: pagerank
     pr_path = catalog.path(root, catalog.PAGERANKS)
     if os.path.exists(pr_path):
         pr = spark.read.parquet(pr_path).select("doc_id", F.col("rank").alias("pagerank"))
         candidates = candidates.join(pr, "doc_id", "left").fillna({"pagerank": 0.0})
     else:
         candidates = candidates.withColumn("pagerank", F.lit(0.0))
-
-    title_path = catalog.path(root, catalog.TITLE_INDEX)
-    if os.path.exists(title_path):
-        title = spark.read.parquet(title_path)
-        th = (
-            qt.select("query_id", "term")
-            .join(title, "term")
-            .select("query_id", "doc_id")
-            .distinct()
-            .withColumn("title_hit", F.lit(1.0))
-        )
-        candidates = candidates.join(th, ["query_id", "doc_id"], "left").fillna(
-            {"title_hit": 0.0}
-        )
-    else:
-        candidates = candidates.withColumn("title_hit", F.lit(0.0))
 
     blended = candidates.withColumn(
         "blended",
