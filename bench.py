@@ -90,7 +90,22 @@ def _build(master: str, cpus: int, pages_path: str, root: str,
         spark.stop()
 
 
-BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/dev/shm/se_bench")
+def _pick_bench_tmp() -> str:
+    override = os.environ.get("SPARK_GRAFT_BENCH_TMP")
+    if override:
+        return override
+    # tmpfs preferred (virtio-disk throttling distorts scaling); fall
+    # back to /tmp if /dev/shm is absent or too small (< 8 GiB free)
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize > 8 << 30:
+            return "/dev/shm/se_bench"
+    except OSError:
+        pass
+    return "/tmp/se_bench"
+
+
+BENCH_TMP = _pick_bench_tmp()
 
 
 def main() -> None:
