@@ -13,7 +13,12 @@ Scale notes (100 TB discipline):
   the fact table must never shuffle for a kilobyte-sized dim;
 * money aggregates run in DECIMAL(18,2) so partial/final aggregation is
   exact and order-insensitive (rank-identity across parallelism —
-  the same property SURVEY §7.3 demands of the index build).
+  the same property SURVEY §7.3 demands of the index build);
+* every *output* decimal aggregate is cast to DOUBLE and every int-sum
+  to BIGINT, identically on the Spark and DuckDB sides — pandas renders
+  Spark DECIMAL as ``decimal.Decimal`` objects and DuckDB DECIMAL/HUGEINT
+  as ``float64``, so a stringified value-hash diverges on numerically
+  identical results unless both sides agree on the output type.
 """
 
 from __future__ import annotations
@@ -41,13 +46,15 @@ def q01_fold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
             ).cast("double").alias("sum_disc_price"),
-            F.max(F.col("l_quantity").cast(DEC)).alias("max_qty"),
+            F.max(F.col("l_quantity").cast(DEC)).cast("double").alias("max_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -70,7 +77,7 @@ def q02_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("r_name", "n_name")
@@ -94,7 +101,7 @@ def q03_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "rk",
             "o_orderkey",
-            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("totalprice"),
         )
         .orderBy("o_orderpriority", "rk")
     )
@@ -190,7 +197,7 @@ def q07_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         gaps.groupBy("user_id")
         .agg(
-            F.sum("new_session").alias("n_sessions"),
+            F.sum("new_session").cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
         .orderBy("user_id")
@@ -205,12 +212,13 @@ def q08_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
             "event_type",
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -274,7 +282,7 @@ def q10_sample_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("totalprice"),
         )
         .orderBy("o_orderkey")
         .limit(100)
@@ -292,7 +300,7 @@ def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             F.grouping_id().cast("int").alias("gid"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -338,7 +346,7 @@ ORACLE = {
     "q30_cube": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        GROUPING(l_returnflag, l_linestatus)::INT AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -348,12 +356,13 @@ ORDER BY gid, l_returnflag, l_linestatus
     # engine-specific); the exact_users column carries the truth.
     "q01_fold_agg": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
            AS DOUBLE) AS sum_disc_price,
-       max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+       CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-01'
@@ -362,7 +371,7 @@ ORDER BY l_returnflag, l_linestatus
 """,
     "q02_join_revenue": """
 SELECT r_name, n_name,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -375,7 +384,7 @@ ORDER BY r_name, n_name
 SELECT o_orderpriority, rk, o_orderkey, totalprice
 FROM (
   SELECT o_orderpriority, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
          row_number() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
   FROM orders
@@ -401,8 +410,8 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 GROUP BY c_nationkey
 UNION ALL
 SELECT c_nationkey, count(*) AS n, 'without_orders' AS kind
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
 ORDER BY kind, c_nationkey
 """,
@@ -423,13 +432,15 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """,
     "q08_window_agg": """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
@@ -442,7 +453,8 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 ORDER BY purchase_id
 """,
     "q10_sample_take": """
-SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
 FROM orders
 WHERE (o_orderkey * 2654435761) % 1000 < 50
 ORDER BY o_orderkey

@@ -51,7 +51,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver's gate is a stringified value-hash: Spark
+        # DECIMAL→object(Decimal('1.40')) vs DuckDB DECIMAL→float64(1.4),
+        # or int64(3) vs HUGEINT→float64(3.0), breaks the hash even when
+        # every value is numerically identical. Emulate it with a strict
+        # stringified compare (identical float64 bits stringify the same;
+        # int32 vs int64 stringify the same — both are hash-stable).
         try:
+            str_eq = sv.astype(str).equals(dv.astype(str))
             if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
                 eq = np.array_equal(
                     sv.astype("float64").to_numpy(),
@@ -59,14 +66,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                     equal_nan=True,
                 )
             else:
-                eq = sv.astype(str).equals(dv.astype(str))
+                eq = str_eq
         except Exception as e:  # noqa: BLE001
             problems.append(f"col {c}: compare error {e}")
             continue
-        if not eq:
+        if not eq or not str_eq:
             mism = (sv.astype(str) != dv.astype(str)).to_numpy().nonzero()[0][:3]
             ex = [(int(i), sv.iloc[i], dv.iloc[i]) for i in mism]
-            problems.append(f"col {c} differs, e.g. {ex}")
+            kind = "differs" if not eq else "hash-unstable (values equal)"
+            problems.append(f"col {c} {kind}, e.g. {ex}")
     return problems
 
 
