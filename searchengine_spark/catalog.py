@@ -19,7 +19,10 @@ Layout under an index root:
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import uuid
 
 TOKENS = "tokens"
 DOCSTATS = "docstats"
@@ -37,12 +40,93 @@ TARGET_POSTINGS = 1 << 17  # max postings per (term, salt) blob
 BUCKET_GROUP_SIZE = 4  # buckets per postings job (resume unit = group)
 
 
+META = "_meta.json"
+
+
 def path(root: str, table: str) -> str:
     return os.path.join(root, table)
 
 
 def exists(root: str, table: str) -> bool:
     return os.path.exists(path(root, table))
+
+
+# ---------------------------------------------------------------------------
+# Filesystem access — every listdir/glob/rename in the engine goes through
+# these, so porting to an object store (S3 listing + Iceberg commits) is a
+# one-module change instead of a hunt through indexer/query/checkpoint.
+# ---------------------------------------------------------------------------
+
+def list_files(dir_path: str, suffix: str = "") -> list[str]:
+    """Sorted absolute paths of the files directly under ``dir_path``."""
+    if not os.path.isdir(dir_path):
+        return []
+    return sorted(
+        os.path.join(dir_path, f)
+        for f in os.listdir(dir_path)
+        if f.endswith(suffix) and os.path.isfile(os.path.join(dir_path, f))
+    )
+
+
+def glob_dirs(pattern: str) -> list[str]:
+    """Sorted directory paths matching a glob pattern."""
+    import glob as _glob
+
+    return sorted(p for p in _glob.glob(pattern) if os.path.isdir(p))
+
+
+def tree_manifest(dir_path: str) -> list[tuple[str, int]]:
+    """Sorted (relative_path, size) of every data file under ``dir_path``
+    (recursive; skips hidden/_ bookkeeping files). The input-content
+    identity of a table: any append/replace/delete changes it."""
+    out: list[tuple[str, int]] = []
+    if os.path.isfile(dir_path):
+        return [(os.path.basename(dir_path), os.path.getsize(dir_path))]
+    for dp, _dirs, files in os.walk(dir_path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(dp, f)
+            out.append((os.path.relpath(p, dir_path), os.path.getsize(p)))
+    return sorted(out)
+
+
+def content_fingerprint(dir_path: str) -> str:
+    """md5 of the tree manifest — folded into stage lineage fingerprints
+    so resume never serves results computed from different input data."""
+    m = hashlib.md5(json.dumps(tree_manifest(dir_path)).encode())
+    return m.hexdigest()
+
+
+def write_atomic(final_path: str, data: bytes) -> None:
+    """Write-then-rename so concurrent/killed writers never expose a
+    partial file (an Iceberg commit on a real catalog)."""
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = f"{final_path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, final_path)
+
+
+# ---------------------------------------------------------------------------
+# Index metadata — build parameters persisted at build time so readers
+# never re-derive them from directory shape (an empty term-hash bucket
+# must not change the bucket count the query planner hashes against).
+# ---------------------------------------------------------------------------
+
+def write_meta(root: str, **updates: object) -> dict:
+    meta = read_meta(root)
+    meta.update(updates)
+    write_atomic(os.path.join(root, META), json.dumps(meta, sort_keys=True).encode())
+    return meta
+
+
+def read_meta(root: str) -> dict:
+    p = os.path.join(root, META)
+    if not os.path.exists(p):
+        return {}
+    with open(p, "rb") as f:
+        return json.loads(f.read())
 
 
 def parquet_rows_bytes(dir_path: str) -> tuple[int, int]:

@@ -77,21 +77,19 @@ def record(
         },
         schema=_SCHEMA,
     )
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
     final = os.path.join(d, f"{stage}-{partition_id}-{uuid.uuid4().hex}.parquet")
-    tmp = final + ".tmp"
-    pq.write_table(tbl, tmp)
-    os.rename(tmp, final)
+    catalog.write_atomic(final, buf.getvalue())
 
 
 def completed_partitions(root: str, stage: str, input_fingerprint: str) -> set[int]:
     d = catalog.path(root, catalog.LINEAGE)
-    if not os.path.exists(d):
-        return set()
     done: set[int] = set()
-    for f in os.listdir(d):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(d, f))
+    for f in catalog.list_files(d, ".parquet"):
+        t = pq.read_table(f)
         for row in t.to_pylist():
             if row["stage"] == stage and row["input_fingerprint"] == input_fingerprint:
                 done.add(row["partition_id"])
@@ -100,12 +98,9 @@ def completed_partitions(root: str, stage: str, input_fingerprint: str) -> set[i
 
 def read_metrics(root: str) -> list[dict]:
     d = catalog.path(root, catalog.LINEAGE)
-    if not os.path.exists(d):
-        return []
     out: list[dict] = []
-    for f in sorted(os.listdir(d)):
-        if f.endswith(".parquet"):
-            out.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    for f in catalog.list_files(d, ".parquet"):
+        out.extend(pq.read_table(f).to_pylist())
     return out
 
 

@@ -34,12 +34,9 @@ def to_signed(u: np.ndarray) -> np.ndarray:
     return (u - _BIAS).view(np.int64)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def varbyte_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value: ceil(bit_length/7), min 1."""
     v = values.astype(np.uint64, copy=True)
-    if len(v) == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
     nbits = np.zeros(len(v), dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -48,7 +45,15 @@ def varbyte_encode(values: np.ndarray) -> bytes:
             break
         nbits[nz] += 7
         tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits // 7, 1)
+    return np.maximum(nbits // 7, 1)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    v = values.astype(np.uint64, copy=True)
+    if len(v) == 0:
+        return b""
+    nbytes = varbyte_nbytes(v)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # position of the FIRST byte of each value
@@ -90,8 +95,10 @@ def encode_postings(
     """Compress one sorted posting list.
 
     Returns (doc_blob, tf_blob, block_last_doc i64, block_max_norm f32,
-    block_offsets i64) — block_offsets[i] = posting index where block i
-    starts (for skip decoding).
+    (doc_boff, tf_boff)) — the byte offset where each block's varbytes
+    START inside its blob, so a reader can decode one block without
+    touching the rest (skip decoding: block i spans boff[i]:boff[i+1],
+    the final block ends at len(blob)).
     """
     assert doc_ids.dtype == np.int64
     u = to_unsigned(doc_ids)
@@ -104,12 +111,30 @@ def encode_postings(
     n_blocks = (n + BLOCK - 1) // BLOCK
     block_last = np.empty(n_blocks, dtype=np.int64)
     block_max = np.empty(n_blocks, dtype=np.float32)
-    block_off = (np.arange(n_blocks) * BLOCK).astype(np.int64)
     for b in range(n_blocks):
         lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
         block_last[b] = doc_ids[hi - 1]
         block_max[b] = tf_norms[lo:hi].max()
-    return doc_blob, tf_blob, block_last, block_max, block_off
+    doc_boff = block_byte_offsets(varbyte_nbytes(deltas))
+    tf_boff = block_byte_offsets(varbyte_nbytes(tfs.astype(np.uint64)))
+    return doc_blob, tf_blob, block_last, block_max, (doc_boff, tf_boff)
+
+
+def block_byte_offsets(nbytes: np.ndarray, block: int = BLOCK) -> np.ndarray:
+    """Byte offset of the first varbyte of every ``block``-th value."""
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    return cum[::block][: (len(nbytes) + block - 1) // block].astype(np.int64)
+
+
+def decode_block(
+    blob: bytes, boff: np.ndarray, block_idx: int
+) -> np.ndarray:
+    """Decode only block ``block_idx`` of a blob (raw varbyte values —
+    deltas for doc blobs; the caller re-bases with the previous block's
+    last absolute value)."""
+    lo = int(boff[block_idx])
+    hi = int(boff[block_idx + 1]) if block_idx + 1 < len(boff) else len(blob)
+    return varbyte_decode(blob[lo:hi])
 
 
 def decode_postings(doc_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.ndarray]:

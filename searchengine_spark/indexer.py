@@ -15,10 +15,14 @@ Scale design (the part that must survive 1000 executors / 100 TB):
   bucket directories (partition pruning, no re-scan of the corpus).
 * postings build runs per bucket (resume unit), so a killed build
   restarts at the first incomplete bucket. Inside a bucket, head terms
-  are salted: n_salts = ceil(df / TARGET_POSTINGS); salt =
-  pmod(xxhash64(doc_id), n_salts) — every (term, salt) blob is bounded,
-  which bounds applyInPandas group memory and kills Zipf skew
-  (the reference has no skew story at all: ``tools/Partitioner.java``).
+  are salted: n_salts = ceil(df / TARGET_POSTINGS); salt = the doc_id's
+  quantile of the (uniform, xxhash64-derived) doc-id space — every
+  (term, salt) blob is bounded, which bounds applyInPandas group memory
+  and kills Zipf skew (the reference has no skew story at all:
+  ``tools/Partitioner.java``). Quantile (range) salting, not pmod: a
+  term's salted blobs are doc-RANGE-disjoint and ordered, so query-time
+  merge is a concatenation and a (query, doc-range) serving task can
+  select just the blobs overlapping its range (bounded-memory WAND).
 * doc_len is varbyte-encoded alongside each posting so BM25 needs no
   join against docstats at query time.
 * all IDs are deterministic (xxhash64(url)), all blobs sorted by doc_id:
@@ -39,7 +43,12 @@ from pyspark.sql import types as T
 
 from . import catalog, checkpoint
 from .bm25 import B, K1
-from .compress import encode_postings, varbyte_encode
+from .compress import (
+    block_byte_offsets,
+    encode_postings,
+    varbyte_encode,
+    varbyte_nbytes,
+)
 from .textprep import (
     extract_titlep_lower_series,
     java_tokens,
@@ -63,6 +72,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType()),
         T.StructField("term", T.StringType()),
         T.StructField("salt", T.IntegerType()),
+        T.StructField("n_salts", T.IntegerType()),
         T.StructField("n_postings", T.IntegerType()),
         T.StructField("doc_blob", T.BinaryType()),
         T.StructField("tf_blob", T.BinaryType()),
@@ -70,9 +80,29 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("pos_blob", T.BinaryType()),
         T.StructField("block_last", T.ArrayType(T.LongType())),
         T.StructField("block_max_norm", T.ArrayType(T.FloatType())),
+        # byte offset of each block's first varbyte inside its blob —
+        # lets WAND decode only the blocks it visits (skip decoding)
+        T.StructField("doc_boff", T.ArrayType(T.LongType())),
+        T.StructField("tf_boff", T.ArrayType(T.LongType())),
+        T.StructField("dl_boff", T.ArrayType(T.LongType())),
         T.StructField("max_norm", T.FloatType()),
     ]
 )
+
+
+def salt_expr(n_salts_col):
+    """Range (quantile) salt of a doc_id: which of n_salts equal slices
+    of the signed-int64 doc-id space the id falls in, from its top 32
+    bits — exact integer math, monotone in doc_id, so salted blobs are
+    doc-range-disjoint AND ordered by salt."""
+    top32 = F.shiftright("doc_id", 32) + F.lit(1 << 31)  # [0, 2^32)
+    return F.shiftright(top32 * n_salts_col, 32).cast("int")
+
+
+def salt_of(doc_ids: np.ndarray, n_salts: int) -> np.ndarray:
+    """numpy twin of ``salt_expr`` (merge job / tests)."""
+    top32 = ((doc_ids.astype(np.int64) >> 32) + (1 << 31)).astype(np.int64)
+    return ((top32 * n_salts) >> 32).astype(np.int32)
 
 
 def _ingest_filter(pages: DataFrame) -> DataFrame:
@@ -96,13 +126,7 @@ def _chunk_files(pages_path: str, n_chunks: int) -> list[list[str]] | None:
     file (the Common-Crawl shape — lineage and resume at WARC-file
     granularity, and each chunk scans ONLY its own files). Returns None
     for a single-file corpus (falls back to hash-chunking rows)."""
-    if not os.path.isdir(pages_path):
-        return None
-    files = sorted(
-        os.path.join(pages_path, f)
-        for f in os.listdir(pages_path)
-        if f.endswith(".parquet")
-    )
+    files = catalog.list_files(pages_path, ".parquet")
     if not files:
         return None
     return [files[c::n_chunks] for c in range(n_chunks)]
@@ -155,11 +179,19 @@ def build_tokens_stage(
     n_buckets: int = catalog.N_BUCKETS,
     kill_after: int | None = None,
 ) -> None:
-    fp = checkpoint.fingerprint(
-        stage="tokens", pages=pages_path, n_chunks=n_chunks, n_buckets=n_buckets, v=1
-    )
     tokens_root = catalog.path(root, catalog.TOKENS)
     file_chunks = _chunk_files(pages_path, n_chunks)
+    # the fingerprint covers input CONTENT (file list + sizes) and the
+    # chunk-assignment mode, not just parameters: resuming a partial
+    # build after the corpus (or the chunking scheme) changed must
+    # recompute, never serve a silently stale mix (v=2 invalidates all
+    # v=1 partial builds, which used hash-chunking in some chunks).
+    fp = checkpoint.fingerprint(
+        stage="tokens", pages=pages_path, n_chunks=n_chunks, n_buckets=n_buckets,
+        mode="files" if file_chunks is not None else "hash",
+        content=catalog.content_fingerprint(pages_path), v=2,
+    )
+    catalog.write_meta(root, n_buckets=n_buckets, n_chunks=n_chunks)
 
     def run_chunk(c: int) -> tuple[str, int, int]:
         out = os.path.join(tokens_root, f"chunk={c}")
@@ -175,9 +207,12 @@ def build_tokens_stage(
         # The Python extraction is the hot path; its parallelism is the
         # input-split count. When the chunk has fewer splits than cores
         # (small fixtures, few row groups) spread it first — at real
-        # scale each chunk holds many files and this is a no-op.
+        # scale each chunk holds many files and this is a no-op. The
+        # split count is estimated from the file plan (bytes /
+        # maxPartitionBytes), not via df.rdd.getNumPartitions(), which
+        # forces a DataFrame->RDD conversion in the hot build path.
         target = spark.sparkContext.defaultParallelism
-        if pages.rdd.getNumPartitions() < target:
+        if _estimate_splits(spark, file_chunks[c] if file_chunks else None) < target:
             pages = pages.repartition(target)
         docs = docs_with_scoring_text(pages)
         toks = tokenize(docs).withColumn("bucket", _bucket("term", n_buckets))
@@ -203,6 +238,24 @@ def build_tokens_stage(
     )
 
 
+def _estimate_splits(spark: SparkSession, files: list[str] | None) -> int:
+    """Scan-partition estimate from the file plan: one split per
+    maxPartitionBytes-sized slice of each file (ignores openCostInBytes
+    packing — an under-estimate only triggers a redundant repartition,
+    never starvation). ``None`` (single-file corpus) -> 1, forcing the
+    spread."""
+    if not files:
+        return 1
+    conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    s = conf.strip().lower()
+    mult = units.get(s[-1], 1)
+    max_bytes = int(s[:-1]) * mult if s[-1] in units else int(s)
+    return sum(
+        max(1, -(-os.path.getsize(f) // max_bytes)) for f in files
+    )
+
+
 def read_tokens(spark: SparkSession, root: str, bucket: int | None = None) -> DataFrame:
     tokens_root = catalog.path(root, catalog.TOKENS)
     df = spark.read.option("basePath", tokens_root).parquet(tokens_root)
@@ -218,7 +271,12 @@ def read_tokens(spark: SparkSession, root: str, bucket: int | None = None) -> Da
 def build_docstats_stage(
     spark: SparkSession, pages_path: str, root: str, build_id: str
 ) -> None:
-    fp = checkpoint.fingerprint(stage="docstats", pages=pages_path, v=1)
+    fp = checkpoint.fingerprint(
+        stage="docstats", pages=pages_path,
+        content=catalog.content_fingerprint(pages_path),
+        tokens=catalog.content_fingerprint(catalog.path(root, catalog.TOKENS)),
+        v=2,
+    )
 
     def run(_pid: int) -> tuple[str, int, int]:
         docs = ingest(spark, pages_path).select(
@@ -264,10 +322,12 @@ def _postings_kernel(avgdl: float):
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["doc_len"].to_numpy(dtype=np.int64)
         tf_norms = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-        doc_blob, tf_blob, block_last, block_max, _ = encode_postings(
-            doc_ids, tfs, tf_norms
+        doc_blob, tf_blob, block_last, block_max, (doc_boff, tf_boff) = (
+            encode_postings(doc_ids, tfs, tf_norms)
         )
-        dl_blob = varbyte_encode(dls.astype(np.uint64))
+        dl_u = dls.astype(np.uint64)
+        dl_blob = varbyte_encode(dl_u)
+        dl_boff = block_byte_offsets(varbyte_nbytes(dl_u))
         # positions: per doc, [n, delta1, delta2, ...] concatenated
         pos_parts: list[np.ndarray] = []
         for plist in pdf["positions"]:
@@ -287,6 +347,7 @@ def _postings_kernel(avgdl: float):
                 "bucket": [int(pdf["bucket"].iloc[0])],
                 "term": [pdf["term"].iloc[0]],
                 "salt": [int(pdf["salt"].iloc[0])],
+                "n_salts": [int(pdf["n_salts"].iloc[0])],
                 "n_postings": [len(doc_ids)],
                 "doc_blob": [doc_blob],
                 "tf_blob": [tf_blob],
@@ -294,6 +355,9 @@ def _postings_kernel(avgdl: float):
                 "pos_blob": [pos_blob],
                 "block_last": [block_last.tolist()],
                 "block_max_norm": [block_max.tolist()],
+                "doc_boff": [doc_boff.tolist()],
+                "tf_boff": [tf_boff.tolist()],
+                "dl_boff": [dl_boff.tolist()],
                 "max_norm": [float(block_max.max())],
             }
         )
@@ -316,9 +380,19 @@ def build_postings_stage(
     — per-job fixed cost amortizes over the group while the on-disk
     layout stays bucket-partitioned for query-time pruning."""
     n_groups = max((n_buckets + group_size - 1) // group_size, 1)
+    # content= covers which token files exist: re-running after tokens
+    # changed (e.g. a streaming append) recomputes every group instead
+    # of serving a silently stale index. v=3: range salting + byte
+    # offsets + n_salts column invalidate all earlier segments.
     fp = checkpoint.fingerprint(
         stage="postings", n_buckets=n_buckets, target=target_postings,
-        group_size=group_size, v=2,
+        group_size=group_size,
+        content=catalog.content_fingerprint(catalog.path(root, catalog.TOKENS)),
+        v=3,
+    )
+    catalog.write_meta(
+        root, n_buckets=n_buckets, target_postings=target_postings,
+        group_size=group_size,
     )
     _, avgdl = read_stats(spark, root)
     postings_root = catalog.path(root, catalog.POSTINGS)
@@ -339,9 +413,7 @@ def build_postings_stage(
         )
         salted = toks.join(
             F.broadcast(salt_plan.select("term", "n_salts")), "term"
-        ).withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
-        )
+        ).withColumn("salt", salt_expr(F.col("n_salts")))
         segments = salted.groupBy("bucket", "term", "salt").applyInPandas(
             _postings_kernel(avgdl), POSTINGS_SCHEMA
         )
@@ -375,7 +447,10 @@ TITLE_SCHEMA = T.StructType(
 def build_title_index_stage(
     spark: SparkSession, pages_path: str, root: str, build_id: str
 ) -> None:
-    fp = checkpoint.fingerprint(stage="title_index", pages=pages_path, v=1)
+    fp = checkpoint.fingerprint(
+        stage="title_index", pages=pages_path,
+        content=catalog.content_fingerprint(pages_path), v=2,
+    )
 
     def run(_pid: int) -> tuple[str, int, int]:
         pages = ingest(spark, pages_path)

@@ -67,14 +67,14 @@ def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame
     """Bucket-pruned read of posting segments for the given terms.
     Layout: postings/group=<g>/bucket=<b>/ (group = build resume unit,
     bucket = term-hash pruning unit)."""
-    import glob as _glob
-
     postings_root = catalog.path(root, catalog.POSTINGS)
     buckets = sorted(set(term_buckets(spark, terms, _n_buckets(root)).values()))
     paths = [
         p
         for b in buckets
-        for p in _glob.glob(os.path.join(postings_root, "group=*", f"bucket={b}"))
+        for p in catalog.glob_dirs(
+            os.path.join(postings_root, "group=*", f"bucket={b}")
+        )
     ]
     if not paths:
         return spark.read.parquet(postings_root).filter(F.lit(False))
@@ -83,13 +83,17 @@ def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame
 
 
 def _n_buckets(root: str) -> int:
-    import glob as _glob
-
+    """Bucket count the build hashed terms with — from the persisted
+    index metadata, NOT from counting bucket directories: partitionBy
+    omits empty buckets, so a directory count can undercount and send
+    every query term to the wrong bucket."""
+    meta = catalog.read_meta(root)
+    if "n_buckets" in meta:
+        return int(meta["n_buckets"])
+    # pre-metadata index fallback: count distinct bucket dirs
     postings_root = catalog.path(root, catalog.POSTINGS)
-    return max(
-        1,
-        len(_glob.glob(os.path.join(postings_root, "group=*", "bucket=*"))),
-    )
+    dirs = catalog.glob_dirs(os.path.join(postings_root, "group=*", "bucket=*"))
+    return max(1, len({os.path.basename(d) for d in dirs}))
 
 
 def decode_segments(segments: DataFrame) -> DataFrame:

@@ -79,10 +79,17 @@ def test_resume_skips_completed_partitions(spark, tiny_pages_path):
     with pytest.raises(KeyboardInterrupt):
         build_postings_stage(spark, root, "b1", n_buckets=4, group_size=1,
                              kill_after=2)
+    from searchengine_spark import catalog
+
     done_before = checkpoint.completed_partitions(
         root, "postings",
-        checkpoint.fingerprint(stage="postings", n_buckets=4, target=1 << 17,
-                               group_size=1, v=2),
+        checkpoint.fingerprint(
+            stage="postings", n_buckets=4, target=1 << 17, group_size=1,
+            content=catalog.content_fingerprint(
+                catalog.path(root, catalog.TOKENS)
+            ),
+            v=3,
+        ),
     )
     assert len(done_before) == 2
     # resume: must run exactly the remaining 2 bucket-groups
@@ -90,6 +97,79 @@ def test_resume_skips_completed_partitions(spark, tiny_pages_path):
     metrics = [m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"]
     assert len(metrics) == 4  # 2 + 2, no partition recorded twice
     assert sorted(m["partition_id"] for m in metrics) == [0, 1, 2, 3]
+
+
+def test_lineage_recomputes_on_input_change(spark, tiny_pages_path):
+    """Stage fingerprints cover input CONTENT: appending a token file and
+    re-running build_postings_stage must recompute every group instead of
+    serving a silently stale index (VERDICT r1 finding #2)."""
+    import glob
+
+    from searchengine_spark import catalog
+    from searchengine_spark.indexer import (
+        build_docstats_stage,
+        build_postings_stage,
+        build_tokens_stage,
+    )
+
+    root = "/tmp/se_spark_fixtures/index_content_fp"
+    shutil.rmtree(root, ignore_errors=True)
+    build_tokens_stage(spark, tiny_pages_path, root, "b1", n_chunks=1, n_buckets=4)
+    build_docstats_stage(spark, tiny_pages_path, root, "b1")
+    build_postings_stage(spark, root, "b1", n_buckets=4, group_size=2)
+    n_first = len(
+        [m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"]
+    )
+    assert n_first == 2
+    # no-op re-run: nothing recomputes
+    build_postings_stage(spark, root, "b1", n_buckets=4, group_size=2)
+    assert (
+        len([m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"])
+        == n_first
+    )
+    # simulate a streaming append: copy one token file under a new name
+    tok_files = glob.glob(
+        os.path.join(catalog.path(root, catalog.TOKENS), "**", "*.parquet"),
+        recursive=True,
+    )
+    src = tok_files[0]
+    shutil.copy(src, os.path.join(os.path.dirname(src), "part-appended.parquet"))
+    build_postings_stage(spark, root, "b1", n_buckets=4, group_size=2)
+    metrics = [m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"]
+    assert len(metrics) == n_first + 2, "all groups must recompute on new input"
+
+
+def test_n_buckets_from_metadata(spark, tiny_pages_path):
+    """Bucket count comes from persisted metadata, not directory counting:
+    an index whose term hashes leave some buckets empty (partitionBy omits
+    empty dirs) must still prune queries against the BUILD's bucket count."""
+    from searchengine_spark import catalog
+    from searchengine_spark.query import _n_buckets
+
+    root = "/tmp/se_spark_fixtures/index_meta_buckets"
+    shutil.rmtree(root, ignore_errors=True)
+    # 64 buckets over a 200-doc corpus: some buckets are certainly empty
+    build_index(spark, tiny_pages_path, root, n_chunks=1, n_buckets=64)
+    assert _n_buckets(root) == 64
+    assert catalog.read_meta(root)["n_buckets"] == 64
+    import glob
+
+    n_dirs = len(
+        {
+            os.path.basename(d)
+            for d in glob.glob(
+                os.path.join(catalog.path(root, catalog.POSTINGS), "group=*", "bucket=*")
+            )
+        }
+    )
+    # queries stay correct even when the directory count disagrees
+    from searchengine_spark.corpus import VOCAB
+
+    res = score_exhaustive(
+        spark, root, [{"query_id": 0, "query": f"{VOCAB[0]} {VOCAB[1]}", "k": 10}]
+    ).collect()
+    assert len(res) > 0
+    assert n_dirs <= 64  # empty buckets may be omitted; pruning still works
 
 
 def test_and_semantics(spark, tiny_index, tiny_oracle):
