@@ -14,9 +14,17 @@ Scale design:
   cross product; only candidates pay the exact-Jaccard verify;
 * the exhaustive Jaccard entry exists as the small-scale oracle twin of
   the LSH path (and is what pytest uses to bound LSH recall);
-* SimHash packs to one int64 per doc, so near-dup at scale is a
-  band-bucketed self-join on simhash prefixes (here: pairs by
-  hamming distance, demonstrated exhaustively).
+* SimHash packs to one int64 per doc; the scale path (q32) splits the
+  60 bits into SIMHASH_MAX_HAMMING+1 bands and equi-self-joins per band
+  — by pigeonhole, any pair within hamming<=6 shares at least one
+  identical band, so banding is LOSSLESS for the threshold and q32
+  returns exactly q18's pairs with no O(n²) product. q18 remains as the
+  exhaustive oracle twin;
+* embedding near-dup's scale path (q33) reuses the IVF centroid
+  machinery from similarity.py: multi-assign each vector to its
+  NEARDUP_NPROBE nearest cells, pair only within a shared cell, verify
+  exact cosine — approximate by design (cell recall is bounded by
+  tests/test_pipelines.py), q19 remains the exhaustive twin.
 """
 
 from __future__ import annotations
@@ -226,6 +234,59 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# band boundaries: SIMHASH_MAX_HAMMING+1 near-equal slices of the 60
+# bits — [0, 9, 17, 26, 34, 43, 51, 60]
+SIMHASH_BAND_LO = [
+    round(SIMHASH_BITS * j / (SIMHASH_MAX_HAMMING + 1))
+    for j in range(SIMHASH_MAX_HAMMING + 2)
+]
+
+
+def q32_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup — the 100 TB path for q18. Candidate
+    generation is an equi-self-join on (band_idx, band_value): a hash
+    shuffle of one small int per doc per band, never a cross product.
+    Pigeonhole over 7 bands makes it exact for hamming <= 6, so the
+    oracle is the same exhaustive SQL as q18."""
+    sh = simhash_docs(spark, sf_dir)
+    bands = []
+    for j in range(SIMHASH_MAX_HAMMING + 1):
+        lo = SIMHASH_BAND_LO[j]
+        width = SIMHASH_BAND_LO[j + 1] - lo
+        bands.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(j).alias("band"),
+                (
+                    F.shiftright("simhash", lo)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                ).alias("band_val"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+    l = banded.select("band", "band_val", F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("ha"))
+    r = banded.select("band", "band_val", F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("hb"))
+    cand = (
+        l.join(r, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash_docs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
@@ -276,12 +337,82 @@ def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", "cos").orderBy("vec_a", "vec_b")
 
 
+# --------------------------------------------------------------------------
+# q33: IVF-bucketed embedding near-dup (the scale path for q19) —
+# multi-assign every vector to its NEARDUP_NPROBE nearest centroid
+# cells (broadcast centroids, map-side), generate candidate pairs only
+# within a shared cell (equi-join on cent_id — a hash shuffle of
+# (vec_id, cent_id), never an O(n²) product), verify exact cosine.
+# --------------------------------------------------------------------------
+
+NEARDUP_NPROBE = 2
+
+
+def q33_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import IVF_CENTROID_MOD, _with_norm, load_emb
+
+    e = _with_norm(load_emb(spark, sf_dir))
+    cents = e.filter(F.pmod("vec_id", F.lit(IVF_CENTROID_MOD)) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("centv"),
+        F.col("nrm").alias("centn"),
+    )
+    from pyspark.sql import Window
+
+    asgn = e.select(
+        "vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    ).crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        asgn.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= NEARDUP_NPROBE)
+        .select("vec_id", "cv", "cn", "cent_id")
+    )
+    cand = (
+        assigned.select("cent_id", F.col("vec_id").alias("vec_a"))
+        .join(assigned.select("cent_id", F.col("vec_id").alias("vec_b")), "cent_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    # exact-cosine verify with the SAME expression shape as q19 (raw
+    # squared-norm dot, one sqrt at the end) so the twin entries agree
+    # bit-for-bit on shared pairs
+    ev = embeddings_double(spark, sf_dir).withColumn(
+        "sq", _dot(F.col("v"), F.col("v"))
+    )
+    pairs = (
+        cand.join(
+            ev.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                      F.col("sq").alias("na")),
+            "vec_a",
+        )
+        .join(
+            ev.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                      F.col("sq").alias("nb")),
+            "vec_b",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 9
+            ),
+        )
+        .filter(F.col("cos") >= EMB_NEARDUP_COS)
+    )
+    return pairs.select("vec_a", "vec_b", "cos").orderBy("vec_a", "vec_b")
+
+
 QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
     "q16_ngram_jaccard": q16_ngram_jaccard,
     "q17_minhash_lsh": q17_minhash_lsh,
     "q18_simhash": q18_simhash,
     "q19_embedding_neardup": q19_embedding_neardup,
+    "q32_simhash_banded": q32_simhash_banded,
+    "q33_embedding_neardup_ivf": q33_embedding_neardup_ivf,
 }
 
 _TOKSETS_CTE = """
@@ -377,6 +508,97 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
+""",
+    # q32: banding is lossless for hamming <= SIMHASH_MAX_HAMMING
+    # (pigeonhole over MAX_HAMMING+1 bands), so the oracle replicates the
+    # banded candidate generation to prove the equi-join path — and a
+    # pytest asserts q32 == q18 exactly.
+    "q32_simhash_banded": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+th AS (SELECT doc_id, tf, {_H} AS h FROM tf),
+bits AS (SELECT i AS j FROM generate_series(0, {SIMHASH_BITS - 1}) t(i)),
+contrib AS (
+  SELECT doc_id, j, tf * (((h >> j) & 1) * 2 - 1) AS v
+  FROM th CROSS JOIN bits
+),
+bitvals AS (
+  SELECT doc_id, j, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id, sum(bit * (1::BIGINT << j))::BIGINT AS simhash
+  FROM bitvals GROUP BY doc_id
+),
+banded AS (
+{" UNION ALL ".join(
+    f"SELECT doc_id, simhash, {j} AS band, "
+    f"(simhash >> {SIMHASH_BAND_LO[j]}) & {(1 << (SIMHASH_BAND_LO[j + 1] - SIMHASH_BAND_LO[j])) - 1} AS band_val FROM sh"
+    for j in range(SIMHASH_MAX_HAMMING + 1)
+)}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS ha, r.simhash AS hb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+""",
+    "q33_embedding_neardup_ivf": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ew AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+           (acc, x) -> acc + x)) AS nrm
+  FROM e
+),
+cents AS (SELECT vec_id AS cent_id, v AS centv, nrm AS centn
+          FROM ew WHERE vec_id % 50 = 0),
+asgn AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_reduce(list_prepend(0.0,
+                      list_transform(generate_series(1, len(v)),
+                                     i -> v[i] * centv[i])),
+                      (acc, x) -> acc + x) / (nrm * centn) DESC,
+                    cent_id ASC) AS r
+  FROM ew CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, cent_id FROM asgn WHERE r <= {NEARDUP_NPROBE}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+en AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+           (acc, x) -> acc + x) AS nrm
+  FROM e
+)
+SELECT vec_a, vec_b,
+       round(
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+           (acc, x) -> acc + x)
+         / sqrt(a.nrm * b.nrm), 9) AS cos
+FROM cand JOIN en a ON a.vec_id = vec_a JOIN en b ON b.vec_id = vec_b
+WHERE round(
+        list_reduce(list_prepend(0.0,
+          list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+          (acc, x) -> acc + x)
+        / sqrt(a.nrm * b.nrm), 9) >= {EMB_NEARDUP_COS}
+ORDER BY vec_a, vec_b
 """,
     "q19_embedding_neardup": f"""
 WITH e AS (

@@ -107,7 +107,33 @@ SELECT term,
        sum(tf)::BIGINT AS sum_tf
 FROM tf GROUP BY term ORDER BY term
 """,
-    # q29_porter_stems: intentionally no SQL oracle (rows-only check);
-    # stemmer fidelity is byte-validated against the Java goldens in
-    # tests/test_porter.py.
+    # q29: DuckDB has no network access for its fts/stem extension, so
+    # the oracle is a committed (term, stem) fixture over the synthetic
+    # corpus' fixed 31-word vocabulary. The stems are classic Porter-1980
+    # outputs (key->kei, query->queri, merge->merg, table->tabl,
+    # value->valu, customer->custom ...), produced by the implementation
+    # that tests/test_porter.py byte-validates against the reference
+    # Java goldens (golden/stems.tsv, 7014 pairs). A LEFT JOIN keeps any
+    # out-of-fixture term visible as a NULL stem => loud hash failure.
+    "q29_porter_stems": """
+WITH terms AS (
+  SELECT DISTINCT term
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+fixture(term, stem) AS (VALUES
+  ('a','a'), ('agg','agg'), ('batch','batch'), ('big','big'),
+  ('column','column'), ('customer','custom'), ('data','data'),
+  ('dup','dup'), ('fast','fast'), ('filter','filter'), ('group','group'),
+  ('hash','hash'), ('join','join'), ('key','kei'), ('line','line'),
+  ('merge','merg'), ('order','order'), ('part','part'),
+  ('query','queri'), ('row','row'), ('scan','scan'), ('slow','slow'),
+  ('small','small'), ('sort','sort'), ('spark','spark'),
+  ('stream','stream'), ('table','tabl'), ('the','the'),
+  ('value','valu'), ('vector','vector'), ('window','window')
+)
+SELECT t.term, f.stem
+FROM terms t LEFT JOIN fixture f USING (term)
+ORDER BY t.term
+""",
 }

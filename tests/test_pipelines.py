@@ -32,6 +32,9 @@ ORACLE_CHECKED = [
     "q25_fingerprint",
     "q27_pagerank",
     "q28_postings_roundtrip",
+    "q29_porter_stems",
+    "q32_simhash_banded",
+    "q33_embedding_neardup_ivf",
 ]
 
 
@@ -105,6 +108,46 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(v) == n_queries * TOP_K
     # probing 3 of ~centroids cells must still recover a solid fraction
     assert len(b & v) / len(b) >= 0.3
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Pigeonhole: 7 bands over 60 bits make the banded equi-join path
+    find EXACTLY the exhaustive hamming<=6 pairs — zero recall loss."""
+    from searchengine_spark.pipelines.dedup import q18_simhash, q32_simhash_banded
+
+    exact = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q18_simhash(spark, SF_DIR).collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q32_simhash_banded(spark, SF_DIR).collect()
+    }
+    assert banded == exact
+    assert exact, "fixture should contain at least one near-dup pair"
+
+
+def test_ivf_neardup_recall_vs_exhaustive(spark):
+    """Cell-bucketed near-dup pairs are a subset of the exhaustive pairs
+    (exact verify can only drop), with solid recall at nprobe=2."""
+    from searchengine_spark.pipelines.dedup import (
+        q19_embedding_neardup,
+        q33_embedding_neardup_ivf,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in q19_embedding_neardup(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in q33_embedding_neardup_ivf(spark, SF_DIR).collect()
+    }
+    assert set(ivf) <= set(exact)
+    for k, cos in ivf.items():
+        assert cos == exact[k]  # identical expression shape => identical cos
+    if exact:
+        assert len(ivf) / len(exact) >= 0.5
 
 
 def test_multimodal_stub_plumbing(spark):
