@@ -42,6 +42,10 @@ BUCKET_GROUP_SIZE = 4  # buckets per postings job (resume unit = group)
 
 META = "_meta.json"
 
+# bump when the on-disk segment format changes (columns, salting,
+# compression); readers and cached test fixtures key off it
+INDEX_FORMAT = 3
+
 
 def path(root: str, table: str) -> str:
     return os.path.join(root, table)

@@ -20,25 +20,36 @@ exact bounds of the stored scores. Results are rank-identical to the
 exhaustive path: same fold order (sorted terms), same tie-break
 (score DESC, doc_id ASC) — asserted by tests/test_wand.py.
 
-Salted head terms: a term's salted blobs are doc-disjoint; the kernel
-concatenates and re-sorts them into one logical posting list (the
-salt-aware merge at query time).
-"""
+Salted head terms: salting is by doc-id RANGE (``indexer.salt_expr``),
+so a term's salted blobs are doc-range-disjoint and already ordered by
+salt — the query-time merge is a pure concatenation of block metadata;
+posting bytes are decoded lazily, one block at a time, only when WAND's
+cursor actually visits the block (``_LazyTermList``). Skipped blocks
+are never decoded: at 100 TB decode/IO dominates, so the pruning must
+save bytes, not just float math.
+
+Bounded memory (``n_ranges > 1``): the doc-id space is split into
+``n_ranges`` equal slices; each (query, range) task receives only the
+salted blobs overlapping its slice (JVM-side range arithmetic on
+(salt, n_salts)), computes a range-local top-k, and a final JVM window
+merges the partials — per-task compressed bytes are ~max(df/R,
+TARGET_POSTINGS) per term instead of the full head-term posting list.
+Results are rank-identical to n_ranges=1 (ranges partition the doc
+space; scores are computed with the same fold)."""
 
 from __future__ import annotations
 
 import heapq
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bm25 import B, K1
-from .compress import BLOCK, to_signed, varbyte_decode
+from .compress import decode_block, to_signed, varbyte_decode
 from .query import all_query_terms, load_segments, parse_query, term_idfs
 
 TOPK_SCHEMA = T.StructType(
@@ -53,7 +64,9 @@ TOPK_SCHEMA = T.StructType(
 
 @dataclass
 class _TermList:
-    """One query term's merged posting list + block metadata."""
+    """One query term's merged posting list + block metadata (eager,
+    fully-decoded reference implementation — tests and the randomized
+    harness build these directly; serving uses ``_LazyTermList``)."""
 
     idf: float
     docs: np.ndarray          # sorted int64 doc ids
@@ -63,6 +76,10 @@ class _TermList:
     max_score: float = 0.0
     pos: int = 0              # cursor into docs
     field_order: int = 0
+
+    @property
+    def n_postings(self) -> int:
+        return len(self.docs)
 
     def cur_doc(self) -> int:
         return int(self.docs[self.pos]) if self.pos < len(self.docs) else _END
@@ -98,34 +115,163 @@ class _TermList:
 _INT64_MAX = (1 << 63) - 1
 _END = (1 << 63)
 
+# stored block maxima are float32 (round-nearest of the true float64
+# max, so possibly up to 0.5 ulp BELOW it); inflate by > 2^-24 relative
+# so every bound used for pruning is a true upper bound
+_F32_UB_INFLATE = 1.0 + 2.0**-22
 
-def merge_salted(rows: list[dict], idf: float) -> _TermList:
-    """Concatenate a term's (doc-disjoint) salted blobs, re-sort by doc,
-    rebuild block metadata over the merged order."""
-    docs_parts, norm_parts = [], []
-    for r in rows:
-        d = to_signed(
-            np.cumsum(varbyte_decode(bytes(r["doc_blob"])), dtype=np.uint64)
+
+class _LazyTermList:
+    """A term's salt-ordered segment rows as ONE virtual posting list.
+
+    Range salting (``indexer.salt_expr``) makes salted blobs
+    doc-range-disjoint and ordered by salt, so the merged block metadata
+    is a concatenation — no decode, no re-sort. Posting bytes are
+    decoded per block, only when the cursor enters the block
+    (``decoded_blocks`` counts them; tests assert skipped blocks stay
+    cold). ``lo_doc``/``hi_doc`` restrict the cursor to a doc-id slice
+    for range-parallel serving.
+    """
+
+    __slots__ = (
+        "idf", "field_order", "max_score", "n_postings", "n_blocks",
+        "block_last", "_block_ub", "_rows", "_row_of", "_loc_of",
+        "_avgdl", "_cb", "_pos", "_docs", "_norms", "_hi_doc",
+        "decoded_blocks",
+    )
+
+    def __init__(
+        self,
+        rows: list[dict],
+        idf: float,
+        avgdl: float,
+        lo_doc: int | None = None,
+        hi_doc: int | None = None,
+        field_order: int = 0,
+    ):
+        rows = sorted(rows, key=lambda r: r["salt"])
+        self.idf = idf
+        self.field_order = field_order
+        self._avgdl = avgdl
+        self._rows = rows
+        bl_parts, ub_parts, row_of, loc_of = [], [], [], []
+        n_post = 0
+        for ri, r in enumerate(rows):
+            bl = np.asarray(r["block_last"], dtype=np.int64)
+            ub = np.asarray(r["block_max_norm"], dtype=np.float64)
+            bl_parts.append(bl)
+            ub_parts.append(ub)
+            row_of.extend([ri] * len(bl))
+            loc_of.extend(range(len(bl)))
+            n_post += int(r["n_postings"])
+        self.block_last = (
+            np.concatenate(bl_parts) if bl_parts else np.empty(0, dtype=np.int64)
         )
-        tf = varbyte_decode(bytes(r["tf_blob"])).astype(np.float64)
-        dl = varbyte_decode(bytes(r["dl_blob"])).astype(np.float64)
-        docs_parts.append(d)
-        norm_parts.append(tf / (tf + K1 * (1.0 - B + B * dl / r["_avgdl"])))
-    docs = np.concatenate(docs_parts)
-    norms = np.concatenate(norm_parts)
-    order = np.argsort(docs, kind="mergesort")
-    docs, norms = docs[order], norms[order]
-    n_blocks = (len(docs) + BLOCK - 1) // BLOCK
-    block_last = np.empty(n_blocks, dtype=np.int64)
-    block_max = np.empty(n_blocks, dtype=np.float64)
-    scale = idf * (K1 + 1.0)
-    for b in range(n_blocks):
-        lo, hi = b * BLOCK, min((b + 1) * BLOCK, len(docs))
-        block_last[b] = docs[hi - 1]
-        block_max[b] = scale * norms[lo:hi].max()
-    tl = _TermList(idf, docs, norms, block_last, block_max)
-    tl.max_score = float(block_max.max()) if n_blocks else 0.0
-    return tl
+        scale = idf * (K1 + 1.0) * _F32_UB_INFLATE
+        self._block_ub = (
+            scale * np.concatenate(ub_parts) if ub_parts else np.empty(0)
+        )
+        self._row_of = row_of
+        self._loc_of = loc_of
+        self.n_blocks = len(self.block_last)
+        self.n_postings = n_post
+        self.max_score = float(self._block_ub.max()) if self.n_blocks else 0.0
+        self._cb = 0
+        self._pos = 0
+        self._docs: np.ndarray | None = None
+        self._norms: np.ndarray | None = None
+        self._hi_doc = _INT64_MAX if hi_doc is None else hi_doc
+        self.decoded_blocks = 0
+        if lo_doc is not None and lo_doc > -(1 << 63):
+            self.advance_to(lo_doc)
+
+    def _ensure(self) -> None:
+        if self._docs is None:
+            r = self._rows[self._row_of[self._cb]]
+            lb = self._loc_of[self._cb]
+            deltas = decode_block(
+                bytes(r["doc_blob"]), r["doc_boff"], lb
+            )
+            if lb == 0:
+                base = np.uint64(0)
+            else:
+                # unsigned (order-preserving) image of the previous
+                # block's last doc — the delta chain's re-base point;
+                # Python-int math so the int64->u64 bias wrap is explicit
+                base = np.uint64(
+                    (int(r["block_last"][lb - 1]) + (1 << 63)) & ((1 << 64) - 1)
+                )
+            self._docs = to_signed(base + np.cumsum(deltas, dtype=np.uint64))
+            tf = decode_block(bytes(r["tf_blob"]), r["tf_boff"], lb).astype(
+                np.float64
+            )
+            dl = decode_block(bytes(r["dl_blob"]), r["dl_boff"], lb).astype(
+                np.float64
+            )
+            self._norms = tf / (
+                tf + K1 * (1.0 - B + B * dl / self._avgdl)
+            )
+            self.decoded_blocks += 1
+
+    def cur_doc(self) -> int:
+        if self._cb >= self.n_blocks:
+            return _END
+        self._ensure()
+        d = int(self._docs[self._pos])
+        return d if d <= self._hi_doc else _END
+
+    def advance_to(self, target: int) -> None:
+        if target > _INT64_MAX:
+            self._cb = self.n_blocks
+            self._docs = None
+            return
+        if self._cb >= self.n_blocks:
+            return
+        nb = self._cb + int(
+            np.searchsorted(self.block_last[self._cb:], target, side="left")
+        )
+        if nb != self._cb:
+            self._cb = nb
+            self._docs = None
+            self._pos = 0
+        if self._cb >= self.n_blocks:
+            return
+        self._ensure()
+        # block_last[cb] >= target, so a match position always exists
+        self._pos += int(
+            np.searchsorted(self._docs[self._pos:], target, side="left")
+        )
+
+    def score_at(self) -> float:
+        return self.idf * (K1 + 1.0) * float(self._norms[self._pos])
+
+    def block_of(self, doc: int) -> int:
+        return int(np.searchsorted(self.block_last, doc, side="left"))
+
+    def block_ub(self, doc: int) -> float:
+        b = self.block_of(doc)
+        return float(self._block_ub[b]) if b < self.n_blocks else 0.0
+
+    def block_end(self, doc: int) -> int:
+        b = self.block_of(doc)
+        return int(self.block_last[b]) if b < self.n_blocks else _END
+
+
+def merge_salted(
+    rows: list[dict],
+    idf: float,
+    avgdl: float | None = None,
+    lo_doc: int | None = None,
+    hi_doc: int | None = None,
+    field_order: int = 0,
+) -> _LazyTermList:
+    """Salt-aware merge: wrap a term's segment rows as one lazy virtual
+    posting list (concatenated block metadata, per-block decode)."""
+    if avgdl is None:
+        avgdl = rows[0]["_avgdl"] if rows else 1.0
+    return _LazyTermList(
+        rows, idf, avgdl, lo_doc=lo_doc, hi_doc=hi_doc, field_order=field_order
+    )
 
 
 def _full_score(terms: list[_TermList], doc: int) -> float:
@@ -142,10 +288,11 @@ def _full_score(terms: list[_TermList], doc: int) -> float:
     return s
 
 
-def wand_topk(terms: list[_TermList], k: int, mode: str = "OR") -> list[tuple[int, float]]:
-    """Block-max WAND (OR) / pruned intersection (AND) top-k.
+def wand_topk(terms: list, k: int, mode: str = "OR") -> list[tuple[int, float]]:
+    """Block-max WAND (OR) / pruned intersection (AND) top-k over any
+    cursor implementation (_TermList or _LazyTermList).
     Returns [(doc_id, score)] sorted score DESC, doc_id ASC."""
-    terms = [t for t in terms if len(t.docs)]
+    terms = [t for t in terms if t.n_postings]
     if not terms or k <= 0:
         return []
     if mode == "AND":
@@ -218,44 +365,76 @@ def wand_topk(terms: list[_TermList], k: int, mode: str = "OR") -> list[tuple[in
     return [(-nd, s) for s, nd in out]
 
 
-def _and_topk(terms: list[_TermList], k: int) -> list[tuple[int, float]]:
-    """Posting-list intersection (rarest list drives; galloping advance),
-    then exact scoring of intersected docs."""
-    terms = sorted(terms, key=lambda t: len(t.docs))
+def _and_topk(terms: list, k: int) -> list[tuple[int, float]]:
+    """Posting-list intersection (rarest list drives; every list —
+    including the driver — advances by galloping, so lazily-backed lists
+    decode only the blocks the intersection actually lands in), then
+    exact scoring of intersected docs."""
+    terms = sorted(terms, key=lambda t: t.n_postings)
     driver, rest = terms[0], terms[1:]
     heap: list[tuple[float, int]] = []
-    exhausted = False
-    for i in range(len(driver.docs)):
-        if exhausted:
+    while True:
+        doc = driver.cur_doc()
+        if doc >= _END:
             break
-        doc = int(driver.docs[i])
         ok = True
+        blocker = doc
         for t in rest:
             t.advance_to(doc)
-            if t.cur_doc() != doc:
+            c = t.cur_doc()
+            if c != doc:
                 ok = False
-                if t.cur_doc() == _END:
-                    exhausted = True
+                if c >= _END:
+                    return _heap_sorted(heap)
+                blocker = c  # no intersection below this doc
                 break
-        if not ok:
-            continue
-        driver.pos = i
-        s = _full_score(terms, doc)
-        entry = (s, -doc)
-        if len(heap) < k:
-            heapq.heappush(heap, entry)
-        elif entry > heap[0]:
-            heapq.heapreplace(heap, entry)
+        if ok:
+            s = _full_score(terms, doc)
+            entry = (s, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            driver.advance_to(doc + 1)
+        else:
+            driver.advance_to(blocker)
+    return _heap_sorted(heap)
+
+
+def _heap_sorted(heap: list[tuple[float, int]]) -> list[tuple[int, float]]:
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
     return [(-nd, s) for s, nd in out]
 
 
+_SEG_COLS = [
+    "term", "salt", "n_postings", "doc_blob", "tf_blob", "dl_blob",
+    "block_last", "block_max_norm", "doc_boff", "tf_boff", "dl_boff",
+]
+
+
+def _range_bounds(rng: int, n_ranges: int) -> tuple[int, int]:
+    """[lo_doc, hi_doc] (signed int64, inclusive) of doc-id range slice
+    ``rng`` — the same top-32-bit quantile arithmetic as the salt."""
+    lo_top = -(-(rng << 32) // n_ranges)          # ceil(rng*2^32 / R)
+    hi_top_excl = -(-((rng + 1) << 32) // n_ranges)
+    lo_doc = (lo_top << 32) - (1 << 63)
+    hi_doc = (hi_top_excl << 32) - 1 - (1 << 63)
+    return lo_doc, min(hi_doc, _INT64_MAX)
+
+
 def score_wand(
-    spark: SparkSession, root: str, queries: list[dict]
+    spark: SparkSession, root: str, queries: list[dict], n_ranges: int = 1
 ) -> DataFrame:
     """Distributed WAND: (query_id, rank, doc_id, bm25) for every query.
     Pure-BM25 ranking (tie doc_id ASC); the blend path stays in
-    ``query.score_exhaustive``."""
+    ``query.score_exhaustive``.
+
+    ``n_ranges > 1`` bounds per-task memory for head terms: each
+    (query, doc-range) task receives only the salted blobs overlapping
+    its range slice (range salting makes a blob's doc interval a pure
+    function of (salt, n_salts), so the overlap set is computed
+    JVM-side), WANDs a range-local top-k, and a window merges partials
+    — rank-identical to the single-task plan."""
     from .indexer import read_stats
 
     n_docs, avgdl = read_stats(spark, root)
@@ -276,9 +455,7 @@ def score_wand(
     qmeta_b = spark.sparkContext.broadcast(qmeta)
     idfs_b = spark.sparkContext.broadcast(idfs)
 
-    segs = load_segments(spark, root, terms).select(
-        "term", "salt", "doc_blob", "tf_blob", "dl_blob"
-    )
+    segs = load_segments(spark, root, terms).select(*_SEG_COLS, "n_salts")
     qt_rows = [
         (qm["query_id"], t) for qm in qmeta for t in qm["terms"]
     ]
@@ -287,22 +464,52 @@ def score_wand(
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     joined = segs.join(F.broadcast(qt), "term")
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
+    ranged = n_ranges > 1
+    if ranged:
+        # blob (salt, n_salts) covers top-32 interval
+        # [ceil(salt*2^32/n_salts), ceil((salt+1)*2^32/n_salts) - 1];
+        # replicate the row to every overlapping range slice
+        R = int(n_ranges)
+        lo_top = F.expr("(salt * 4294967296L + n_salts - 1) div n_salts")
+        hi_top = F.expr(
+            "((salt + 1) * 4294967296L + n_salts - 1) div n_salts - 1"
+        )
+        joined = joined.withColumn(
+            "rng",
+            F.explode(
+                F.sequence(
+                    F.shiftright(lo_top * F.lit(R), 32).cast("int"),
+                    F.shiftright(hi_top * F.lit(R), 32).cast("int"),
+                )
+            ),
+        )
+    else:
+        joined = joined.withColumn("rng", F.lit(0))
+        R = 1
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid, rng = int(key[0]), int(key[1])
+        lo_doc, hi_doc = (_range_bounds(rng, R) if ranged else (None, None))
         qm = next(m for m in qmeta_b.value if m["query_id"] == qid)
         by_term: dict[str, list[dict]] = {}
         for r in pdf.to_dict("records"):
-            r["_avgdl"] = avgdl
             by_term.setdefault(r["term"], []).append(r)
         tls = []
         present = sorted(set(qm["terms"]))
         for order, t in enumerate(present):
             if t in by_term:
-                tl = merge_salted(by_term[t], idfs_b.value.get(t, 0.0))
-                tl.field_order = order
-                tls.append(tl)
-        if qm["mode"] == "AND" and len(tls) != len(set(qm["terms"])):
-            tls = []  # an absent term empties a conjunction
+                tls.append(
+                    merge_salted(
+                        by_term[t], idfs_b.value.get(t, 0.0), avgdl,
+                        lo_doc=lo_doc, hi_doc=hi_doc, field_order=order,
+                    )
+                )
+        # an absent term empties a conjunction — but only GLOBALLY
+        # absent terms count: in a range task a term may simply have no
+        # blob overlapping this slice, which is fine for AND because
+        # the intersection within the slice is then empty anyway
+        if qm["mode"] == "AND" and len(by_term) != len(set(qm["terms"])):
+            tls = []
         hits = wand_topk(tls, qm["k"], qm["mode"])
         return pd.DataFrame(
             {
@@ -313,8 +520,27 @@ def score_wand(
             }
         )
 
-    return (
-        joined.groupBy("query_id")
-        .applyInPandas(kernel, TOPK_SCHEMA)
-        .orderBy("query_id", "rank")
+    partial = joined.groupBy("query_id", "rng").applyInPandas(
+        kernel, TOPK_SCHEMA
     )
+    if ranged:
+        # merge range-local top-ks: global top-k under the same total
+        # tie-break; k varies per query, so re-join the per-query k
+        kdf = spark.createDataFrame(
+            [(m["query_id"], m["k"]) for m in qmeta], "query_id int, k int"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        partial = (
+            partial.join(F.broadcast(kdf), "query_id")
+            .withColumn("grank", F.row_number().over(w))
+            .filter(F.col("grank") <= F.col("k"))
+            .select(
+                "query_id",
+                F.col("grank").cast("int").alias("rank"),
+                "doc_id",
+                "bm25",
+            )
+        )
+    return partial.orderBy("query_id", "rank")

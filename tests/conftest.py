@@ -28,9 +28,12 @@ def tiny_pages_path():
 @pytest.fixture(scope="session")
 def tiny_index(spark, tiny_pages_path):
     """Full index build (postings + title + pagerank when available)."""
+    from searchengine_spark.catalog import INDEX_FORMAT
+
     root = os.path.join(FIXDIR, "index_tiny")
     marker = os.path.join(root, "_TEST_BUILD_OK")
-    if not os.path.exists(marker):
+    fmt = f"ok-v{INDEX_FORMAT}"
+    if not (os.path.exists(marker) and open(marker).read() == fmt):
         shutil.rmtree(root, ignore_errors=True)
         from searchengine_spark.indexer import build_index
 
@@ -41,7 +44,7 @@ def tiny_index(spark, tiny_pages_path):
             build_pagerank_stage(spark, tiny_pages_path, root, "build-1")
         except ImportError:
             pass
-        open(marker, "w").write("ok")
+        open(marker, "w").write(fmt)
     return root
 
 

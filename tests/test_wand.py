@@ -144,3 +144,144 @@ def test_wand_randomized_vs_bruteforce(mode, full_range):
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gd == wd, f"trial {trial} mode {mode}"
             assert abs(gs - ws) < 1e-12
+
+
+def _encode_rows(docs, tfs, dls, avgdl, n_salts):
+    """Build salted segment rows exactly as indexer._postings_kernel does
+    (range salting, per-block byte offsets), for driver-local tests."""
+    from searchengine_spark.compress import (
+        block_byte_offsets,
+        encode_postings,
+        varbyte_encode,
+        varbyte_nbytes,
+    )
+    from searchengine_spark.indexer import salt_of
+
+    salts = salt_of(docs, n_salts)
+    rows = []
+    for s in sorted(set(salts.tolist())):
+        m = salts == s
+        d, t, l = docs[m], tfs[m], dls[m]
+        norms = t / (t + K1 * (1.0 - B + B * l / avgdl))
+        doc_blob, tf_blob, bl, bm, (doc_boff, tf_boff) = encode_postings(
+            d, t, norms
+        )
+        dl_u = l.astype(np.uint64)
+        rows.append(
+            {
+                "salt": int(s),
+                "n_postings": len(d),
+                "doc_blob": doc_blob,
+                "tf_blob": tf_blob,
+                "dl_blob": varbyte_encode(dl_u),
+                "block_last": bl,
+                "block_max_norm": bm,  # float32, as stored
+                "doc_boff": doc_boff,
+                "tf_boff": tf_boff,
+                "dl_boff": block_byte_offsets(varbyte_nbytes(dl_u)),
+            }
+        )
+    return rows
+
+
+def _random_posting_data(rng, n_docs):
+    universe = np.sort(
+        rng.choice(
+            np.arange(-(2**62), 2**62, 2**62 // max(n_docs, 1) * 2 // 1,
+                      dtype=np.int64),
+            size=n_docs,
+            replace=False,
+        )
+    )
+    docs = universe
+    tfs = rng.integers(1, 50, size=n_docs).astype(np.int64)
+    dls = rng.integers(5, 400, size=n_docs).astype(np.int64)
+    return docs, tfs, dls
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_lazy_termlist_matches_eager(mode):
+    """_LazyTermList (segment rows, block-at-a-time decode) must produce
+    the same top-k as the eager reference over identical postings."""
+    from searchengine_spark.wand import merge_salted
+
+    rng = np.random.default_rng(77)
+    avgdl = 120.0
+    for trial in range(10):
+        n_terms = int(rng.integers(1, 4))
+        tls_lazy, tls_eager = [], []
+        for order in range(n_terms):
+            n_docs = int(rng.integers(30, 800))
+            docs, tfs, dls = _random_posting_data(rng, n_docs)
+            idf = float(rng.uniform(0.2, 3.0))
+            n_salts = int(rng.integers(1, 5))
+            rows = _encode_rows(docs, tfs, dls, avgdl, n_salts)
+            tls_lazy.append(
+                merge_salted(rows, idf, avgdl, field_order=order)
+            )
+            norms = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            from searchengine_spark.compress import BLOCK
+
+            n_blocks = (n_docs + BLOCK - 1) // BLOCK
+            bl = np.empty(n_blocks, dtype=np.int64)
+            bm = np.empty(n_blocks)
+            for b in range(n_blocks):
+                lo, hi = b * BLOCK, min((b + 1) * BLOCK, n_docs)
+                bl[b] = docs[hi - 1]
+                bm[b] = idf * (K1 + 1.0) * norms[lo:hi].max()
+            tl = _TermList(idf, docs, norms.astype(np.float64), bl, bm)
+            tl.max_score = float(bm.max())
+            tl.field_order = order
+            tls_eager.append(tl)
+        k = int(rng.integers(1, 20))
+        got = wand_topk(tls_lazy, k, mode)
+        want = wand_topk(tls_eager, k, mode)
+        assert [d for d, _ in got] == [d for d, _ in want], f"trial {trial}"
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-12
+
+
+def test_lazy_skips_block_decode():
+    """When pruning fires, blocks the cursor never visits are never
+    varbyte-decoded (the point of persisting byte offsets: at scale the
+    saving is IO/decode, not just float math)."""
+    from searchengine_spark.wand import merge_salted
+
+    rng = np.random.default_rng(5)
+    avgdl = 100.0
+    # a huge low-impact list + a tiny high-idf list, k=1: WAND should
+    # skip most of the big list's blocks
+    n_big = 60_000
+    docs, tfs, dls = _random_posting_data(rng, n_big)
+    tfs[:] = 1  # uniform low scores -> tight block maxima
+    dls[:] = 300
+    big_rows = _encode_rows(docs, tfs, dls, avgdl, n_salts=4)
+    big = merge_salted(big_rows, 0.1, avgdl, field_order=0)
+    sel = np.sort(rng.choice(n_big, size=20, replace=False))
+    sdocs = docs[sel].copy()
+    stfs = np.full(20, 40, dtype=np.int64)
+    sdls = np.full(20, 50, dtype=np.int64)
+    small_rows = _encode_rows(sdocs, stfs, sdls, avgdl, n_salts=1)
+    small = merge_salted(small_rows, 5.0, avgdl, field_order=1)
+    hits = wand_topk([big, small], 1, "OR")
+    assert len(hits) == 1
+    assert big.decoded_blocks < big.n_blocks // 2, (
+        f"decoded {big.decoded_blocks}/{big.n_blocks} blocks — pruning "
+        "is not skipping decode"
+    )
+
+
+def test_score_wand_ranged_equals_single(spark, tiny_index):
+    """Range-parallel serving (bounded per-task memory) is rank-identical
+    to the single-task plan."""
+    qs = reference_queries()
+    one = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in score_wand(spark, tiny_index, qs, n_ranges=1).collect()
+    }
+    four = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in score_wand(spark, tiny_index, qs, n_ranges=4).collect()
+    }
+    assert one == four
+    assert len(one) > 100
