@@ -44,7 +44,7 @@ META = "_meta.json"
 
 # bump when the on-disk segment format changes (columns, salting,
 # compression); readers and cached test fixtures key off it
-INDEX_FORMAT = 3
+INDEX_FORMAT = 4
 
 
 def path(root: str, table: str) -> str:

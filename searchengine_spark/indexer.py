@@ -85,6 +85,12 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_boff", T.ArrayType(T.LongType())),
         T.StructField("tf_boff", T.ArrayType(T.LongType())),
         T.StructField("dl_boff", T.ArrayType(T.LongType())),
+        # the avgdl the block maxima were computed with: after an
+        # incremental merge shifts corpus avgdl, untouched segments stay
+        # valid — query-time bounds are inflated by max(1, avgdl/ref)
+        # (tf_norm grows at most linearly in avgdl), scores themselves
+        # always use the decoded tf/dl with the CURRENT avgdl
+        T.StructField("avgdl_ref", T.DoubleType()),
         T.StructField("max_norm", T.FloatType()),
     ]
 )
@@ -358,11 +364,34 @@ def _postings_kernel(avgdl: float):
                 "doc_boff": [doc_boff.tolist()],
                 "tf_boff": [tf_boff.tolist()],
                 "dl_boff": [dl_boff.tolist()],
+                "avgdl_ref": [float(avgdl)],
                 "max_norm": [float(block_max.max())],
             }
         )
 
     return build
+
+
+def postings_fingerprint(
+    root: str,
+    n_buckets: int,
+    target_postings: int,
+    group_size: int,
+    manifest: list | None = None,
+) -> str:
+    """The postings stage's lineage fingerprint — shared with merge.py,
+    which records post-merge segments as complete under the NEW tokens
+    manifest (a merged bucket is equivalent to a from-scratch rebuild)."""
+    import hashlib
+    import json
+
+    if manifest is None:
+        manifest = catalog.tree_manifest(catalog.path(root, catalog.TOKENS))
+    content = hashlib.md5(json.dumps(manifest).encode()).hexdigest()
+    return checkpoint.fingerprint(
+        stage="postings", n_buckets=n_buckets, target=target_postings,
+        group_size=group_size, content=content, v=catalog.INDEX_FORMAT,
+    )
 
 
 def build_postings_stage(
@@ -382,13 +411,12 @@ def build_postings_stage(
     n_groups = max((n_buckets + group_size - 1) // group_size, 1)
     # content= covers which token files exist: re-running after tokens
     # changed (e.g. a streaming append) recomputes every group instead
-    # of serving a silently stale index. v=3: range salting + byte
-    # offsets + n_salts column invalidate all earlier segments.
-    fp = checkpoint.fingerprint(
-        stage="postings", n_buckets=n_buckets, target=target_postings,
-        group_size=group_size,
-        content=catalog.content_fingerprint(catalog.path(root, catalog.TOKENS)),
-        v=3,
+    # of serving a silently stale index. v tracks catalog.INDEX_FORMAT:
+    # range salting + byte offsets + n_salts/avgdl_ref columns
+    # invalidate all earlier segments.
+    tokens_manifest = catalog.tree_manifest(catalog.path(root, catalog.TOKENS))
+    fp = postings_fingerprint(
+        root, n_buckets, target_postings, group_size, manifest=tokens_manifest
     )
     catalog.write_meta(
         root, n_buckets=n_buckets, target_postings=target_postings,
@@ -429,6 +457,9 @@ def build_postings_stage(
         root, build_id, "postings", list(range(n_groups)), fp, run_group,
         kill_after=kill_after, max_parallel=4,
     )
+    # record which token files these segments incorporate — merge.py
+    # computes its delta against this manifest
+    catalog.write_meta(root, tokens_manifest=[list(x) for x in tokens_manifest])
 
 
 # ---------------------------------------------------------------------------

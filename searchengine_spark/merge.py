@@ -1,0 +1,271 @@
+"""Incremental segment merge / compaction (SURVEY.md §7.1's merge job).
+
+The streaming ingest path (``streaming/ingest.py``) appends token files
+under ``tokens/chunk=stream-*``; this job folds them into the compressed
+posting segments WITHOUT rebuilding untouched buckets:
+
+1. delta = token files not in the ``tokens_manifest`` the last postings
+   build/merge recorded in ``_meta.json``;
+2. affected buckets = the ``bucket=<b>`` partitions those delta files
+   live in — every other bucket's segments are byte-identical to what a
+   from-scratch rebuild over the new tokens would produce (no new
+   postings, deterministic salting/encoding), so they are left alone;
+3. per affected bucket-group: decode the existing segments back to
+   token-shaped rows (term, doc_id, tf, positions, doc_len), union the
+   delta rows, recompute the salt plan from the merged df, and re-encode
+   with the exact kernel the batch build uses — merged buckets are
+   byte-identical to a rebuild;
+4. docstats/stats are recomputed (pass ``pages_path`` for exact urls —
+   e.g. the directory the stream ingested from plus the original corpus
+   — otherwise doc_len is recovered from the delta tokens and streamed
+   docs carry a NULL url until the next docstats batch run);
+5. lineage: every group is recorded complete under the NEW tokens
+   manifest fingerprint, so a later ``build_postings_stage`` resumes as
+   a no-op instead of rebuilding the world.
+
+Corpus avgdl drifts when documents are appended; untouched segments keep
+their build-time ``avgdl_ref`` and the WAND reader inflates their block
+maxima by max(1, avgdl/ref) — still true upper bounds, so query results
+stay rank-identical to a from-scratch rebuild (asserted by
+tests/test_merge.py) while only the affected buckets pay a rewrite.
+
+Assumes appended documents are NEW doc_ids (upstream dedup — the same
+assumption the reference's crawl frontier makes about visited URLs,
+``jobs/Crawler.java:89``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import catalog, checkpoint
+from .compress import to_signed, varbyte_decode
+from .indexer import (
+    POSTINGS_SCHEMA,
+    TOKENS_SCHEMA,
+    _postings_kernel,
+    build_docstats_stage,
+    postings_fingerprint,
+    read_stats,
+    salt_expr,
+)
+
+_DECODE_SCHEMA = T.StructType(
+    [T.StructField("bucket", T.IntegerType())] + TOKENS_SCHEMA.fields[:-1]
+)
+
+
+def _decode_segments_to_tokens(segments: DataFrame) -> DataFrame:
+    """Segments -> token-shaped rows (bucket, doc_id, term, tf,
+    positions, doc_len); max_tf is not stored per posting and is not
+    needed by the postings kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "bucket": [], "doc_id": [], "term": [], "tf": [],
+                "positions": [], "doc_len": [],
+            }
+            for r in pdf.to_dict("records"):
+                docs = to_signed(
+                    np.cumsum(varbyte_decode(bytes(r["doc_blob"])),
+                              dtype=np.uint64)
+                )
+                tfs = varbyte_decode(bytes(r["tf_blob"])).astype(np.int64)
+                dls = varbyte_decode(bytes(r["dl_blob"])).astype(np.int64)
+                flat = varbyte_decode(bytes(r["pos_blob"])).astype(np.int64)
+                i = 0
+                poss: list[list[int]] = []
+                for _ in range(len(docs)):
+                    n = int(flat[i])
+                    deltas = flat[i + 1: i + 1 + n]
+                    i += 1 + n
+                    poss.append(np.cumsum(deltas).astype(int).tolist())
+                out["bucket"].extend([int(r["bucket"])] * len(docs))
+                out["doc_id"].extend(docs.tolist())
+                out["term"].extend([r["term"]] * len(docs))
+                out["tf"].extend(tfs.tolist())
+                out["positions"].extend(poss)
+                out["doc_len"].extend(dls.tolist())
+            yield pd.DataFrame(
+                {
+                    "bucket": pd.Series(out["bucket"], dtype="int32"),
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "term": pd.Series(out["term"], dtype="object"),
+                    "tf": pd.Series(out["tf"], dtype="int32"),
+                    "positions": pd.Series(out["positions"], dtype="object"),
+                    "doc_len": pd.Series(out["doc_len"], dtype="int32"),
+                }
+            )
+
+    return segments.mapInPandas(kernel, _DECODE_SCHEMA)
+
+
+def merge_tokens_stage(
+    spark: SparkSession,
+    root: str,
+    build_id: str = "merge-1",
+    pages_path: str | None = None,
+) -> dict:
+    """Fold token-file deltas into the compressed postings. Returns
+    {"delta_files": n, "merged_buckets": [...], "skipped_buckets": n}.
+    No-op (fast) when the manifest already covers every token file."""
+    meta = catalog.read_meta(root)
+    n_buckets = int(meta["n_buckets"])
+    target = int(meta.get("target_postings", catalog.TARGET_POSTINGS))
+    group_size = int(meta.get("group_size", catalog.BUCKET_GROUP_SIZE))
+    tokens_root = catalog.path(root, catalog.TOKENS)
+    postings_root = catalog.path(root, catalog.POSTINGS)
+
+    incorporated = {tuple(x) for x in meta.get("tokens_manifest", [])}
+    current = catalog.tree_manifest(tokens_root)
+    missing = incorporated - set(map(tuple, current))
+    if missing:
+        raise RuntimeError(
+            f"{len(missing)} incorporated token files vanished — the index "
+            "needs a full build_postings_stage rebuild, not a merge"
+        )
+    delta = [rel for rel, size in current if (rel, size) not in incorporated]
+    if not delta:
+        return {"delta_files": 0, "merged_buckets": [],
+                "skipped_buckets": n_buckets}
+
+    # 1. docstats/stats first — idf and norms of the merged segments
+    # must reflect the post-append corpus
+    if pages_path is not None:
+        build_docstats_stage(spark, pages_path, root, build_id)
+    else:
+        _docstats_from_tokens(spark, root, delta)
+    _, avgdl = read_stats(spark, root)
+
+    affected = sorted(
+        {
+            int(part.split("=", 1)[1])
+            for rel in delta
+            for part in rel.split(os.sep)
+            if part.startswith("bucket=")
+        }
+    )
+    delta_paths = [os.path.join(tokens_root, rel) for rel in delta]
+
+    for b in affected:
+        t0 = time.monotonic()
+        g = b // group_size
+        bucket_dir = os.path.join(postings_root, f"group={g}", f"bucket={b}")
+        old_segments = (
+            spark.read.option("basePath", postings_root).parquet(bucket_dir)
+            if os.path.exists(bucket_dir)
+            else None
+        )
+        old_tokens = (
+            _decode_segments_to_tokens(old_segments)
+            if old_segments is not None
+            else spark.createDataFrame([], _DECODE_SCHEMA)
+        )
+        # delta token files of THIS bucket (partition col comes from the
+        # path, which we filter ourselves since we read files directly)
+        b_paths = [p for p in delta_paths if f"bucket={b}" in p.split(os.sep)]
+        new_tokens = spark.read.parquet(*b_paths).select(
+            F.lit(b).cast("int").alias("bucket"),
+            "doc_id", "term", "tf", "positions", "doc_len",
+        )
+        toks = old_tokens.unionByName(new_tokens)
+        term_stats = toks.groupBy("bucket", "term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        salt_plan = term_stats.select(
+            "bucket", "term", "df", "cf",
+            F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
+        )
+        salted = toks.join(
+            F.broadcast(salt_plan.select("term", "n_salts")), "term"
+        ).withColumn("salt", salt_expr(F.col("n_salts")))
+        segments = salted.groupBy("bucket", "term", "salt").applyInPandas(
+            _postings_kernel(avgdl), POSTINGS_SCHEMA
+        )
+        # stage + swap so a killed merge never leaves a half bucket
+        stage_dir = bucket_dir + ".merge-tmp"
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        segments.drop("bucket").write.mode("overwrite").parquet(stage_dir)
+        dict_dir = os.path.join(catalog.path(root, "dictionary"), f"group={g}")
+        old_dict = spark.read.parquet(dict_dir).filter(F.col("bucket") != b)
+        dict_stage = dict_dir + f".merge-tmp-b{b}"
+        shutil.rmtree(dict_stage, ignore_errors=True)
+        old_dict.unionByName(salt_plan).write.mode("overwrite").parquet(
+            dict_stage
+        )
+        shutil.rmtree(bucket_dir, ignore_errors=True)
+        os.replace(stage_dir, bucket_dir)
+        shutil.rmtree(dict_dir, ignore_errors=True)
+        os.replace(dict_stage, dict_dir)
+        rows, nbytes = catalog.parquet_rows_bytes(bucket_dir)
+        checkpoint.record(
+            root, build_id, "merge", b, f"delta:{len(b_paths)}",
+            bucket_dir, rows, nbytes,
+            int((time.monotonic() - t0) * 1000),
+        )
+
+    # 2. mark every group complete under the NEW manifest so a later
+    # build_postings_stage resumes as a no-op (unaffected buckets are
+    # identical to a rebuild by construction; affected ones were just
+    # rebuilt from merged tokens)
+    new_fp = postings_fingerprint(
+        root, n_buckets, target, group_size, manifest=current
+    )
+    n_groups = max((n_buckets + group_size - 1) // group_size, 1)
+    done = checkpoint.completed_partitions(root, "postings", new_fp)
+    for g in range(n_groups):
+        if g not in done:
+            gdir = os.path.join(postings_root, f"group={g}")
+            rows, nbytes = catalog.parquet_rows_bytes(gdir)
+            checkpoint.record(
+                root, build_id, "postings", g, new_fp, gdir, rows, nbytes, 0
+            )
+    catalog.write_meta(root, tokens_manifest=[list(x) for x in current])
+    return {
+        "delta_files": len(delta),
+        "merged_buckets": affected,
+        "skipped_buckets": n_buckets - len(affected),
+    }
+
+
+def _docstats_from_tokens(
+    spark: SparkSession, root: str, delta_rels: list[str]
+) -> None:
+    """Approximate docstats refresh when the appended pages are not
+    available: new doc_lens from the delta token rows, NULL urls (the
+    next batch ``build_docstats_stage`` run fills them)."""
+    tokens_root = catalog.path(root, catalog.TOKENS)
+    paths = [os.path.join(tokens_root, r) for r in delta_rels]
+    new_docs = (
+        spark.read.parquet(*paths)
+        .groupBy("doc_id")
+        .agg(F.max("doc_len").alias("doc_len"))
+        .withColumn("url", F.lit(None).cast("string"))
+        .select("doc_id", "url", "doc_len")
+    )
+    ds_path = catalog.path(root, catalog.DOCSTATS)
+    old = spark.read.parquet(ds_path)
+    merged = old.unionByName(
+        new_docs.join(old.select("doc_id"), "doc_id", "left_anti")
+    )
+    merged.write.mode("overwrite").parquet(ds_path + ".merge-tmp")
+    shutil.rmtree(ds_path)
+    os.replace(ds_path + ".merge-tmp", ds_path)
+    written = spark.read.parquet(ds_path)
+    agg = written.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    stats_tmp = catalog.path(root, catalog.STATS) + ".merge-tmp"
+    agg.write.mode("overwrite").parquet(stats_tmp)
+    shutil.rmtree(catalog.path(root, catalog.STATS))
+    os.replace(stats_tmp, catalog.path(root, catalog.STATS))

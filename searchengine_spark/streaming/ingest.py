@@ -3,18 +3,23 @@
 New page files landing in a directory are tokenized with the SAME
 Arrow-vectorized kernel the batch build uses and appended to the
 bucket-partitioned tokens table. The stream checkpoint replaces the
-batch build's chunk lineage: an already-ingested file is never
-re-processed across restarts (exactly-once file-source semantics), so
-this is the continuous-ingestion twin of ``indexer.build_tokens_stage``.
-Downstream stages (docstats, postings, pagerank) then run as batch jobs
-over the accumulated tokens — the classic incremental-index pattern
-(streaming tokenize, periodic segment (re)build).
+batch build's chunk lineage: the file source never re-reads an ingested
+file across restarts, and each micro-batch lands in its own
+``chunk=stream-<batch_id>`` directory written with overwrite — a
+replayed batch (crash between the write and the checkpoint commit)
+overwrites its own output instead of appending duplicates, making the
+token table effectively exactly-once. Downstream, ``merge.
+merge_tokens_stage`` folds the new chunk directories into the
+compressed postings without rebuilding untouched buckets — the classic
+incremental-index pattern (streaming tokenize, periodic compaction).
 
 All processing is inside ``foreachBatch`` re-using the batch code path,
 so streaming and batch can never drift semantically.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,10 +57,15 @@ def stream_tokenize(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = docs_with_scoring_text(_ingest_filter(batch_df))
         toks = tokenize(docs).withColumn("bucket", _bucket("term", n_buckets))
+        # one overwritten directory per micro-batch: replaying the batch
+        # after a crash rewrites the same files (idempotent), and the
+        # chunk= layout matches the batch build's, so read_tokens and
+        # merge_tokens_stage see stream chunks like any other chunk
+        out = os.path.join(tokens_out, f"chunk=stream-{batch_id:08d}")
         (
-            toks.write.mode("append")
+            toks.write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(tokens_out)
+            .parquet(out)
         )
 
     return (

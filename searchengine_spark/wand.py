@@ -159,8 +159,14 @@ class _LazyTermList:
         for ri, r in enumerate(rows):
             bl = np.asarray(r["block_last"], dtype=np.int64)
             ub = np.asarray(r["block_max_norm"], dtype=np.float64)
+            # maxima computed under an older avgdl stay valid bounds
+            # after inflation by avgdl/ref (tf_norm is increasing and
+            # at-most-linear in avgdl) — lets incremental merges leave
+            # untouched segments un-rewritten when corpus avgdl drifts
+            ref = float(r.get("avgdl_ref") or avgdl)
+            drift = max(1.0, avgdl / ref) if ref > 0 else 1.0
             bl_parts.append(bl)
-            ub_parts.append(ub)
+            ub_parts.append(ub * drift)
             row_of.extend([ri] * len(bl))
             loc_of.extend(range(len(bl)))
             n_post += int(r["n_postings"])
@@ -409,6 +415,7 @@ def _heap_sorted(heap: list[tuple[float, int]]) -> list[tuple[int, float]]:
 _SEG_COLS = [
     "term", "salt", "n_postings", "doc_blob", "tf_blob", "dl_blob",
     "block_last", "block_max_norm", "doc_boff", "tf_boff", "dl_boff",
+    "avgdl_ref",
 ]
 
 

@@ -79,17 +79,10 @@ def test_resume_skips_completed_partitions(spark, tiny_pages_path):
     with pytest.raises(KeyboardInterrupt):
         build_postings_stage(spark, root, "b1", n_buckets=4, group_size=1,
                              kill_after=2)
-    from searchengine_spark import catalog
+    from searchengine_spark.indexer import postings_fingerprint
 
     done_before = checkpoint.completed_partitions(
-        root, "postings",
-        checkpoint.fingerprint(
-            stage="postings", n_buckets=4, target=1 << 17, group_size=1,
-            content=catalog.content_fingerprint(
-                catalog.path(root, catalog.TOKENS)
-            ),
-            v=3,
-        ),
+        root, "postings", postings_fingerprint(root, 4, 1 << 17, 1)
     )
     assert len(done_before) == 2
     # resume: must run exactly the remaining 2 bucket-groups

@@ -1,0 +1,102 @@
+"""Incremental segment merge: stream-append token chunks, fold them in
+with merge_tokens_stage, and assert query results are rank-identical to
+a from-scratch rebuild over the full corpus — while untouched buckets
+were never rewritten."""
+
+import os
+import shutil
+
+import pytest
+
+from searchengine_spark import catalog, checkpoint, corpus
+from searchengine_spark.indexer import build_index, build_postings_stage
+from searchengine_spark.merge import merge_tokens_stage
+from searchengine_spark.wand import score_wand
+
+MERGEDIR = "/tmp/se_spark_fixtures/merge"
+N_PAGES = 200
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def merged_and_rebuilt(spark):
+    shutil.rmtree(MERGEDIR, ignore_errors=True)
+    full_dir = os.path.join(MERGEDIR, "pages_full")
+    # many part files so the corpus can be split into "already indexed"
+    # and "arriving via the stream" (content depends only on page ids)
+    corpus.write_pages_parquet(full_dir, N_PAGES, batch_rows=40)
+    files = sorted(
+        f for f in os.listdir(full_dir) if f.endswith(".parquet")
+    )
+    assert len(files) >= 8
+    initial_dir = os.path.join(MERGEDIR, "pages_initial")
+    stream_dir = os.path.join(MERGEDIR, "pages_stream")
+    os.makedirs(initial_dir)
+    os.makedirs(stream_dir)
+    for f in files[:-4]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
+    for f in files[-4:]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(stream_dir, f))
+
+    root = os.path.join(MERGEDIR, "index_merged")
+    build_index(spark, initial_dir, root, n_chunks=2, n_buckets=N_BUCKETS)
+
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    q = stream_tokenize(
+        spark,
+        stream_dir,
+        catalog.path(root, catalog.TOKENS),
+        os.path.join(MERGEDIR, "ckpt"),
+        n_buckets=N_BUCKETS,
+    )
+    q.awaitTermination()
+
+    report = merge_tokens_stage(spark, root, pages_path=full_dir)
+    assert report["delta_files"] > 0
+
+    root2 = os.path.join(MERGEDIR, "index_rebuilt")
+    build_index(spark, full_dir, root2, n_chunks=2, n_buckets=N_BUCKETS)
+    return root, root2, report
+
+
+def _topk(spark, root):
+    qs = corpus.reference_queries()
+    return {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in score_wand(spark, root, qs).collect()
+    }
+
+
+def test_merge_rank_identical_to_rebuild(spark, merged_and_rebuilt):
+    root, root2, _ = merged_and_rebuilt
+    from searchengine_spark.indexer import read_stats
+
+    assert read_stats(spark, root) == read_stats(spark, root2)
+    assert _topk(spark, root) == _topk(spark, root2)
+
+
+def test_merge_is_incremental_and_idempotent(spark, merged_and_rebuilt):
+    root, _, report = merged_and_rebuilt
+    # a second merge with no new tokens is a no-op
+    again = merge_tokens_stage(spark, root)
+    assert again["delta_files"] == 0
+    # merge recorded the postings stage complete under the NEW tokens
+    # manifest: a follow-up build_postings_stage must resume as a no-op
+    n_before = len(
+        [m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"]
+    )
+    build_postings_stage(spark, root, "post-merge", n_buckets=N_BUCKETS)
+    n_after = len(
+        [m for m in checkpoint.read_metrics(root) if m["stage"] == "postings"]
+    )
+    assert n_after == n_before, "postings rebuilt after merge — lineage broken"
+
+
+def test_merge_docstats_cover_streamed_docs(spark, merged_and_rebuilt):
+    root, root2, _ = merged_and_rebuilt
+    a = spark.read.parquet(catalog.path(root, catalog.DOCSTATS))
+    b = spark.read.parquet(catalog.path(root2, catalog.DOCSTATS))
+    rows_a = {(r["doc_id"], r["url"], r["doc_len"]) for r in a.collect()}
+    rows_b = {(r["doc_id"], r["url"], r["doc_len"]) for r in b.collect()}
+    assert rows_a == rows_b  # pages_path given => exact urls too
