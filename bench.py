@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q20_ann_bruteforce",
     "q25_fingerprint",
     "q27_pagerank",
+    "q32_simhash_banded",
+    "q33_embedding_neardup_ivf",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)
@@ -172,6 +174,11 @@ def main() -> None:
         t0 = time.time()
         score_wand(spark, os.path.join(BENCH_TMP, "idx"), qs).count()
         timings["topk_wand"] = round(time.time() - t0, 3)
+
+        # bounded-memory serving plan: doc-space range-parallel WAND
+        t0 = time.time()
+        score_wand(spark, os.path.join(BENCH_TMP, "idx"), qs, n_ranges=8).count()
+        timings["topk_wand_ranged"] = round(time.time() - t0, 3)
 
         registry = all_queries()
         for name in BENCH_QUERIES:

@@ -156,21 +156,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf_dir)
-    bands = []
-    for bi in range(N_BANDS):
-        bands.append(
-            sigs.select(
-                "doc_id",
+    # one explode, not a N_BANDS-way unionAll: a union of N selects over
+    # the same subtree makes Spark recompute the signature aggregation N
+    # times per join branch
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(bi).alias("band"),
                 (
                     F.col(f"sig{2 * bi}") * F.lit(MINHASH_P)
                     + F.col(f"sig{2 * bi + 1}")
                 ).alias("band_key"),
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+            for bi in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"),
+             F.col("bv.band_key").alias("band_key"))
     l = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     r = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -249,24 +253,26 @@ def q32_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole over 7 bands makes it exact for hamming <= 6, so the
     oracle is the same exhaustive SQL as q18."""
     sh = simhash_docs(spark, sf_dir)
-    bands = []
-    for j in range(SIMHASH_MAX_HAMMING + 1):
-        lo = SIMHASH_BAND_LO[j]
-        width = SIMHASH_BAND_LO[j + 1] - lo
-        bands.append(
-            sh.select(
-                "doc_id",
-                "simhash",
+    # one explode, not a 7-way unionAll (which would recompute the
+    # simhash aggregation once per band per join branch)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(j).alias("band"),
                 (
-                    F.shiftright("simhash", lo)
-                    .bitwiseAND(F.lit((1 << width) - 1))
+                    F.shiftright("simhash", SIMHASH_BAND_LO[j]).bitwiseAND(
+                        F.lit((1 << (SIMHASH_BAND_LO[j + 1]
+                                     - SIMHASH_BAND_LO[j])) - 1)
+                    )
                 ).alias("band_val"),
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+            for j in range(SIMHASH_MAX_HAMMING + 1)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bv")
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"),
+             F.col("bv.band_val").alias("band_val"))
     l = banded.select("band", "band_val", F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("ha"))
     r = banded.select("band", "band_val", F.col("doc_id").alias("doc_b"),
