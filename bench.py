@@ -142,11 +142,13 @@ def main() -> None:
     scale_n, scale_4n = 2, 8
     t_head = _build(f"local[{cpus}]", cpus, pages_path, os.path.join(BENCH_TMP, "idx"))
     # scaling pair runs after the head build so both see identical
-    # (warm) cache state; N before 4N; best-of-2 against machine noise
+    # (warm) cache state; N before 4N; SYMMETRIC best-of-N on both sides
+    # (best-of only on the fast side would inflate the efficiency)
+    scale_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     t_low = _build(f"local[{scale_n}]", scale_n, pages_path,
-                   os.path.join(BENCH_TMP, "idx_n"), reps=1)
+                   os.path.join(BENCH_TMP, "idx_n"), reps=scale_reps)
     t_high = _build(f"local[{scale_4n}]", scale_4n, pages_path,
-                    os.path.join(BENCH_TMP, "idx_4n"), reps=2)
+                    os.path.join(BENCH_TMP, "idx_4n"), reps=scale_reps)
     shutil.rmtree(os.path.join(BENCH_TMP, "idx_4n"), ignore_errors=True)
     shutil.rmtree(os.path.join(BENCH_TMP, "idx_n"), ignore_errors=True)
     dps_head = n_pages / t_head

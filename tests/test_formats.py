@@ -1,0 +1,60 @@
+"""JSON-lines / CSV connectors: explicit-schema round-trips must equal
+the Parquet source exactly (values, types, timestamps)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark import formats
+
+FMTDIR = "/tmp/se_spark_fixtures/formats"
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_roundtrip_equals_parquet(spark, fmt):
+    src = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    path = os.path.join(FMTDIR, fmt)
+    write = getattr(formats, f"write_{fmt}")
+    read = getattr(formats, f"read_{fmt}")
+    write(src, path)
+    back = read(spark, path, src.schema)
+    assert back.schema == src.schema
+    assert _canon(back) == _canon(src)
+
+
+def test_csv_quoted_text_roundtrip(spark):
+    """Free text with commas, quotes, and newlines survives CSV."""
+    df = spark.createDataFrame(
+        [(1, 'a,b "quoted"\nnewline'), (2, ""), (3, None)],
+        "id int, text string",
+    )
+    path = os.path.join(FMTDIR, "csv_text")
+    formats.write_csv(df, path)
+    back = formats.read_csv(spark, path, df.schema)
+    got = {r["id"]: r["text"] for r in back.collect()}
+    # CSV cannot distinguish empty string from NULL — both come back
+    # NULL with Spark's writer defaults; document-and-assert that edge
+    assert got[1] == 'a,b "quoted"\nnewline'
+    assert got[2] is None and got[3] is None
+
+
+def test_jsonl_is_splittable_source(spark):
+    """A single JSONL file still produces a multi-split scan (no
+    repartition needed to parallelize a big dump)."""
+    src = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    path = os.path.join(FMTDIR, "split")
+    formats.write_jsonl(src.coalesce(1), path)
+    back = formats.read_jsonl(spark, path, src.schema)
+    # with the repo's 4m maxPartitionBytes the scan should split iff the
+    # file exceeds one slice; at minimum the read plans without error
+    # and counts match
+    assert back.count() == src.count()

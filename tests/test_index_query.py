@@ -165,6 +165,37 @@ def test_n_buckets_from_metadata(spark, tiny_pages_path):
     assert n_dirs <= 64  # empty buckets may be omitted; pruning still works
 
 
+def test_salt_expr_parity_and_monotonicity(spark):
+    """The JVM range-salt expression and its numpy twin must agree
+    exactly (merge re-salting depends on it), and the salt must be
+    monotone in doc_id so salted blobs are doc-range-disjoint."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.indexer import salt_expr, salt_of
+
+    rng = np.random.default_rng(9)
+    ids = np.unique(
+        np.concatenate(
+            [
+                rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64),
+                np.array([-(2**63), -1, 0, 1, 2**63 - 1], dtype=np.int64),
+            ]
+        )
+    )
+    for n_salts in (1, 2, 3, 7, 64, 1000):
+        df = spark.createDataFrame(
+            [(int(d),) for d in ids], "doc_id long"
+        ).withColumn("salt", salt_expr(F.lit(n_salts)))
+        jvm = {r["doc_id"]: r["salt"] for r in df.collect()}
+        py = salt_of(ids, n_salts)
+        assert all(jvm[int(d)] == int(s) for d, s in zip(ids, py)), n_salts
+        # monotone + in-range over sorted ids
+        s_sorted = salt_of(np.sort(ids), n_salts)
+        assert (np.diff(s_sorted) >= 0).all()
+        assert s_sorted.min() >= 0 and s_sorted.max() < n_salts
+
+
 def test_and_semantics(spark, tiny_index, tiny_oracle):
     """AND queries return only docs containing every term."""
     idx = tiny_oracle
