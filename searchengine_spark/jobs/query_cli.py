@@ -22,6 +22,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=15)
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--wand", action="store_true")
+    ap.add_argument(
+        "--n-ranges", type=int, default=1,
+        help="WAND doc-range parallelism (bounds per-task memory on head terms)",
+    )
     ap.add_argument("--pages", default=None)
     args = ap.parse_args()
 
@@ -47,7 +51,7 @@ def main() -> None:
         elif args.wand:
             from searchengine_spark.wand import score_wand
 
-            df = score_wand(spark, args.root, qs)
+            df = score_wand(spark, args.root, qs, n_ranges=args.n_ranges)
         else:
             from searchengine_spark.query import score_exhaustive
 

@@ -157,7 +157,7 @@ def merge_tokens_stage(
     )
     delta_paths = [os.path.join(tokens_root, rel) for rel in delta]
 
-    for b in affected:
+    def merge_bucket(b: int) -> None:
         t0 = time.monotonic()
         g = b // group_size
         bucket_dir = os.path.join(postings_root, f"group={g}", f"bucket={b}")
@@ -186,6 +186,15 @@ def merge_tokens_stage(
             "bucket", "term", "df", "cf",
             F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
         )
+        # persist the salt plan FIRST: everything downstream (segments
+        # AND the dictionary update) must read it from disk, not re-run
+        # a lineage that still points at the pre-swap segment files
+        plan_tmp = os.path.join(
+            postings_root, f"_salt_plan_b{b}.merge-tmp"
+        )
+        shutil.rmtree(plan_tmp, ignore_errors=True)
+        salt_plan.write.mode("overwrite").parquet(plan_tmp)
+        salt_plan = spark.read.parquet(plan_tmp)
         salted = toks.join(
             F.broadcast(salt_plan.select("term", "n_salts")), "term"
         ).withColumn("salt", salt_expr(F.col("n_salts")))
@@ -196,23 +205,46 @@ def merge_tokens_stage(
         stage_dir = bucket_dir + ".merge-tmp"
         shutil.rmtree(stage_dir, ignore_errors=True)
         segments.drop("bucket").write.mode("overwrite").parquet(stage_dir)
-        dict_dir = os.path.join(catalog.path(root, "dictionary"), f"group={g}")
-        old_dict = spark.read.parquet(dict_dir).filter(F.col("bucket") != b)
-        dict_stage = dict_dir + f".merge-tmp-b{b}"
-        shutil.rmtree(dict_stage, ignore_errors=True)
-        old_dict.unionByName(salt_plan).write.mode("overwrite").parquet(
-            dict_stage
-        )
         shutil.rmtree(bucket_dir, ignore_errors=True)
         os.replace(stage_dir, bucket_dir)
-        shutil.rmtree(dict_dir, ignore_errors=True)
-        os.replace(dict_stage, dict_dir)
+        # dictionary/group=<g> is shared by every bucket of the group:
+        # the read-modify-swap must be serialized per group, INCLUDING
+        # the read — a concurrent same-group bucket could otherwise
+        # snapshot the other bucket's pre-merge rows and clobber its
+        # freshly-swapped salt plan with stale df/n_salts
+        dict_dir = os.path.join(catalog.path(root, "dictionary"), f"group={g}")
+        with _dict_locks[g]:
+            old_dict = spark.read.parquet(dict_dir).filter(F.col("bucket") != b)
+            dict_stage = dict_dir + f".merge-tmp-b{b}"
+            shutil.rmtree(dict_stage, ignore_errors=True)
+            old_dict.unionByName(salt_plan).write.mode("overwrite").parquet(
+                dict_stage
+            )
+            shutil.rmtree(dict_dir, ignore_errors=True)
+            os.replace(dict_stage, dict_dir)
+        shutil.rmtree(plan_tmp, ignore_errors=True)
         rows, nbytes = catalog.parquet_rows_bytes(bucket_dir)
         checkpoint.record(
             root, build_id, "merge", b, f"delta:{len(b_paths)}",
             bucket_dir, rows, nbytes,
             int((time.monotonic() - t0) * 1000),
         )
+
+    # buckets merge as concurrent Spark jobs (same pattern as
+    # checkpoint.run_partitioned_stage) — one bucket's shuffle rarely
+    # saturates the cluster; same-group dictionary updates are
+    # lock-serialized inside merge_bucket
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    _dict_locks = {b // group_size: threading.Lock() for b in affected}
+    n_workers = min(4, max(len(affected), 1))
+    if n_workers <= 1:
+        for b in affected:
+            merge_bucket(b)
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            list(pool.map(merge_bucket, affected))
 
     # 2. mark every group complete under the NEW manifest so a later
     # build_postings_stage resumes as a no-op (unaffected buckets are

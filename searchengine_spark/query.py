@@ -98,6 +98,10 @@ def _n_buckets(root: str) -> int:
 
 def decode_segments(segments: DataFrame) -> DataFrame:
     """Arrow-vectorized decode: segment blobs -> (term, doc_id, tf, doc_len)."""
+    # project BEFORE mapInPandas: Spark cannot column-prune through an
+    # opaque Python kernel, and an unprojected pass would drag pos_blob
+    # (the largest column) through the parquet scan and Arrow transfer
+    segments = segments.select("term", "doc_blob", "tf_blob", "dl_blob")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,6 +154,7 @@ def decode_positions(segments: DataFrame) -> DataFrame:
     """Arrow-vectorized decode of the per-posting position lists:
     pos_blob holds, per doc in blob order, [n, delta1..deltan]
     varbyte-encoded (``indexer._postings_kernel``)."""
+    segments = segments.select("term", "doc_blob", "pos_blob")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
