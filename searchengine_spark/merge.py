@@ -147,6 +147,15 @@ def merge_tokens_stage(
         _docstats_from_tokens(spark, root, delta)
     _, avgdl = read_stats(spark, root)
 
+    stray = [
+        rel for rel in delta
+        if not any(p.startswith("bucket=") for p in rel.split(os.sep))
+    ]
+    if stray:
+        raise RuntimeError(
+            f"delta token files outside a bucket= partition ({stray[:3]}…) — "
+            "they would be silently skipped; fix the writer's layout"
+        )
     affected = sorted(
         {
             int(part.split("=", 1)[1])

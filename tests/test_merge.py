@@ -100,3 +100,33 @@ def test_merge_docstats_cover_streamed_docs(spark, merged_and_rebuilt):
     rows_a = {(r["doc_id"], r["url"], r["doc_len"]) for r in a.collect()}
     rows_b = {(r["doc_id"], r["url"], r["doc_len"]) for r in b.collect()}
     assert rows_a == rows_b  # pages_path given => exact urls too
+
+
+def test_merge_without_pages_path(spark, merged_and_rebuilt):
+    """The approximate docstats path (doc_len recovered from the delta
+    tokens, NULL urls) still yields rank-identical scores — n_docs and
+    avgdl are what BM25 needs, urls are serving-only."""
+    _, root2, _ = merged_and_rebuilt
+    from searchengine_spark.indexer import build_index as _bi
+    from searchengine_spark.indexer import read_stats
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    root3 = os.path.join(MERGEDIR, "index_merged_nopages")
+    shutil.rmtree(root3, ignore_errors=True)
+    _bi(spark, os.path.join(MERGEDIR, "pages_initial"), root3,
+        n_chunks=2, n_buckets=N_BUCKETS)
+    q = stream_tokenize(
+        spark,
+        os.path.join(MERGEDIR, "pages_stream"),
+        catalog.path(root3, catalog.TOKENS),
+        os.path.join(MERGEDIR, "ckpt_nopages"),
+        n_buckets=N_BUCKETS,
+    )
+    q.awaitTermination()
+    report = merge_tokens_stage(spark, root3)  # no pages_path
+    assert report["delta_files"] > 0
+    assert read_stats(spark, root3) == read_stats(spark, root2)
+    assert _topk(spark, root3) == _topk(spark, root2)
+    ds = spark.read.parquet(catalog.path(root3, catalog.DOCSTATS))
+    n_null = ds.filter(ds.url.isNull()).count()
+    assert n_null > 0, "streamed docs should carry NULL urls on this path"

@@ -69,8 +69,9 @@ def test_wand_degenerate_queries(spark, tiny_index):
         {"query_id": 2, "query": "zzznotaterm merge", "mode": "AND", "k": 10},
         {"query_id": 3, "query": "merge", "mode": "OR", "k": 0},
     ]
-    rows = score_wand(spark, tiny_index, qs).collect()
-    assert rows == []
+    assert score_wand(spark, tiny_index, qs).collect() == []
+    assert score_wand(spark, tiny_index, qs, n_ranges=4).collect() == []
+    assert score_wand(spark, tiny_index, [], n_ranges=4).collect() == []
 
 
 def _random_termlists(rng, n_terms, n_docs, full_range=False):
