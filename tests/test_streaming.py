@@ -63,6 +63,47 @@ def test_stream_tokenize_incremental(spark, tiny_pages_path):
     assert spark.read.parquet(tokens_out).count() == batch.count()
 
 
+def test_stream_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionization over two time-split file
+    batches equals the batch q07 twin (cross-batch state carry-over)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.pipelines.relational import q07_sessionize
+    from searchengine_spark.streaming.sessions import sessionize_stream
+
+    events_dir = os.path.join(STREAMDIR, "events_sessions")
+    ckpt = os.path.join(STREAMDIR, "ckpt_sess")
+    shutil.rmtree(events_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(events_dir)
+    src = "/root/testdata/sf0.001/events.parquet"
+    tbl = pq.read_table(src)
+    ts_i64 = tbl["ts"].cast("int64")
+    cutoff = int(pc.approximate_median(ts_i64).as_py())
+    early = tbl.filter(pc.less_equal(ts_i64, cutoff))
+    late = tbl.filter(pc.greater(ts_i64, cutoff))
+    assert early.num_rows and late.num_rows
+    # discovery order = the batch order the state fold sees
+    pq.write_table(early, os.path.join(events_dir, "a_early.parquet"))
+    pq.write_table(late, os.path.join(events_dir, "b_late.parquet"))
+    os.utime(os.path.join(events_dir, "a_early.parquet"), (1, 1))
+
+    q = sessionize_stream(spark, events_dir, ckpt, out_table="ssess_test")
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ssess_test").collect()
+    final: dict[int, tuple[int, int]] = {}
+    for r in rows:  # update mode: keep the row with the largest n_events
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q07_sessionize(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert final == want
+
+
 def test_stream_windowed_agg_matches_batch(spark):
     from searchengine_spark.streaming.windows import windowed_event_counts
 
