@@ -66,8 +66,8 @@ def _build(master: str, cpus: int, pages_path: str, root: str,
     from searchengine_spark.session import get_spark
 
     warm_pages = os.path.join(BENCH_TMP, f"pages_{WARMUP_PAGES}.parquet")
-    if not os.path.exists(warm_pages):
-        corpus.write_pages_parquet(warm_pages, WARMUP_PAGES)
+    _cached(warm_pages, f"n={WARMUP_PAGES}",
+            lambda: corpus.write_pages_parquet(warm_pages, WARMUP_PAGES))
     # equal cache state for every parallelism level: touch the corpus
     for dp, _dirs, files in os.walk(pages_path):
         for f in files:
@@ -90,6 +90,27 @@ def _build(master: str, cpus: int, pages_path: str, root: str,
         return best
     finally:
         spark.stop()
+
+
+def _cached(path: str, token: str, build_fn) -> str:
+    """Build ``path`` via ``build_fn()`` unless a marker proves a
+    COMPLETE build with the same ``token`` already exists — a bare
+    exists() check would happily reuse a half-written directory from a
+    killed run, or one from an older index format, forever."""
+    marker = path + ".ok"
+    if os.path.exists(path) and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == token:
+                return path
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    build_fn()
+    with open(marker, "w") as f:
+        f.write(token)
+    return path
 
 
 def _pick_bench_tmp() -> str:
@@ -127,18 +148,14 @@ def main() -> None:
     from searchengine_spark import corpus
 
     pages_path = os.path.join(BENCH_TMP, f"pages_{n_pages}.parquet")
-    if not os.path.exists(pages_path):
-        corpus.write_pages_parquet(pages_path, n_pages)
+    _cached(pages_path, f"n={n_pages}",
+            lambda: corpus.write_pages_parquet(pages_path, n_pages))
 
     # stage the SF tables on tmpfs too — the contract queries would
     # otherwise read the virtio disk, whose 4-7x throttle swings would
     # drown the query timings in IO noise
     sf_stage = os.path.join(BENCH_TMP, f"sf_{os.path.basename(sf_dir)}")
-    if not os.path.exists(sf_stage):
-        tmp = sf_stage + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.copytree(sf_dir, tmp)
-        os.replace(tmp, sf_stage)
+    _cached(sf_stage, sf_dir, lambda: shutil.copytree(sf_dir, sf_stage))
     sf_dir = sf_stage
 
     timings: dict[str, float] = {}
@@ -208,13 +225,18 @@ def main() -> None:
         # untimed warm-up on a small index: JIT + python-worker spin-up
         # tax the first query of a session ~2.5x (same reasoning as the
         # untimed warm-up build in _build)
+        from searchengine_spark.catalog import INDEX_FORMAT
         from searchengine_spark.indexer import build_index as _bi
         from searchengine_spark.wand import score_wand as _sw
 
         warm_idx = os.path.join(BENCH_TMP, "warm_qidx")
-        if not os.path.exists(warm_idx):
-            _bi(spark, os.path.join(BENCH_TMP, f"pages_{WARMUP_PAGES}.parquet"),
-                warm_idx, n_chunks=1, n_buckets=8)
+        _cached(
+            warm_idx, f"fmt={INDEX_FORMAT}",
+            lambda: _bi(
+                spark, os.path.join(BENCH_TMP, f"pages_{WARMUP_PAGES}.parquet"),
+                warm_idx, n_chunks=1, n_buckets=8,
+            ),
+        )
         score_exhaustive(spark, warm_idx, qs).count()
         _sw(spark, warm_idx, qs).count()
 

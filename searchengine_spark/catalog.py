@@ -79,19 +79,24 @@ def glob_dirs(pattern: str) -> list[str]:
     return sorted(p for p in _glob.glob(pattern) if os.path.isdir(p))
 
 
-def tree_manifest(dir_path: str) -> list[tuple[str, int]]:
-    """Sorted (relative_path, size) of every data file under ``dir_path``
-    (recursive; skips hidden/_ bookkeeping files). The input-content
-    identity of a table: any append/replace/delete changes it."""
-    out: list[tuple[str, int]] = []
+def tree_manifest(dir_path: str) -> list[tuple[str, int, int]]:
+    """Sorted (relative_path, size, mtime_ns) of every data file under
+    ``dir_path`` (recursive; skips hidden/_ bookkeeping files). The
+    input-content identity of a table: any append/replace/delete changes
+    it — mtime_ns is included so a same-size in-place rewrite is not
+    invisible to the stage fingerprints. (merge.py's delta detection
+    deliberately drops the mtime field — see its comment.)"""
+    out: list[tuple[str, int, int]] = []
     if os.path.isfile(dir_path):
-        return [(os.path.basename(dir_path), os.path.getsize(dir_path))]
+        st = os.stat(dir_path)
+        return [(os.path.basename(dir_path), st.st_size, st.st_mtime_ns)]
     for dp, _dirs, files in os.walk(dir_path):
         for f in files:
             if f.startswith((".", "_")):
                 continue
             p = os.path.join(dp, f)
-            out.append((os.path.relpath(p, dir_path), os.path.getsize(p)))
+            st = os.stat(p)
+            out.append((os.path.relpath(p, dir_path), st.st_size, st.st_mtime_ns))
     return sorted(out)
 
 

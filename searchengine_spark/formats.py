@@ -7,10 +7,14 @@ formats a corpus actually arrives in — JSON-lines (API dumps, WET-style
 sidecars) and CSV (metadata manifests).
 
 Scale rules baked in:
-* ALWAYS an explicit schema — ``inferSchema``/``multiLine`` force a
-  full extra pass over 100 TB before the real read;
-* JSON/CSV are splittable line formats: one file still parallelizes by
-  ``maxPartitionBytes`` slices, so no repartition dance is needed;
+* ALWAYS an explicit schema — ``inferSchema`` forces a full extra pass
+  over 100 TB before the real read;
+* JSONL is a splittable line format: one file still parallelizes by
+  ``maxPartitionBytes`` slices, so no repartition dance is needed. CSV
+  is splittable ONLY when no field contains a quoted newline — readers
+  default to the splittable single-line mode and must opt in to
+  ``multiline=True`` (one task per file!) when the data embeds
+  newlines;
 * timestamps round-trip as ISO-8601 strings with explicit
   ``timestampFormat`` — never locale-dependent inference.
 """
@@ -57,15 +61,19 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession, path: str, schema: T.StructType,
+    multiline: bool = False,
 ) -> DataFrame:
+    """``multiline=True`` is required when fields embed quoted newlines
+    but makes every file single-task (non-splittable) — keep the default
+    for large manifests and strip newlines at write time instead."""
     return (
         spark.read.schema(schema)
         .option("header", "true")
         .options(**_TS_OPTS)
         .option("quote", '"')
         .option("escape", '"')
-        .option("multiLine", "true")  # quoted newlines in text columns
+        .option("multiLine", "true" if multiline else "false")
         .option("mode", "FAILFAST")
         .csv(path)
     )

@@ -253,8 +253,11 @@ def _estimate_splits(spark: SparkSession, files: list[str] | None) -> int:
     if not files:
         return 1
     conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    # Spark accepts "4m", "128mb", "1g", "4194304", "4194304b", ...
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
     s = conf.strip().lower()
+    if s.endswith("b") and len(s) > 1 and s[-2] in units and s[-2] != "b":
+        s = s[:-1]
     mult = units.get(s[-1], 1)
     max_bytes = int(s[:-1]) * mult if s[-1] in units else int(s)
     return sum(

@@ -115,10 +115,17 @@ def merge_tokens_stage(
     root: str,
     build_id: str = "merge-1",
     pages_path: str | None = None,
+    kill_after: int | None = None,
 ) -> dict:
     """Fold token-file deltas into the compressed postings. Returns
     {"delta_files": n, "merged_buckets": [...], "skipped_buckets": n}.
-    No-op (fast) when the manifest already covers every token file."""
+    No-op (fast) when the manifest already covers every token file.
+
+    Crash-resumable: each merged bucket records a lineage row keyed by
+    (pre-merge manifest, delta) — a re-run after a mid-merge crash skips
+    buckets that already absorbed this delta (re-unioning them would
+    duplicate every streamed posting and double df/n_salts/idf).
+    ``kill_after`` aborts after that many buckets (resume tests)."""
     meta = catalog.read_meta(root)
     n_buckets = int(meta["n_buckets"])
     target = int(meta.get("target_postings", catalog.TARGET_POSTINGS))
@@ -126,18 +133,35 @@ def merge_tokens_stage(
     tokens_root = catalog.path(root, catalog.TOKENS)
     postings_root = catalog.path(root, catalog.POSTINGS)
 
-    incorporated = {tuple(x) for x in meta.get("tokens_manifest", [])}
+    # delta identity is (path, size) — mtime deliberately excluded HERE:
+    # a replayed streaming micro-batch rewrites identical content with a
+    # fresh mtime, and re-merging it would duplicate postings. Same-size
+    # in-place content edits are instead caught by the mtime-bearing
+    # stage fingerprints (catalog.tree_manifest) at the next full build.
+    incorporated = {tuple(x[:2]) for x in meta.get("tokens_manifest", [])}
     current = catalog.tree_manifest(tokens_root)
-    missing = incorporated - set(map(tuple, current))
+    current_ps = [(rel, size) for rel, size, *_ in current]
+    missing = incorporated - set(current_ps)
     if missing:
         raise RuntimeError(
             f"{len(missing)} incorporated token files vanished — the index "
             "needs a full build_postings_stage rebuild, not a merge"
         )
-    delta = [rel for rel, size in current if (rel, size) not in incorporated]
+    delta = [rel for rel, size in current_ps if (rel, size) not in incorporated]
     if not delta:
         return {"delta_files": 0, "merged_buckets": [],
                 "skipped_buckets": n_buckets}
+    import hashlib
+    import json as _json
+
+    merge_fp = checkpoint.fingerprint(
+        stage="merge",
+        base=hashlib.md5(
+            _json.dumps(sorted(incorporated)).encode()
+        ).hexdigest(),
+        delta=hashlib.md5(_json.dumps(sorted(delta)).encode()).hexdigest(),
+        v=1,
+    )
 
     # 1. docstats/stats first — idf and norms of the merged segments
     # must reflect the post-append corpus
@@ -234,7 +258,7 @@ def merge_tokens_stage(
         shutil.rmtree(plan_tmp, ignore_errors=True)
         rows, nbytes = catalog.parquet_rows_bytes(bucket_dir)
         checkpoint.record(
-            root, build_id, "merge", b, f"delta:{len(b_paths)}",
+            root, build_id, "merge", b, merge_fp,
             bucket_dir, rows, nbytes,
             int((time.monotonic() - t0) * 1000),
         )
@@ -246,14 +270,24 @@ def merge_tokens_stage(
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    _dict_locks = {b // group_size: threading.Lock() for b in affected}
-    n_workers = min(4, max(len(affected), 1))
-    if n_workers <= 1:
-        for b in affected:
+    already = checkpoint.completed_partitions(root, "merge", merge_fp)
+    todo = [b for b in affected if b not in already]
+    _dict_locks = {b // group_size: threading.Lock() for b in todo}
+    if kill_after is not None:  # sequential, deterministic crash point
+        for i, b in enumerate(todo):
+            if i >= kill_after:
+                raise KeyboardInterrupt(
+                    f"simulated kill after {kill_after} merged buckets"
+                )
             merge_bucket(b)
     else:
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            list(pool.map(merge_bucket, affected))
+        n_workers = min(4, max(len(todo), 1))
+        if n_workers <= 1:
+            for b in todo:
+                merge_bucket(b)
+        else:
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                list(pool.map(merge_bucket, todo))
 
     # 2. mark every group complete under the NEW manifest so a later
     # build_postings_stage resumes as a no-op (unaffected buckets are

@@ -34,6 +34,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .similarity import IVF_CENTROID_MOD
+
 # ---- portable hashing ----------------------------------------------------
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1
@@ -568,7 +570,7 @@ ew AS (
   FROM e
 ),
 cents AS (SELECT vec_id AS cent_id, v AS centv, nrm AS centn
-          FROM ew WHERE vec_id % 50 = 0),
+          FROM ew WHERE vec_id % {IVF_CENTROID_MOD} = 0),
 asgn AS (
   SELECT vec_id, cent_id,
          row_number() OVER (PARTITION BY vec_id

@@ -10,9 +10,14 @@ mismatched byte in encode/decode fails the gate.
 
 q29 stems every distinct token with the vectorized Porter UDF
 (byte-validated against the reference's ``external/PorterStemmer.java``
-via the committed Java goldens). No SQL oracle — DuckDB has no Porter —
-so the driver records the weaker rows-only check; fidelity is enforced
-by tests/test_porter.py instead.
+via the committed Java goldens). Its DuckDB oracle is a committed
+(term, stem) VALUES fixture over the corpus' fixed 31-word vocabulary
+(DuckDB's own stemmer lives in the fts extension, which cannot be
+installed offline); the fixture stems were produced by the
+golden-validated implementation, and the LEFT JOIN surfaces any
+out-of-fixture term as a NULL stem — a loud hash failure. If the
+synthetic vocabulary ever changes, the fixture below must be
+regenerated with ``porter.porter_stem``.
 """
 
 from __future__ import annotations

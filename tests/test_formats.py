@@ -37,7 +37,7 @@ def test_csv_quoted_text_roundtrip(spark):
     )
     path = os.path.join(FMTDIR, "csv_text")
     formats.write_csv(df, path)
-    back = formats.read_csv(spark, path, df.schema)
+    back = formats.read_csv(spark, path, df.schema, multiline=True)
     got = {r["id"]: r["text"] for r in back.collect()}
     # CSV cannot distinguish empty string from NULL — both come back
     # NULL with Spark's writer defaults; document-and-assert that edge

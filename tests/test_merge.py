@@ -102,6 +102,45 @@ def test_merge_docstats_cover_streamed_docs(spark, merged_and_rebuilt):
     assert rows_a == rows_b  # pages_path given => exact urls too
 
 
+def test_merge_crash_resume_no_duplicates(spark, merged_and_rebuilt):
+    """A merge killed between bucket swaps must resume WITHOUT
+    re-unioning the delta into already-merged buckets (that would
+    duplicate every streamed posting and double df/n_salts/idf)."""
+    _, root2, _ = merged_and_rebuilt
+    from searchengine_spark.indexer import build_index as _bi
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    root4 = os.path.join(MERGEDIR, "index_merged_crash")
+    shutil.rmtree(root4, ignore_errors=True)
+    _bi(spark, os.path.join(MERGEDIR, "pages_initial"), root4,
+        n_chunks=2, n_buckets=N_BUCKETS)
+    q = stream_tokenize(
+        spark,
+        os.path.join(MERGEDIR, "pages_stream"),
+        catalog.path(root4, catalog.TOKENS),
+        os.path.join(MERGEDIR, "ckpt_crash"),
+        n_buckets=N_BUCKETS,
+    )
+    q.awaitTermination()
+    with pytest.raises(KeyboardInterrupt):
+        merge_tokens_stage(
+            spark, root4, pages_path=os.path.join(MERGEDIR, "pages_full"),
+            kill_after=1,
+        )
+    report = merge_tokens_stage(
+        spark, root4, pages_path=os.path.join(MERGEDIR, "pages_full")
+    )
+    # the resumed run must merge only the remaining buckets
+    merged_rows = [
+        m for m in checkpoint.read_metrics(root4) if m["stage"] == "merge"
+    ]
+    assert len(merged_rows) == len(set(
+        m["partition_id"] for m in merged_rows
+    )), "a bucket was merged twice"
+    assert report["delta_files"] > 0
+    assert _topk(spark, root4) == _topk(spark, root2)
+
+
 def test_merge_without_pages_path(spark, merged_and_rebuilt):
     """The approximate docstats path (doc_len recovered from the delta
     tokens, NULL urls) still yields rank-identical scores — n_docs and
