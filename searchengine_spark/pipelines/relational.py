@@ -308,6 +308,47 @@ def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q34: cogroup (unimplemented in the reference — spark/SparkPairRDD.java
+# declares no cogroup; SURVEY §2.3). Spark's literal cogroup operator:
+# two grouped frames meet per key in one Arrow-batched kernel. Output is
+# scalar aggregates (never raw arrays: list renderings differ between
+# pandas/duckdb and would break the stringified value hash).
+# --------------------------------------------------------------------------
+
+def q34_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    cust = load(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    supp = load(spark, sf_dir, "supplier").select("s_nationkey", "s_suppkey")
+
+    def merge(key: tuple, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nationkey": pd.Series([key[0]], dtype="int64"),
+                "n_cust": pd.Series([len(l)], dtype="int64"),
+                "n_supp": pd.Series([len(r)], dtype="int64"),
+                "sum_custkeys": pd.Series(
+                    [int(l["c_custkey"].sum())], dtype="int64"
+                ),
+                "sum_suppkeys": pd.Series(
+                    [int(r["s_suppkey"].sum())], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        cust.groupby("c_nationkey")
+        .cogroup(supp.groupby("s_nationkey"))
+        .applyInPandas(
+            merge,
+            "nationkey long, n_cust long, n_supp long, "
+            "sum_custkeys long, sum_suppkeys long",
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # q31: approximate distinct (HLL sketch) next to the exact count — the
 # kind of cardinality probe a 100 TB profiling pass runs. The sketch
 # value is engine-specific, so this entry is rows-only checked; the
@@ -340,6 +381,7 @@ QUERIES = {
     "q08_window_agg": q08_window_agg,
     "q09_asof_join": q09_asof_join,
     "q10_sample_take": q10_sample_take,
+    "q34_cogroup": q34_cogroup,
 }
 
 ORACLE = {
@@ -459,5 +501,20 @@ FROM orders
 WHERE (o_orderkey * 2654435761) % 1000 < 50
 ORDER BY o_orderkey
 LIMIT 100
+""",
+    "q34_cogroup": """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+                  CAST(sum(c_custkey) AS BIGINT) AS sum_custkeys
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+                  CAST(sum(s_suppkey) AS BIGINT) AS sum_suppkeys
+           FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp,
+       COALESCE(sum_custkeys, 0) AS sum_custkeys,
+       COALESCE(sum_suppkeys, 0) AS sum_suppkeys
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
 """,
 }

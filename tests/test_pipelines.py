@@ -35,6 +35,7 @@ ORACLE_CHECKED = [
     "q29_porter_stems",
     "q32_simhash_banded",
     "q33_embedding_neardup_ivf",
+    "q34_cogroup",
 ]
 
 
