@@ -10,11 +10,17 @@ Modules:
   compress    delta+varbyte posting blobs with block-max metadata
   indexer     resumable staged index build (tokens/docstats/postings/title)
   query       distributed exhaustive top-k scoring + blend
-  wand        block-max WAND pruned top-k (serving path)
+  wand        block-max WAND pruned top-k, lazy block decode, doc-range
+              parallel serving (bounded per-task memory)
+  merge       incremental segment compaction (streamed deltas -> postings)
   pagerank    iterative DataFrame PageRank over the extracted link graph
   checkpoint  per-partition lineage/metrics + resume
+  catalog     storage layout, index metadata, all filesystem access
+  formats     JSONL/CSV connectors (explicit schemas, exact timestamps)
   oracle      single-process golden implementation
+  serving     title/snippet/pagination (Mainpage parity)
+  streaming   incremental ingest, watermarked windows, stateful sessions
   pipelines   training-data ops: dedup, similarity, text stats, multimodal
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

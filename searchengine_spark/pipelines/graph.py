@@ -60,16 +60,27 @@ def q27_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        # the rank is kept in exact decimal and ALSO as the double the
+        # next iteration consumes; the final 9-dp rounding happens on
+        # the DECIMAL (HALF_UP in both engines) — ranks are exact
+        # 12-decimal values, so rounding the nearest-DOUBLE instead
+        # lands on .5 ties that Spark and DuckDB break differently
+        # sum(DECIMAL(28,12)) is DECIMAL(38,12); cast back to (28,12)
+        # (values are tiny) so the + stays within precision 38 on BOTH
+        # engines — Spark would otherwise silently reduce the scale
+        rank_dec = F.lit(BASE).cast(QDEC) + F.coalesce(
+            F.col("s"), F.lit(0).cast(QDEC)
+        ).cast(QDEC)
         ranks = nodes.join(
             incoming, nodes.node == incoming.dst, "left"
         ).select(
             "node",
-            (
-                F.lit(BASE)
-                + F.coalesce(F.col("s"), F.lit(0).cast(QDEC)).cast("double")
-            ).alias("rank"),
+            rank_dec.cast("double").alias("rank"),
+            rank_dec.alias("rank_dec"),
         )
-    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+    return ranks.select(
+        "node", F.round("rank_dec", 9).cast("double").alias("rank")
+    ).orderBy("node")
 
 
 QUERIES = {"q27_pagerank": q27_pagerank}
@@ -79,7 +90,11 @@ def _iteration_sql(prev: str, cur: str) -> str:
     return f"""
 {cur} AS (
   SELECT n.node,
-         0.15 + CAST(coalesce(s.s, 0::DECIMAL(28,12)) AS DOUBLE) AS rank
+         CAST(0.15::DECIMAL(28,12)
+              + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12)
+              AS DOUBLE) AS rank,
+         0.15::DECIMAL(28,12)
+           + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12) AS rank_dec
   FROM nodes n LEFT JOIN (
     SELECT e.dst, sum(CAST(round(0.85 * r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
     FROM e JOIN {prev} r ON e.src = r.node
@@ -107,6 +122,7 @@ nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT 
 outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
 {_ITER_CTES}
-SELECT node, round(rank, 9) AS rank FROM r{N_ITERS} ORDER BY node
+SELECT node, CAST(round(rank_dec, 9) AS DOUBLE) AS rank
+FROM r{N_ITERS} ORDER BY node
 """,
 }
