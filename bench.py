@@ -190,19 +190,21 @@ def main() -> None:
     # (observed: the same local[2] build 127 s vs 244 s in consecutive
     # runs). When the efficiency reading is physically implausible
     # (>1.05 superlinear, or <0.6 — far outside this build's unmolested
-    # 0.75–0.95 band), re-measure the suspect side and keep the min —
-    # the standard estimator under additive noise. Bounded at 2 retries.
+    # 0.75–0.95 band), re-measure BOTH sides and keep per-side minima —
+    # min is the standard estimator under additive noise, and an episode
+    # can outlast any number of retries of a single side (observed: a
+    # >10 min episode kept three consecutive local[2] builds at ~2x),
+    # so each retry must give the episode a chance to miss the pair.
+    # Bounded at 2 retries.
     for _ in range(2):
         eff = t_low / (4.0 * t_high)
         if 0.6 <= eff <= 1.05:
             break
-        if eff > 1.05:
-            t_low = min(t_low, _build(f"local[{scale_n}]", scale_n, pages_path,
-                                      os.path.join(BENCH_TMP, "idx_n")))
-        else:
-            t_high = min(t_high, _build(f"local[{scale_4n}]", scale_4n,
-                                        pages_path,
-                                        os.path.join(BENCH_TMP, "idx_4n")))
+        t_low = min(t_low, _build(f"local[{scale_n}]", scale_n, pages_path,
+                                  os.path.join(BENCH_TMP, "idx_n")))
+        t_high = min(t_high, _build(f"local[{scale_4n}]", scale_4n,
+                                    pages_path,
+                                    os.path.join(BENCH_TMP, "idx_4n")))
     shutil.rmtree(os.path.join(BENCH_TMP, "idx_4n"), ignore_errors=True)
     shutil.rmtree(os.path.join(BENCH_TMP, "idx_n"), ignore_errors=True)
     dps_head = n_pages / t_head
