@@ -137,6 +137,36 @@ def decode_block(
     return varbyte_decode(blob[lo:hi])
 
 
+def encode_position_lists(plists: np.ndarray) -> bytes:
+    """Encode per-posting position lists as the concatenation of
+    ``[n, delta1..deltan]`` per list (the ``pos_blob`` layout), fully
+    vectorized across the group — one Python step per LIST only in the
+    length scan and the flatten, everything else whole-array numpy.
+    Byte-identical to encoding each list separately and concatenating.
+    """
+    nrows = len(plists)
+    if nrows == 0:
+        return b""
+    lens = np.fromiter((len(x) for x in plists), np.int64, nrows)
+    total = int(lens.sum())
+    if total == 0:
+        return varbyte_encode(np.zeros(nrows, np.uint64))
+    flat = np.concatenate([np.asarray(x, np.int64) for x in plists])
+    offsets = np.zeros(nrows + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    deltas = np.empty(total, np.int64)
+    deltas[1:] = flat[1:] - flat[:-1]
+    starts = offsets[:-1][lens > 0]  # first element of each list is absolute
+    deltas[starts] = flat[starts]
+    out = np.empty(total + nrows, np.int64)
+    cnt_pos = offsets[:-1] + np.arange(nrows)  # count precedes each list
+    out[cnt_pos] = lens
+    mask = np.ones(total + nrows, dtype=bool)
+    mask[cnt_pos] = False
+    out[mask] = deltas
+    return varbyte_encode(out.astype(np.uint64))
+
+
 def decode_postings(doc_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decompress -> (doc_ids i64 sorted, tfs i64)."""
     deltas = varbyte_decode(doc_blob)

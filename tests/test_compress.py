@@ -66,3 +66,34 @@ def test_signed_unsigned_order_preserving():
     u = to_unsigned(xs)
     assert (np.diff(u.astype(object)) > 0).all()
     assert (to_signed(u) == xs).all()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1 << 20), max_size=40).map(
+            sorted
+        ),
+        max_size=60,
+    )
+)
+def test_encode_position_lists_matches_scalar_reference(plists):
+    """Vectorized pos_blob encoding is byte-identical to encoding each
+    list separately (the pre-r2 scalar kernel), including empty lists
+    (encoded as a bare 0 count)."""
+    from searchengine_spark.compress import encode_position_lists
+
+    parts = []
+    for plist in plists:
+        arr = np.asarray(plist, dtype=np.int64)
+        if len(arr):
+            deltas = np.empty_like(arr)
+            deltas[0] = arr[0]
+            deltas[1:] = arr[1:] - arr[:-1]
+            parts.append(np.concatenate(([len(arr)], deltas)).astype(np.uint64))
+        else:
+            parts.append(np.zeros(1, dtype=np.uint64))
+    expected = varbyte_encode(np.concatenate(parts)) if parts else b""
+    got = encode_position_lists(
+        np.array([np.asarray(p, dtype=np.int64) for p in plists], dtype=object)
+    )
+    assert got == expected
