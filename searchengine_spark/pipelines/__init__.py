@@ -8,7 +8,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, engine_ops, fulltext, graph, multimodal, relational, similarity, textstats
+from . import (
+    curation,
+    dedup,
+    engine_ops,
+    fulltext,
+    graph,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
 
 _MODULES = [
     relational,
@@ -16,6 +26,7 @@ _MODULES = [
     dedup,
     similarity,
     textstats,
+    curation,
     multimodal,
     graph,
     engine_ops,

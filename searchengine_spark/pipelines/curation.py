@@ -1,0 +1,227 @@
+"""Corpus-curation operators for the training-data pipeline over
+``documents``: per-source quota downsampling, Gopher-style repetition
+filtering, and PII redaction.
+
+These are the passes a web-scale (Common-Crawl-style) corpus runs
+between raw ingest and tokenization. Scale shapes:
+
+* q35 quota sampling is a map-side filter against a broadcast per-source
+  count — no per-document shuffle, so it runs at scan speed at 100 TB
+  (the per-source table is |sources| rows, tiny even at 10^8 hosts
+  relative to the corpus).
+* q36 repetition metrics shuffle once on doc_id (exploded unigram
+  counts with map-side partial aggregation); bigram distinctness is
+  computed map-only with array expressions. No Python anywhere.
+* q37 redaction is a pure map (regexp_replace/regexp_count), JVM-side,
+  whole-stage-codegen'd.
+
+The synthetic fixture text contains no PII-shaped substrings at all, so
+q37 deterministically synthesizes a contact tail from ``doc_id`` on BOTH
+engines before redacting — the oracle checks the redaction logic, not
+the fixture's (empty) PII census.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import _tok_arr, load_docs
+
+# q35: expected per-source cap (docs kept per source, in expectation —
+# the keep test is exact/deterministic per doc, the cap is the mean)
+SOURCE_CAP = 15
+_Q35_SCALE = 1_000_000
+
+# q36 keep thresholds (Gopher-style: drop if one word dominates or the
+# bigram stream is mostly repeats)
+TOP_WORD_FRAC_MAX = 0.20
+DUP_BIGRAM_FRAC_MAX = 0.90
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def _doc_uniform() -> F.Column:
+    """Deterministic uniform-ish integer in [0, _Q35_SCALE) from doc_id —
+    the portable-hash idiom (md5 prefix) so DuckDB derives the identical
+    value; used as the keep/drop coin for quota sampling."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return h % F.lit(_Q35_SCALE)
+
+
+def q35_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source (host/domain analog) at SOURCE_CAP docs in
+    expectation: keep doc iff u(doc) * n_source < CAP * SCALE, i.e.
+    a deterministic per-doc coin with keep-rate CAP/n. Sources at or
+    under the cap keep everything (the inequality is then always true
+    ... for u < SCALE*CAP/n with n <= CAP, CAP*SCALE/n >= SCALE > u).
+    Integer-only comparison — no float thresholds to drift."""
+    docs = load_docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .filter(
+            _doc_uniform() * F.col("n_source")
+            < F.lit(SOURCE_CAP) * F.lit(_Q35_SCALE)
+        )
+        .select("doc_id", "source", F.col("n_source").cast("long").alias("n_source"))
+        .orderBy("doc_id")
+    )
+
+
+def q36_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: fraction of the
+    most-common word, fraction of duplicate bigrams, and the keep flag.
+    Unigram mode via exploded count (the scalable shape — map-side
+    partial agg, one shuffle on doc_id); bigram distinctness map-only."""
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    uni = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+    )
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select(
+        "doc_id", F.size(F.array_distinct(bigrams)).cast("long").alias("nb_distinct")
+    )
+    top_frac = F.round(F.col("top_cnt") / F.col("n_toks").cast("double"), 9)
+    dup_big = F.when(
+        F.col("n_toks") >= 2,
+        F.round(
+            F.lit(1.0)
+            - F.col("nb_distinct") / (F.col("n_toks") - 1).cast("double"),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        uni.join(big, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_distinct",
+            top_frac.alias("top_word_frac"),
+            dup_big.alias("dup_bigram_frac"),
+            (
+                (top_frac <= TOP_WORD_FRAC_MAX)
+                & (dup_big <= DUP_BIGRAM_FRAC_MAX)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _augmented_text() -> F.Column:
+    """text + deterministic contact tail derived from doc_id (same
+    expression in the DuckDB oracle)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com phone +1-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q37_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub: count then redact email- and phone-shaped spans
+    (patterns kept inside the Java-regex ∩ RE2 common dialect so both
+    engines compile them identically)."""
+    docs = load_docs(spark, sf_dir).withColumn("aug", _augmented_text())
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("aug", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        red.alias("redacted"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "q35_source_quota_sample": q35_source_quota_sample,
+    "q36_repetition_filter": q36_repetition_filter,
+    "q37_pii_redact": q37_pii_redact,
+}
+
+ORACLE = {
+    "q35_source_quota_sample": f"""
+WITH n AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, n.n_source::BIGINT AS n_source
+FROM documents d JOIN n USING (source)
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       % {_Q35_SCALE}) * n.n_source < {SOURCE_CAP} * {_Q35_SCALE}
+ORDER BY doc_id
+""",
+    "q36_repetition_filter": f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY doc_id, tok),
+s AS (
+  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt)::BIGINT AS n_toks,
+         count(*)::BIGINT AS n_distinct
+  FROM c GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id,
+         len(list_distinct(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])))::BIGINT AS nb_distinct
+  FROM d
+),
+m AS (
+  SELECT s.doc_id, s.n_toks, s.n_distinct,
+         round(s.top_cnt / CAST(s.n_toks AS DOUBLE), 9) AS top_word_frac,
+         CASE WHEN s.n_toks >= 2
+              THEN round(1.0 - b.nb_distinct / CAST(s.n_toks - 1 AS DOUBLE), 9)
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM s JOIN b USING (doc_id)
+)
+SELECT doc_id, n_toks, n_distinct, top_word_frac, dup_bigram_frac,
+       (top_word_frac <= {TOP_WORD_FRAC_MAX}
+        AND dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX})::INT AS keep
+FROM m ORDER BY doc_id
+""",
+    "q37_pii_redact": f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com phone +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{_EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(aug, '\\+1-[0-9]{{3}}-[0-9]{{4}}'))::INT AS n_phones,
+       regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '\\+1-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS redacted
+FROM a ORDER BY doc_id
+""",
+}

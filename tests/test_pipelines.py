@@ -36,6 +36,9 @@ ORACLE_CHECKED = [
     "q32_simhash_banded",
     "q33_embedding_neardup_ivf",
     "q34_cogroup",
+    "q35_source_quota_sample",
+    "q36_repetition_filter",
+    "q37_pii_redact",
 ]
 
 
