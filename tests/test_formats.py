@@ -58,3 +58,33 @@ def test_jsonl_is_splittable_source(spark):
     # file exceeds one slice; at minimum the read plans without error
     # and counts match
     assert back.count() == src.count()
+
+
+def test_pyfiles_zip_is_importable(tmp_path):
+    """tools/package.py produces a zip that import-resolves the whole
+    package from sys.path (the spark-submit --py-files contract)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from package import build_zip
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "searchengine_spark.zip")
+    names = build_zip(out)
+    assert "searchengine_spark/__init__.py" in names
+    assert "searchengine_spark/jobs/build_index.py" in names
+    assert not any("__pycache__" in n for n in names)
+    # import from the zip alone in a fresh interpreter (cwd elsewhere so
+    # the repo dir cannot shadow the zip)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import searchengine_spark.wand, searchengine_spark.fsck, "
+        "searchengine_spark.pipelines.curation; print('ZIPOK')" % out
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0 and "ZIPOK" in r.stdout, r.stderr
