@@ -313,6 +313,39 @@ def merge_tokens_stage(
     }
 
 
+def pending_delta_files(root: str) -> list[str]:
+    """Token files (rel paths) not yet folded into the postings — the
+    same (path, size) identity merge_tokens_stage uses."""
+    meta = catalog.read_meta(root)
+    incorporated = {tuple(x[:2]) for x in meta.get("tokens_manifest", [])}
+    current = catalog.tree_manifest(catalog.path(root, catalog.TOKENS))
+    return [rel for rel, size, *_ in current if (rel, size) not in incorporated]
+
+
+def maybe_merge(
+    spark: SparkSession,
+    root: str,
+    min_delta_files: int = 8,
+    build_id: str = "merge-auto",
+    pages_path: str | None = None,
+) -> dict:
+    """Compaction policy: merge only once the streamed/appended delta
+    has accumulated past ``min_delta_files`` token files — the knob that
+    trades query-time freshness (un-merged tokens are invisible to the
+    compressed index) against write amplification (each merge rewrites
+    every affected bucket, so merging per micro-batch rewrites hot
+    buckets once per batch instead of once per ``min_delta_files``
+    batches). Call after each ingest round; a below-threshold delta is
+    a metadata-only no-op."""
+    n_pending = len(pending_delta_files(root))
+    if n_pending < min_delta_files:
+        return {"delta_files": n_pending, "merged_buckets": [],
+                "skipped_buckets": None, "deferred": True}
+    report = merge_tokens_stage(spark, root, build_id, pages_path=pages_path)
+    report["deferred"] = False
+    return report
+
+
 def _docstats_from_tokens(
     spark: SparkSession, root: str, delta_rels: list[str]
 ) -> None:

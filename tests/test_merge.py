@@ -169,3 +169,48 @@ def test_merge_without_pages_path(spark, merged_and_rebuilt):
     ds = spark.read.parquet(catalog.path(root3, catalog.DOCSTATS))
     n_null = ds.filter(ds.url.isNull()).count()
     assert n_null > 0, "streamed docs should carry NULL urls on this path"
+
+
+def test_maybe_merge_compaction_policy(spark, tmp_path):
+    """maybe_merge defers below the delta threshold (tokens stay pending,
+    nothing rewritten) and compacts once past it."""
+    from searchengine_spark.merge import maybe_merge, pending_delta_files
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    full_dir = str(tmp_path / "pages_full")
+    corpus.write_pages_parquet(full_dir, 120, batch_rows=30)
+    files = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    initial_dir, stream_dir = str(tmp_path / "init"), str(tmp_path / "stream")
+    os.makedirs(initial_dir)
+    os.makedirs(stream_dir)
+    for f in files[:-2]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
+    for f in files[-2:]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(stream_dir, f))
+
+    root = str(tmp_path / "idx")
+    build_index(spark, initial_dir, root, n_chunks=2, n_buckets=N_BUCKETS)
+    assert pending_delta_files(root) == []
+
+    q = stream_tokenize(
+        spark, stream_dir, catalog.path(root, catalog.TOKENS),
+        str(tmp_path / "ckpt"), n_buckets=N_BUCKETS,
+    )
+    q.awaitTermination()
+    n_pending = len(pending_delta_files(root))
+    assert n_pending > 0
+
+    deferred = maybe_merge(spark, root, min_delta_files=n_pending + 1)
+    assert deferred["deferred"] and deferred["merged_buckets"] == []
+    assert len(pending_delta_files(root)) == n_pending  # nothing consumed
+
+    done = maybe_merge(
+        spark, root, min_delta_files=n_pending, pages_path=full_dir
+    )
+    assert not done["deferred"] and done["delta_files"] == n_pending
+    assert pending_delta_files(root) == []
+    # post-merge index passes fsck clean (lineage recorded, dictionary
+    # and stats consistent with the rewritten segments)
+    from searchengine_spark.fsck import fsck
+
+    assert fsck(spark, root).collect() == []
