@@ -413,6 +413,83 @@ def q33_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", "cos").orderBy("vec_a", "vec_b")
 
 
+# --------------------------------------------------------------------------
+# q38: duplicate-cluster canonicalization — connected components over the
+# verified LSH near-dup pairs (q17), one canonical doc per cluster. The
+# last step of a real dedup pipeline: pairs alone can't drive a keep/drop
+# decision when dups chain (a~b, b~c but a!~c must still collapse to one
+# kept doc).
+#
+# Algorithm: min-label propagation (each doc starts labeled with its own
+# id; every round each node takes the min label among itself and its
+# neighbors; fixpoint = per-component min id). Rounds = graph diameter.
+# Templated near-dup corpora produce giant near-CLIQUE components (the
+# sf0.001 fixture has a 231-doc one) — cliques converge in ~2 rounds
+# because the hub re-broadcasts the min; long CHAINS are the slow case,
+# and the classic large-star/small-star contraction (Kiveris et al.) is
+# the fallback if diameter ever bites. Each round is one equi-join + one
+# partial+final min aggregation — hash shuffles on int64 keys only, and
+# localCheckpoint cuts the growing lineage exactly like the PageRank loop.
+# Exact dups are subsumed: identical texts share every minhash band, so
+# q17 always emits them (jaccard = 1 >= 9/10).
+# --------------------------------------------------------------------------
+
+
+def q38_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q17_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .localCheckpoint()  # LSH pipeline runs once, not once per round
+    )
+    labels = load_docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    ).localCheckpoint()
+    while True:
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("v"), "lbl"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce("nmin", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.withColumnRenamed("lbl", "cluster_id")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
     "q16_ngram_jaccard": q16_ngram_jaccard,
@@ -421,6 +498,7 @@ QUERIES = {
     "q19_embedding_neardup": q19_embedding_neardup,
     "q32_simhash_banded": q32_simhash_banded,
     "q33_embedding_neardup_ivf": q33_embedding_neardup_ivf,
+    "q38_dup_clusters": q38_dup_clusters,
 }
 
 _TOKSETS_CTE = """
@@ -607,6 +685,50 @@ WHERE round(
           (acc, x) -> acc + x)
         / sqrt(a.nrm * b.nrm), 9) >= {EMB_NEARDUP_COS}
 ORDER BY vec_a, vec_b
+""",
+    # q38: same LSH-pair CTE chain as q17, then connected components via a
+    # recursive min-label walk — `walk` enumerates (node, reachable label)
+    # pairs (UNION dedups, so it terminates), min per node = component id.
+    "q38_dup_clusters": f"""
+WITH RECURSIVE {_TOKSETS_CTE},
+terms AS (
+  SELECT doc_id, {_H} % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toksets)
+),
+sigs AS (
+  SELECT doc_id, {_SIG_EXPRS}
+  FROM terms GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN tsn a ON a.doc_id = doc_a JOIN tsn b ON b.doc_id = doc_b
+  WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
+        >= (a.n + b.n - len(list_intersect(a.toks, b.toks))) * {JACCARD_THRESHOLD[0]}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(u, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+),
+comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size,
+       CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS keep
+FROM comp JOIN sizes USING (cluster_id)
+ORDER BY doc_id
 """,
     "q19_embedding_neardup": f"""
 WITH e AS (

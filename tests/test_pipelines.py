@@ -39,6 +39,7 @@ ORACLE_CHECKED = [
     "q35_source_quota_sample",
     "q36_repetition_filter",
     "q37_pii_redact",
+    "q38_dup_clusters",
 ]
 
 
@@ -198,3 +199,53 @@ def test_fingerprint_is_order_sensitive(spark):
         ).collect()}
     assert out[1] != out[2]
     assert 0 <= out[1] < FP_MOD and FP_BASE > 1
+
+
+def test_dup_clusters_match_union_find(spark):
+    """q38's label-propagation components must equal a driver-side
+    union-find over the same verified LSH pairs, and the canonical doc
+    must be each component's min id."""
+    from searchengine_spark.pipelines.dedup import (
+        load_docs,
+        q17_minhash_lsh,
+        q38_dup_clusters,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q17_minhash_lsh(spark, SF_DIR).collect()
+    ]
+    doc_ids = [r["doc_id"] for r in load_docs(spark, SF_DIR).select("doc_id").collect()]
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    want = {}
+    for d in doc_ids:
+        r = find(d)
+        want.setdefault(r, []).append(d)
+    expect = {
+        d: min(members) for r, members in want.items() for d in members
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in q38_dup_clusters(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    sizes = {}
+    for d, c in expect.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for d, (cid, csize, keep) in got.items():
+        assert cid == expect[d]
+        assert csize == sizes[expect[d]]
+        assert keep == (1 if d == cid else 0)
+    assert any(p for p in pairs), "fixture should contain near-dup pairs"
