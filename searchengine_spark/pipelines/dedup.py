@@ -421,13 +421,13 @@ def q33_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kept doc).
 #
 # Algorithm: min-label propagation (each doc starts labeled with its own
-# id; every round each node takes the min label among itself and its
-# neighbors; fixpoint = per-component min id). Rounds = graph diameter.
-# Templated near-dup corpora produce giant near-CLIQUE components (the
-# sf0.001 fixture has a 231-doc one) — cliques converge in ~2 rounds
-# because the hub re-broadcasts the min; long CHAINS are the slow case,
-# and the classic large-star/small-star contraction (Kiveris et al.) is
-# the fallback if diameter ever bites. Each round is one equi-join + one
+# id; every round each node takes the min label among itself, its
+# neighbors, AND its current label's label — the pointer-doubling hop
+# that turns O(diameter) rounds into O(log diameter) (Hash-to-Min,
+# Rastogi et al. 2013), so long dup CHAINS can't stall the loop; giant
+# near-CLIQUE components (the sf0.001 fixture has a 231-doc one)
+# converge in ~2 rounds regardless because the hub re-broadcasts the
+# min. Fixpoint = per-component min id. Each round is one equi-join + one
 # partial+final min aggregation — hash shuffles on int64 keys only, and
 # localCheckpoint cuts the growing lineage exactly like the PageRank loop.
 # Exact dups are subsumed: identical texts share every minhash band, so
@@ -453,14 +453,20 @@ def q38_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("lbl").alias("nmin"))
         )
+        lbl_lbl = labels.select(
+            F.col("doc_id").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
         new_labels = (
             labels.join(
                 nbr_min.withColumnRenamed("u", "doc_id"), "doc_id", "left"
             )
+            .join(lbl_lbl, "lbl", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("lbl"), F.coalesce("nmin", F.col("lbl"))
+                    F.col("lbl"),
+                    F.coalesce("nmin", F.col("lbl")),
+                    F.coalesce("lbl2", F.col("lbl")),
                 ).alias("lbl"),
             )
             .localCheckpoint()

@@ -150,11 +150,72 @@ def q25_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# q39: per-source token-length quantiles (p50/p90/p99) — the sequence-
+# length budgeting stats a training pipeline reads before picking pack/
+# truncate lengths. Exact, via distributed rank selection: window
+# row_number per source (one hash-partitioned sort, no per-group value
+# collection) + linear interpolation at pos = q*(n-1), the same formula
+# percentile()/quantile_cont() use — but spelled out identically on both
+# engines (`v_lo + (pos - lo) * (v_hi - v_lo)`, round 9dp) so the hash
+# can't drift on engine-internal fold order. At 100 TB the same plan
+# holds (sort within source partitions scales with executors); the
+# sketch alternative (percentile_approx / t-digest) is the map-side-
+# combinable fallback when even one sort is too much — exactness is the
+# point here.
+# --------------------------------------------------------------------------
+
+LENGTH_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q39_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(_tok_arr()).cast("double").alias("cnt"),
+    )
+    w = Window.partitionBy("source").orderBy("cnt", "doc_id")
+    ranked = docs.withColumn("r", F.row_number().over(w) - 1).select(
+        "source", "cnt", "r"
+    )
+    n = docs.groupBy("source").agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame(
+        [(q,) for q in LENGTH_QUANTILES], "q double"
+    )
+    pos = (
+        n.crossJoin(F.broadcast(qs))
+        .withColumn("pos", F.col("q") * (F.col("n") - 1))
+        .withColumn("lo", F.floor("pos").cast("long"))
+        .withColumn("hi", F.ceil("pos").cast("long"))
+    )
+    rl = ranked.select("source", F.col("r").alias("lo"), F.col("cnt").alias("vlo"))
+    rh = ranked.select("source", F.col("r").alias("hi"), F.col("cnt").alias("vhi"))
+    vals = (
+        pos.join(rl, ["source", "lo"])
+        .join(rh, ["source", "hi"])
+        .withColumn(
+            "val",
+            F.col("vlo")
+            + (F.col("pos") - F.col("lo")) * (F.col("vhi") - F.col("vlo")),
+        )
+    )
+    aggs = [
+        F.round(
+            F.max(F.when(F.col("q") == F.lit(q), F.col("val"))), 9
+        ).alias(f"p{int(q * 100)}")
+        for q in LENGTH_QUANTILES
+    ]
+    return vals.groupBy("source").agg(*aggs).orderBy("source")
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
     "q24_token_stats": q24_token_stats,
     "q25_fingerprint": q25_fingerprint,
+    "q39_length_quantiles": q39_length_quantiles,
 }
 
 
@@ -237,5 +298,37 @@ SELECT doc_id,
        list_reduce(list_prepend(0::BIGINT, hs),
                    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
 FROM d ORDER BY doc_id
+""",
+    # q39: rank-selection quantiles — interpolation spelled with the SAME
+    # expression shape as the Spark side (vlo + (pos - lo) * (vhi - vlo)).
+    "q39_length_quantiles": f"""
+WITH c AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS cnt
+  FROM documents
+),
+r AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt, doc_id) - 1 AS r
+  FROM c
+),
+n AS (SELECT source, count(*) AS n FROM c GROUP BY source),
+qs AS (SELECT unnest([{", ".join(str(q) for q in LENGTH_QUANTILES)}]::DOUBLE[]) AS q),
+pos AS (
+  SELECT source, q, q * (n - 1) AS pos,
+         floor(q * (n - 1))::BIGINT AS lo,
+         ceil(q * (n - 1))::BIGINT AS hi
+  FROM n CROSS JOIN qs
+),
+v AS (
+  SELECT p.source, p.q,
+         rl.cnt + (p.pos - p.lo) * (rh.cnt - rl.cnt) AS val
+  FROM pos p
+  JOIN r rl ON rl.source = p.source AND rl.r = p.lo
+  JOIN r rh ON rh.source = p.source AND rh.r = p.hi
+)
+SELECT source,
+       {", ".join(f"round(max(CASE WHEN q = {q} THEN val END), 9) AS p{int(q * 100)}" for q in LENGTH_QUANTILES)}
+FROM v GROUP BY source ORDER BY source
 """,
 }

@@ -40,6 +40,7 @@ ORACLE_CHECKED = [
     "q36_repetition_filter",
     "q37_pii_redact",
     "q38_dup_clusters",
+    "q39_length_quantiles",
 ]
 
 
