@@ -1,0 +1,124 @@
+"""Physical-plan audits as enforced regressions (SURVEY §8.3 was a
+manual `.explain("formatted")` read; these tests pin the properties so a
+refactor can't silently un-push a filter, widen a scan, or demote a
+broadcast). Only STATIC plan properties are asserted — explicit
+F.broadcast joins, parquet PushedFilters, ReadSchema pruning — never
+AQE runtime decisions, which legitimately vary with stats."""
+
+import contextlib
+import io
+import os
+import re
+
+import pytest
+
+SF_DIR = os.environ.get("PIPE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def scan_blocks(p):
+    """formatted-mode output: one '(N) Scan parquet' paragraph per scan."""
+    return re.findall(r"\(\d+\) Scan parquet[\s\S]*?(?=\n\(\d+\)|\Z)", p)
+
+
+def test_q06_filter_pushdown_reaches_scan(spark):
+    from searchengine_spark.pipelines.relational import q06_filter_pushdown
+
+    p = plan(q06_filter_pushdown(spark, SF_DIR))
+    scans = scan_blocks(p)
+    assert len(scans) == 1
+    s = scans[0]
+    m = re.search(r"PushedFilters: \[(.*?)\]", s)
+    assert m, "no PushedFilters on the lineitem scan"
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to parquet"
+    m = re.search(r"ReadSchema: struct<(.*?)>", s)
+    assert m
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # projection pruning: 5 referenced columns, not the full table
+    assert read_cols == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    } | ({"l_orderkey"} & read_cols), read_cols
+
+
+def test_q02_dimension_joins_are_broadcast(spark):
+    from searchengine_spark.pipelines.relational import q02_join_revenue
+
+    p = plan(q02_join_revenue(spark, SF_DIR))
+    # formatted mode prints each operator twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 3, p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # orders side reads only the join key + aggregated column
+    orders_scan = [s for s in scan_blocks(p) if "orders" in s][0]
+    m = re.search(r"ReadSchema: struct<(.*?)>", orders_scan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"o_custkey", "o_totalprice"}, read_cols
+
+
+def test_q35_corpus_scan_is_pruned_and_counts_broadcast(spark):
+    from searchengine_spark.pipelines.curation import q35_source_quota_sample
+
+    p = plan(q35_source_quota_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    docs_scans = [s for s in scan_blocks(p) if "documents" in s]
+    assert docs_scans
+    for s in docs_scans:
+        m = re.search(r"ReadSchema: struct<(.*?)>", s)
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        # never the text blob: the quota decision needs ids + source only
+        assert "text" not in read_cols, read_cols
+
+
+def test_q13_stays_jvm_side(spark):
+    """BM25 top-k twin: no Python row UDFs in the plan (BatchEvalPython
+    = the row-at-a-time slow path; ArrowEvalPython would be a pandas
+    UDF — q13 needs neither)."""
+    from searchengine_spark.pipelines.fulltext import q13_bm25_topk
+
+    p = plan(q13_bm25_topk(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    # whole-stage codegen spans are visible only in codegen mode
+    c = plan(q13_bm25_topk(spark, SF_DIR), mode="codegen")
+    assert "WholeStageCodegen" in c
+
+
+def test_q39_single_exchange_per_sort(spark):
+    """Rank-selection quantiles: the ranked relation is sorted within
+    source partitions (window), never globally collected; no cartesian
+    blow-up from the tiny quantile-literals join (explicit broadcast)."""
+    from searchengine_spark.pipelines.textstats import q39_length_quantiles
+
+    p = plan(q39_length_quantiles(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 3-row quantile literals side
+    assert "Window" in p
+
+
+def test_queries_avoid_row_python_udfs(spark):
+    """Sweep: no driver-contract query may compile to a row-at-a-time
+    Python UDF (BatchEvalPython). Arrow-batched plans (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) are the sanctioned Python
+    escape hatch and appear only where SURVEY §8 documents them."""
+    from searchengine_spark.pipelines import all_queries
+
+    allowed_arrow = {"q26_multimodal_meta", "q28_postings_roundtrip",
+                     "q29_porter_stems", "q34_cogroup"}
+    for name, fn in sorted(all_queries().items()):
+        if name in ("q27_pagerank", "q38_dup_clusters"):
+            continue  # iterative: plan built over localCheckpoints
+        p = plan(fn(spark, SF_DIR), mode="simple")
+        assert "BatchEvalPython" not in p, f"{name} uses a row Python UDF"
+        if name not in allowed_arrow:
+            for marker in ("ArrowEvalPython", "MapInPandas",
+                           "FlatMapGroupsInPandas"):
+                assert marker not in p, f"{name} unexpectedly uses {marker}"
