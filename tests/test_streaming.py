@@ -134,3 +134,111 @@ def test_stream_windowed_agg_matches_batch(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_dedup_exact_across_batches_and_restart(spark):
+    """Cross-batch dup suppression: a duplicate arriving in a LATER
+    micro-batch (and after a query restart) is dropped; kept content set
+    equals the batch q15 canonical set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.streaming.dedup import stream_dedup_exact
+
+    root = os.path.join(STREAMDIR, "dedup")
+    shutil.rmtree(root, ignore_errors=True)
+    docs_in = os.path.join(root, "in")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(docs_in)
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                    "lang": ["en"] * len(rows),
+                    "source": ["s"] * len(rows),
+                    "n_chars": pa.array(
+                        [len(r[1]) for r in rows], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(docs_in, name),
+        )
+
+    write_batch("b0.parquet", [(1, "alpha"), (2, "beta")])
+    stream_dedup_exact(spark, docs_in, out, ckpt).awaitTermination()
+    # batch 2: one new text, one cross-batch dup of "beta"
+    write_batch("b1.parquet", [(3, "beta"), (4, "gamma")])
+    stream_dedup_exact(spark, docs_in, out, ckpt).awaitTermination()
+    got = spark.read.parquet(out)
+    assert sorted(r["text"] for r in got.collect()) == [
+        "alpha", "beta", "gamma",
+    ]
+    assert got.filter(F.col("doc_id") == 3).count() == 0  # dup dropped
+    # restart (fresh query object, same checkpoint): an old dup arriving
+    # again is still suppressed by the restored state
+    write_batch("b2.parquet", [(5, "alpha"), (6, "delta")])
+    stream_dedup_exact(spark, docs_in, out, ckpt).awaitTermination()
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark):
+    """A dup inside the watermark horizon is suppressed; the variant
+    accepts the same availableNow/restart drill as the unbounded one."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from searchengine_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    root = os.path.join(STREAMDIR, "dedup_wm")
+    shutil.rmtree(root, ignore_errors=True)
+    docs_in = os.path.join(root, "in")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(docs_in)
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [t0 + datetime.timedelta(minutes=r[1]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "text": [r[2] for r in rows],
+                }
+            ),
+            os.path.join(docs_in, name),
+        )
+
+    write_batch("b0.parquet", [(1, 0, "alpha"), (2, 1, "beta")])
+    stream_dedup_within_watermark(
+        spark, docs_in, out, ckpt, "ts", "1 hour", schema
+    ).awaitTermination()
+    # in-horizon dup (+2 min) must be dropped
+    write_batch("b1.parquet", [(3, 2, "alpha"), (4, 3, "gamma")])
+    stream_dedup_within_watermark(
+        spark, docs_in, out, ckpt, "ts", "1 hour", schema
+    ).awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 3 not in got
+    assert {1, 2, 4} <= got
