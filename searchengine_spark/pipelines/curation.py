@@ -144,16 +144,20 @@ def _augmented_text() -> F.Column:
     )
 
 
+def redacted_col(aug: F.Column) -> F.Column:
+    return F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+
+
 def q37_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII scrub: count then redact email- and phone-shaped spans
     (patterns kept inside the Java-regex ∩ RE2 common dialect so both
     engines compile them identically)."""
     docs = load_docs(spark, sf_dir).withColumn("aug", _augmented_text())
-    red = F.regexp_replace(
-        F.regexp_replace(F.col("aug"), _EMAIL_RE, "<EMAIL>"),
-        _PHONE_RE,
-        "<PHONE>",
-    )
+    red = redacted_col(F.col("aug"))
     return docs.select(
         "doc_id",
         F.regexp_count("aug", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
@@ -162,10 +166,67 @@ def q37_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# q40: the end-to-end curation pipeline — every pass a 100 TB corpus runs
+# between raw ingest and tokenization, composed into ONE plan:
+# language-ID gate, quality gate, repetition gate, PII redaction, exact
+# dedup (keep the canonical copy), per-source quota sampling.
+#
+# Composition shape (the scale story): the map-only passes (lang,
+# quality, redaction) are fused as column EXPRESSIONS over a single
+# documents scan — zero extra shuffles, one codegen stage — instead of
+# joining their standalone q22/q23/q37 outputs back by doc_id (7 scans
+# instead of 10 — the aggregating stages self-join, so each inherently
+# scans twice, column-pruned). Only the
+# genuinely aggregating passes join: repetition metrics (one doc_id
+# shuffle), exact-dedup canonical ids (16-byte-hash shuffle), quota keep
+# (broadcast per-source counts). All three joins share the doc_id key,
+# so at scale they co-partition on one exchange. Swapping the exact-
+# dedup stage for the near-dup clusters (q38) is a one-line change; the
+# exact stage keeps the oracle cheap.
+# --------------------------------------------------------------------------
+
+CURATE_LANGS = ("en",)
+CURATE_MIN_QUALITY = 0.45
+
+
+def q40_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import q15_dedup_exact
+    from .textstats import pred_lang_col, quality_col
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    mapped = docs.select(
+        "doc_id",
+        "source",
+        pred_lang_col().alias("pred_lang"),
+        quality_col().alias("quality"),
+        redacted_col(_augmented_text()).alias("redacted"),
+    )
+    rep = q36_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    ded = q15_dedup_exact(spark, sf_dir).select("doc_id", "canonical_id")
+    quota = q35_source_quota_sample(spark, sf_dir).select("doc_id")
+    return (
+        mapped.join(rep, "doc_id")
+        .join(ded, "doc_id")
+        .join(quota, "doc_id")
+        .filter(
+            F.col("pred_lang").isin(*CURATE_LANGS)
+            & (F.col("quality") >= CURATE_MIN_QUALITY)
+            & (F.col("rep_keep") == 1)
+            & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .select("doc_id", "source", "pred_lang", "quality", "redacted")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
     "q36_repetition_filter": q36_repetition_filter,
     "q37_pii_redact": q37_pii_redact,
+    "q40_curate_pipeline": q40_curate_pipeline,
 }
 
 ORACLE = {
@@ -225,3 +286,28 @@ SELECT doc_id,
 FROM a ORDER BY doc_id
 """,
 }
+
+# q40 oracle: the stage oracles composed verbatim as subqueries (DuckDB
+# allows a WITH inside a parenthesized subquery), joined on doc_id with
+# the same keep predicates as the Spark plan. quality is rounded 9dp on
+# both engines before the >= threshold, so the gate decisions agree.
+from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+from .textstats import ORACLE as _TS_ORACLE  # noqa: E402
+
+ORACLE["q40_curate_pipeline"] = f"""
+WITH lang AS (SELECT doc_id, pred_lang FROM ({_TS_ORACLE["q22_lang_id"]})),
+qual AS (SELECT doc_id, quality FROM ({_TS_ORACLE["q23_quality"]})),
+rep AS (SELECT doc_id, keep AS rep_keep FROM ({ORACLE["q36_repetition_filter"]})),
+red AS (SELECT doc_id, redacted FROM ({ORACLE["q37_pii_redact"]})),
+ded AS (SELECT doc_id, canonical_id FROM ({_DEDUP_ORACLE["q15_dedup_exact"]})),
+quota AS (SELECT doc_id FROM ({ORACLE["q35_source_quota_sample"]})),
+d AS (SELECT doc_id, source FROM documents)
+SELECT d.doc_id, d.source, pred_lang, quality, redacted
+FROM d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+       JOIN rep USING (doc_id) JOIN red USING (doc_id)
+       JOIN ded USING (doc_id) JOIN quota USING (doc_id)
+WHERE pred_lang IN ({", ".join(f"'{l}'" for l in CURATE_LANGS)})
+  AND quality >= {CURATE_MIN_QUALITY}
+  AND rep_keep = 1 AND doc_id = canonical_id
+ORDER BY doc_id
+"""

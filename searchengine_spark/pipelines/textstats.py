@@ -43,8 +43,8 @@ def _tok_arr() -> F.Column:
 # soup, so accuracy is moot — the operator shape is what matters.)
 # --------------------------------------------------------------------------
 
-def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+def _lang_score_arr() -> F.Column:
+    """array<struct<score,lang>> over a 'toks' column."""
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         marker_arr = F.array(*[F.lit(m) for m in markers])
@@ -54,22 +54,33 @@ def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(lang).alias("lang"),
             )
         )
-    # argmax: max score; tie -> lexicographically SMALLEST lang.
-    # struct max picks largest (score, lang) pair, so invert via negated
-    # per-lang rank: use (score, reverse-sort by lang) -> pick max score,
-    # then min lang among maxima, via two-step expression.
-    arr = F.array(*scores)
+    return F.array(*scores)
+
+
+def marker_hits_col() -> F.Column:
+    return F.array_max(F.transform(_lang_score_arr(), lambda s: s["score"]))
+
+
+def pred_lang_col() -> F.Column:
+    """argmax language over a 'toks' column: max score; tie ->
+    lexicographically SMALLEST lang (max picks largest (score, lang)
+    struct, so filter to the maxima then take the min lang)."""
+    arr = _lang_score_arr()
     best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
-    pred = F.array_min(
+    return F.array_min(
         F.transform(
             F.filter(arr, lambda s: s["score"] == best_score),
             lambda s: s["lang"],
         )
     )
+
+
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
     return docs.select(
         "doc_id",
-        pred.alias("pred_lang"),
-        best_score.cast("int").alias("marker_hits"),
+        pred_lang_col().alias("pred_lang"),
+        marker_hits_col().cast("int").alias("marker_hits"),
         "lang",
     ).orderBy("doc_id")
 
@@ -79,8 +90,8 @@ def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean token length, blended to one score.
 # --------------------------------------------------------------------------
 
-def q23_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+def _quality_parts() -> tuple[F.Column, F.Column, F.Column, F.Column]:
+    """(n_toks, punct_ratio, stop_ratio, mean_tok_len) over 'text'+'toks'."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_chars = F.length("text")
     n_toks = F.size("toks")
@@ -93,13 +104,24 @@ def q23_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / n_toks
     punct_ratio = (n_chars - n_alnum) / n_chars
     stop_ratio = n_stop / n_toks
-    quality = F.round(
+    return n_toks, punct_ratio, stop_ratio, mean_tok_len
+
+
+def quality_col() -> F.Column:
+    n_toks, punct_ratio, stop_ratio, mean_tok_len = _quality_parts()
+    return F.round(
         F.lit(0.4) * F.least(n_toks / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.2) * stop_ratio
         + F.lit(0.1) * F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)),
         9,
     )
+
+
+def q23_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    n_toks, punct_ratio, stop_ratio, mean_tok_len = _quality_parts()
+    quality = quality_col()
     return docs.select(
         "doc_id",
         n_toks.cast("int").alias("n_tokens"),

@@ -41,6 +41,7 @@ ORACLE_CHECKED = [
     "q37_pii_redact",
     "q38_dup_clusters",
     "q39_length_quantiles",
+    "q40_curate_pipeline",
 ]
 
 

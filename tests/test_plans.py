@@ -122,3 +122,25 @@ def test_queries_avoid_row_python_udfs(spark):
             for marker in ("ArrowEvalPython", "MapInPandas",
                            "FlatMapGroupsInPandas"):
                 assert marker not in p, f"{name} unexpectedly uses {marker}"
+
+
+def test_q40_fuses_map_stages_into_one_scan(spark):
+    """The composed curation pipeline must not rejoin the map-only
+    stages (lang/quality/redact) by doc_id: fused they share ONE scan,
+    so the plan holds at 7 documents scans total (1 fused map + 2 per
+    self-joining aggregate stage: repetition, dedup canonical, quota) —
+    the unfused composition reads 10. Every scan must stay
+    column-pruned (never text alongside source except the fused map
+    scan), and the quota count join stays broadcast."""
+    from searchengine_spark.pipelines.curation import q40_curate_pipeline
+
+    p = plan(q40_curate_pipeline(spark, SF_DIR))
+    docs_scans = [s for s in scan_blocks(p) if "documents" in s]
+    assert len(docs_scans) <= 7, f"{len(docs_scans)} documents scans"
+    full_reads = [
+        s for s in docs_scans
+        if "text" in s and "source" in s and "ReadSchema" in s
+    ]
+    assert len(full_reads) <= 1, "only the fused map scan may read text+source"
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
