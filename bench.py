@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "q27_pagerank",
     "q32_simhash_banded",
     "q33_embedding_neardup_ivf",
+    "q39_length_quantiles",
+    # q38 rides on the q17 pair set, degenerate at sf0.1 (see above);
+    # q40 composes only linear stages (exact dedup, not LSH) so it scales
+    "q40_curate_pipeline",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

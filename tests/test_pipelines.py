@@ -251,3 +251,45 @@ def test_dup_clusters_match_union_find(spark):
         assert csize == sizes[expect[d]]
         assert keep == (1 if d == cid else 0)
     assert any(p for p in pairs), "fixture should contain near-dup pairs"
+
+
+def test_curate_job_cli(spark, tmp_path, monkeypatch):
+    """jobs/curate.py writes the curated corpus + a census whose kept
+    count equals the written rows and whose stage counts are sane."""
+    import json
+    import sys
+
+    from searchengine_spark.jobs import curate
+
+    class _NoStop:
+        def __init__(self, inner):
+            self._i = inner
+
+        def __getattr__(self, k):
+            return getattr(self._i, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(
+        "searchengine_spark.session.get_spark",
+        lambda **kw: _NoStop(spark),
+    )
+    out = str(tmp_path / "curated")
+    rep = str(tmp_path / "census.json")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curate", "--docs", SF_DIR, "--out", out, "--report", rep],
+    )
+    curate.main()
+    census = json.loads(open(rep).read())
+    got = spark.read.parquet(out)
+    assert census["docs_in"] == 500
+    assert 0 < census["docs_kept"] == got.count() < census["docs_in"]
+    for k in ("lang_ok", "quality_ok", "rep_ok", "canon_ok", "quota_ok"):
+        assert 0 < census[k] <= census["docs_in"]
+    # the written corpus IS q40's output
+    from searchengine_spark.pipelines.curation import q40_curate_pipeline
+
+    want = {r["doc_id"] for r in q40_curate_pipeline(spark, SF_DIR).collect()}
+    assert {r["doc_id"] for r in got.collect()} == want
