@@ -222,11 +222,109 @@ def q40_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q41: benchmark decontamination — flag training docs that share any
+# K-word shingle with the held-out eval split. Scale shape: the eval set
+# is tiny relative to the corpus (benchmarks are thousands of docs, the
+# corpus is billions), so its distinct shingle set is BROADCAST and the
+# train side is a map + explode + broadcast-hash semi-join — the 100 TB
+# corpus is scanned once and never shuffled on text. The eval split is
+# carved deterministically from the same table (doc_id % EVAL_MOD == 0)
+# so the fixture needs no second dataset.
+# --------------------------------------------------------------------------
+
+DECON_K = 8  # words per shingle (n-gram size used by e.g. GPT-3/PaLM decon)
+# doc_id % EVAL_MOD == 0 -> held-out eval split. 10 (not a more
+# realistic 1000) so the fixture's dup structure actually crosses the
+# split and the gate checks non-empty overlap at sf0.01 (6 docs / 312
+# hits); the operator shape is split-fraction-independent.
+EVAL_MOD = 10
+
+
+def _shingles(k: int) -> F.Column:
+    """Distinct k-word shingles of ``toks`` (space-joined), [] if the doc
+    is shorter than k words. Same construction as the q36 bigram column."""
+    n = F.size("toks")
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    shd = docs.select("doc_id", _shingles(DECON_K).alias("shingles"))
+    ev = (
+        shd.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    tr = shd.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42: token-budget sequence packing — the concat-and-chunk packer every
+# pretraining pipeline runs before batching: stream each source's docs
+# in doc_id order into fixed TOKEN_BUDGET sequences (docs may straddle a
+# boundary, exactly like the standard "concatenate then chunk" packer).
+# Scale shape: the window is PARTITIONED BY source (shards pack
+# independently, as real packers do per input shard), so the sort is
+# per-source-parallel — never a single-partition global window.
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 2048
+
+
+def q42_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_toks = F.size("toks").cast("long")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        n_toks.alias("n_toks"),
+        F.coalesce(F.sum(n_toks).over(w), F.lit(0)).alias("cum_excl"),
+    )
+    seq = F.floor(F.col("cum_excl") / F.lit(TOKEN_BUDGET)).cast("long")
+    return (
+        per_doc.select("doc_id", "source", "n_toks", seq.alias("seq_id"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
     "q36_repetition_filter": q36_repetition_filter,
     "q37_pii_redact": q37_pii_redact,
     "q40_curate_pipeline": q40_curate_pipeline,
+    "q41_decontaminate": q41_decontaminate,
+    "q42_pack_sequences": q42_pack_sequences,
 }
 
 ORACLE = {
@@ -284,6 +382,50 @@ SELECT doc_id,
        regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                       '\\+1-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS redacted
 FROM a ORDER BY doc_id
+""",
+    # DuckDB range(a,b) is end-EXCLUSIVE (Spark sequence is inclusive):
+    # range(1, len-K+2) = 1..len-K+1 start positions; toks[i:i+K-1] is
+    # the 1-based inclusive K-element slice.
+    "q41_decontaminate": f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {DECON_K}
+              THEN list_distinct(list_transform(
+                     range(1, len(toks) - {DECON_K - 2}),
+                     i -> array_to_string(toks[i:i+{DECON_K - 1}], ' ')))
+              ELSE [] END AS shingles
+  FROM d
+),
+ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+       WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+       WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT tr.doc_id, count(*)::BIGINT AS n_hit_shingles
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id ORDER BY doc_id
+""",
+    "q42_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_toks,
+         COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_excl
+  FROM d
+)
+SELECT source, CAST(floor(cum_excl / {TOKEN_BUDGET}) AS BIGINT) AS seq_id,
+       count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY source, seq_id ORDER BY source, seq_id
 """,
 }
 

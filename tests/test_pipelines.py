@@ -42,6 +42,8 @@ ORACLE_CHECKED = [
     "q38_dup_clusters",
     "q39_length_quantiles",
     "q40_curate_pipeline",
+    "q41_decontaminate",
+    "q42_pack_sequences",
 ]
 
 
@@ -81,6 +83,57 @@ def test_matches_oracle(spark, duck, name):
             ), f"{name}.{c}"
         else:
             assert g.astype(str).equals(w.astype(str)), f"{name}.{c}"
+
+
+def test_decontaminate_flags_only_train_docs(spark):
+    """q41 output is non-empty on the fixture (its dup structure crosses
+    the eval split), never contains an eval-split doc, and every flagged
+    doc is a known near-duplicate of some eval doc (subset of the
+    exhaustive Jaccard pair graph restricted to eval partners)."""
+    from searchengine_spark.pipelines.curation import EVAL_MOD, q41_decontaminate
+    from searchengine_spark.pipelines.dedup import q16_ngram_jaccard
+
+    rows = q41_decontaminate(spark, SF_DIR).collect()
+    assert rows, "fixture must produce at least one contaminated doc"
+    assert all(r["doc_id"] % EVAL_MOD != 0 for r in rows)
+    eval_partner = set()
+    for r in q16_ngram_jaccard(spark, SF_DIR).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a % EVAL_MOD == 0 and b % EVAL_MOD != 0:
+            eval_partner.add(b)
+        if b % EVAL_MOD == 0 and a % EVAL_MOD != 0:
+            eval_partner.add(a)
+    assert {r["doc_id"] for r in rows} <= eval_partner
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """q42 packing: per-source token totals are conserved, doc ranges of
+    consecutive sequences are disjoint and increasing, packing starts at
+    seq_id 0."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.pipelines.curation import q42_pack_sequences
+    from searchengine_spark.pipelines.textstats import _tok_arr, load_docs
+
+    packed = q42_pack_sequences(spark, SF_DIR).collect()
+    want = {
+        r["source"]: r["tot"]
+        for r in load_docs(spark, SF_DIR)
+        .groupBy("source")
+        .agg(F.sum(F.size(_tok_arr())).alias("tot"))
+        .collect()
+    }
+    got: dict = {}
+    by_source: dict = {}
+    for r in packed:
+        got[r["source"]] = got.get(r["source"], 0) + r["seq_tokens"]
+        by_source.setdefault(r["source"], []).append(r)
+    assert got == want
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert rows[0]["seq_id"] == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["last_doc"] < cur["first_doc"]
 
 
 def test_lsh_subset_of_exhaustive(spark):
