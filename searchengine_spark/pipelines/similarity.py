@@ -108,9 +108,121 @@ def q21_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q43: distributed k-means training for the IVF cells — KMEANS_ITER
+# Lloyd rounds over the candidate vectors, cosine assignment (q21's
+# metric). Because cosine ignores centroid magnitude, the plain
+# element-wise mean update is exactly the SPHERICAL k-means update (the
+# mean's direction == the normalized mean). Scale shape per round: one
+# broadcast of k centroids + one corpus scan (map-side assignment), then
+# ONE shuffle on (cent_id, dim) with map-side partial sums — the
+# textbook distributed Lloyd. Means are summed in DECIMAL(28,12) so the
+# reduction is order-insensitive (bit-stable at any parallelism) and
+# rounded to 9dp before feeding the next round, keeping both engines'
+# doubles identical. At 100 TB you train on a uniform sample (the
+# assignment scan dominates; the update shuffle is k*dims rows).
+# --------------------------------------------------------------------------
+
+KMEANS_ITER = 3
+
+
+def q43_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_emb(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "v"
+    )
+    cents = e.filter(F.pmod("vec_id", F.lit(IVF_CENTROID_MOD)) == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    m = None
+    for _ in range(KMEANS_ITER):
+        cn = cents.withColumn("centn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        vn = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+        assigned = (
+            vn.crossJoin(F.broadcast(cn))
+            .withColumn(
+                "sim",
+                _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("centn")),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "v", "cent_id")
+        )
+        dims = assigned.select(
+            "cent_id", F.posexplode("v").alias("pos", "x")
+        ).select("cent_id", (F.col("pos") + 1).alias("dim"), "x")
+        m = dims.groupBy("cent_id", "dim").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("val"),
+            F.count("*").cast("long").alias("n_assigned"),
+        )
+        cents = m.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("cv")
+        )
+    return m.select("cent_id", "dim", "val", "n_assigned").orderBy(
+        "cent_id", "dim"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled KMEANS_ITER-round Lloyd CTE chain (DuckDB has no loops);
+    per round: assignment (cross join + row_number), per-dim decimal
+    mean (unnest-zip of generate_series with the vector), list rebuild
+    ordered by dim."""
+    sim = (
+        f"{_DOT_AB.format(a='e.v', b='c.cv')} / "
+        f"(sqrt({_DOT_AB.format(a='e.v', b='e.v')}) * "
+        f"sqrt({_DOT_AB.format(a='c.cv', b='c.cv')}))"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        f" WHERE vec_id >= {N_QUERIES})",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e"
+        f" WHERE vec_id % {IVF_CENTROID_MOD} = 0)",
+    ]
+    for it in range(1, KMEANS_ITER + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sim} DESC, c.cent_id ASC) AS r
+    FROM e CROSS JOIN c{it - 1} c) WHERE r = 1)"""
+        )
+        parts.append(
+            f"x{it} AS (SELECT cent_id, unnest(generate_series(1, len(v)))"
+            f" AS dim, unnest(v) AS x FROM a{it})"
+        )
+        parts.append(
+            f"""m{it} AS (
+  SELECT cent_id, CAST(dim AS INT) AS dim,
+         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+           AS val,
+         count(*)::BIGINT AS n_assigned
+  FROM x{it} GROUP BY cent_id, dim)"""
+        )
+        parts.append(
+            f"c{it} AS (SELECT cent_id, list(val ORDER BY dim) AS cv"
+            f" FROM m{it} GROUP BY cent_id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cent_id, dim, val, n_assigned FROM m{KMEANS_ITER}"
+        " ORDER BY cent_id, dim"
+    )
+
+
 QUERIES = {
     "q20_ann_bruteforce": q20_ann_bruteforce,
     "q21_ann_ivf": q21_ann_ivf,
+    "q43_kmeans_train": q43_kmeans_train,
 }
 
 _EN = """
@@ -186,3 +298,5 @@ WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """,
 }
+
+ORACLE["q43_kmeans_train"] = _kmeans_oracle()

@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "q40_curate_pipeline",
     "q41_decontaminate",
     "q42_pack_sequences",
+    "q43_kmeans_train",
 ]
 
 
@@ -83,6 +84,29 @@ def test_matches_oracle(spark, duck, name):
             ), f"{name}.{c}"
         else:
             assert g.astype(str).equals(w.astype(str)), f"{name}.{c}"
+
+
+def test_kmeans_partitions_all_candidates(spark):
+    """q43: every Lloyd round partitions the candidate set — assignment
+    counts (read off any one dim) sum to the candidate count, and every
+    surviving centroid carries all 64 dims."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.pipelines.similarity import (
+        N_QUERIES,
+        load_emb,
+        q43_kmeans_train,
+    )
+
+    rows = q43_kmeans_train(spark, SF_DIR).collect()
+    n_cand = (
+        load_emb(spark, SF_DIR).filter(F.col("vec_id") >= N_QUERIES).count()
+    )
+    assert sum(r["n_assigned"] for r in rows if r["dim"] == 1) == n_cand
+    per_cent: dict = {}
+    for r in rows:
+        per_cent.setdefault(r["cent_id"], set()).add(r["dim"])
+    assert all(dims == set(range(1, 65)) for dims in per_cent.values())
 
 
 def test_decontaminate_flags_only_train_docs(spark):
