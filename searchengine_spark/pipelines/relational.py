@@ -368,10 +368,80 @@ def q31_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q44: portable HyperLogLog from scratch — the custom-sketch sibling of
+# q31. q31's built-in approx_count_distinct is engine-specific (rows-only
+# gate); this one is built from plain expressions over the portable md5
+# hash, so DuckDB computes the bit-identical estimate. Flajolet HLL,
+# p=10 (m=1024 registers), 50-bit register stream, with the small-range
+# linear-counting correction. Distributed shape: one shuffle to
+# (group, bucket) with map-side partial max — registers merge by MAX, so
+# the sketch is trivially mergeable across partitions/segments (the
+# property that makes HLL the 100 TB cardinality tool). The float sum
+# over registers is made order-insensitive by summing 2^(51-M_j) as
+# EXACT int64 (<= 2^60 total) and dividing once at the end.
+# --------------------------------------------------------------------------
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P  # 1024 registers
+_HLL_W = 60 - _HLL_P  # 50-bit register stream (portable hash is 60-bit)
+
+
+def q44_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
+    rho = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), _HLL_W, "0"), "1")
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            F.shiftright(h, _HLL_W).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    term = F.pow(F.lit(2.0), F.lit(_HLL_W + 1) - F.col("mrho")).cast("long")
+    s = regs.groupBy("event_type").agg(
+        F.sum(term).cast("long").alias("s_present"),
+        F.count("*").cast("long").alias("n_present"),
+    )
+    s_all = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(
+        1 << (_HLL_W + 1)
+    )
+    v = F.lit(_HLL_M) - F.col("n_present")
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.pow(F.lit(2.0), F.lit(_HLL_W + 1))
+        / s_all
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(raw)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        s.select("event_type", F.round(est, 9).alias("hll_users"))
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q01_fold_agg": q01_fold_agg,
     "q30_cube": q30_cube,
     "q31_approx_distinct": q31_approx_distinct,
+    "q44_portable_hll": q44_portable_hll,
     "q02_join_revenue": q02_join_revenue,
     "q03_window_topk": q03_window_topk,
     "q04_set_ops": q04_set_ops,
@@ -518,3 +588,57 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 ORDER BY nationkey
 """,
 }
+
+# q44 oracle: same HLL, same constants (embedded from the Python values
+# so both engines fold the identical IEEE literals), same exact-int64
+# register sum. strpos == Spark instr; bin/lpad identical.
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+ORACLE["q44_portable_hll"] = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+b AS (
+  SELECT event_type, h >> {_HLL_W} AS bucket,
+         CASE WHEN (h & {(1 << _HLL_W) - 1}) = 0 THEN {_HLL_W + 1}
+              ELSE strpos(lpad(bin(h & {(1 << _HLL_W) - 1}), {_HLL_W}, '0'), '1')
+         END AS rho
+  FROM h
+),
+m AS (SELECT event_type, bucket, max(rho) AS mrho
+      FROM b GROUP BY event_type, bucket),
+s AS (
+  SELECT event_type,
+         sum(CAST(pow(2.0, {_HLL_W + 1} - mrho) AS BIGINT))::BIGINT AS s_present,
+         count(*)::BIGINT AS n_present
+  FROM m GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         s_present + ({_HLL_M} - n_present) * {1 << (_HLL_W + 1)} AS s_all,
+         {_HLL_M} - n_present AS v
+  FROM s
+),
+fin AS (
+  -- decimal literals are wrapped ::DOUBLE — DuckDB parses bare decimal
+  -- literals as DECIMAL and the DECIMAL multiply overflows
+  SELECT event_type,
+         CASE WHEN {_HLL_ALPHA!r}::DOUBLE * {float(_HLL_M)!r}::DOUBLE
+                   * {float(_HLL_M)!r}::DOUBLE
+                   * pow(2.0, {_HLL_W + 1}) / s_all <= {2.5 * _HLL_M!r}::DOUBLE
+                   AND v > 0
+              THEN {float(_HLL_M)!r}::DOUBLE
+                   * ln({float(_HLL_M)!r}::DOUBLE / v)
+              ELSE {_HLL_ALPHA!r}::DOUBLE * {float(_HLL_M)!r}::DOUBLE
+                   * {float(_HLL_M)!r}::DOUBLE
+                   * pow(2.0, {_HLL_W + 1}) / s_all
+         END AS est
+  FROM est
+),
+exact AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
+          FROM events GROUP BY event_type)
+SELECT f.event_type, round(f.est, 9) AS hll_users, exact_users
+FROM fin f JOIN exact USING (event_type)
+ORDER BY event_type
+"""

@@ -45,6 +45,7 @@ ORACLE_CHECKED = [
     "q41_decontaminate",
     "q42_pack_sequences",
     "q43_kmeans_train",
+    "q44_portable_hll",
 ]
 
 
@@ -84,6 +85,17 @@ def test_matches_oracle(spark, duck, name):
             ), f"{name}.{c}"
         else:
             assert g.astype(str).equals(w.astype(str)), f"{name}.{c}"
+
+
+def test_portable_hll_accuracy(spark):
+    """q44's from-scratch HLL (p=10) must estimate within 5% of the
+    exact distinct count for every group (theoretical std err 3.3%)."""
+    from searchengine_spark.pipelines.relational import q44_portable_hll
+
+    rows = q44_portable_hll(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["hll_users"] - r["exact_users"]) / r["exact_users"] < 0.05
 
 
 def test_kmeans_partitions_all_candidates(spark):
