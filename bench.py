@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     # q38 rides on the q17 pair set, degenerate at sf0.1 (see above);
     # q40 composes only linear stages (exact dedup, not LSH) so it scales
     "q40_curate_pipeline",
+    "q41_decontaminate",
+    "q42_pack_sequences",
+    "q43_kmeans_train",
+    "q44_portable_hll",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

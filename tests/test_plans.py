@@ -78,6 +78,32 @@ def test_q35_corpus_scan_is_pruned_and_counts_broadcast(spark):
         assert "text" not in read_cols, read_cols
 
 
+def test_q41_eval_shingles_are_broadcast(spark):
+    """Decontamination must broadcast the (tiny) eval shingle set and
+    never shuffle or cross-join the train-side text."""
+    from searchengine_spark.pipelines.curation import q41_decontaminate
+
+    p = plan(q41_decontaminate(spark, SF_DIR))
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q43_centroids_broadcast_every_round(spark):
+    """Each Lloyd round must broadcast the centroid set (one
+    BroadcastNestedLoopJoin per round against the candidate scan) —
+    never a shuffle of the candidate vectors against the centroids."""
+    from searchengine_spark.pipelines.similarity import (
+        KMEANS_ITER,
+        q43_kmeans_train,
+    )
+
+    p = plan(q43_kmeans_train(spark, SF_DIR))
+    rounds = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert rounds == KMEANS_ITER, p
+    assert "CartesianProduct" not in p
+
+
 def test_q13_stays_jvm_side(spark):
     """BM25 top-k twin: no Python row UDFs in the plan (BatchEvalPython
     = the row-at-a-time slow path; ArrowEvalPython would be a pandas
