@@ -126,10 +126,9 @@ def q21_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITER = 3
 
 
-def q43_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_emb(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES).select(
-        "vec_id", "v"
-    )
+def _lloyd(e: DataFrame):
+    """KMEANS_ITER rounds of spherical Lloyd over ``e`` (vec_id, v).
+    Returns (last-round per-dim means DF, trained centroids DF)."""
     cents = e.filter(F.pmod("vec_id", F.lit(IVF_CENTROID_MOD)) == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -165,16 +164,79 @@ def q43_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["val"],
             ).alias("cv")
         )
+    return m, cents
+
+
+def q43_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_emb(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "v"
+    )
+    m, _ = _lloyd(e)
     return m.select("cent_id", "dim", "val", "n_assigned").orderBy(
         "cent_id", "dim"
     )
 
 
-def _kmeans_oracle() -> str:
+def q45_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's IVF probe over q43's TRAINED centroids — the composed ANN
+    pipeline (train cells → assign corpus → probe queries). Same scale
+    shape as q21 plus the Lloyd rounds; the trained cells are tighter
+    than the raw sample, so nprobe cells recover more true neighbors."""
+    emb = load_emb(spark, sf_dir)
+    e = emb.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "v")
+    _, cents = _lloyd(e)
+    cn = cents.select(
+        "cent_id",
+        F.col("cv").alias("centv"),
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("centn"),
+    )
+    cand = e.select(
+        "vec_id",
+        F.col("v").alias("cv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        cand.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "sim", _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))
+        )
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cv", "cn", "cent_id")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "sim", _dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn"))
+        )
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= IVF_NPROBE)
+        .select("query_id", "qv", "qn", "cent_id")
+    )
+    scored = assigned.join(probes, "cent_id").withColumn(
+        "cos", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lloyd_ctes() -> list[str]:
     """Unrolled KMEANS_ITER-round Lloyd CTE chain (DuckDB has no loops);
     per round: assignment (cross join + row_number), per-dim decimal
     mean (unnest-zip of generate_series with the vector), list rebuild
-    ordered by dim."""
+    ordered by dim. c{KMEANS_ITER} holds the trained centroids."""
     sim = (
         f"{_DOT_AB.format(a='e.v', b='c.cv')} / "
         f"(sqrt({_DOT_AB.format(a='e.v', b='e.v')}) * "
@@ -211,11 +273,76 @@ def _kmeans_oracle() -> str:
             f"c{it} AS (SELECT cent_id, list(val ORDER BY dim) AS cv"
             f" FROM m{it} GROUP BY cent_id)"
         )
+    return parts
+
+
+def _kmeans_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_lloyd_ctes())
+        + f"\nSELECT cent_id, dim, val, n_assigned FROM m{KMEANS_ITER}"
+        " ORDER BY cent_id, dim"
+    )
+
+
+def _ivf_trained_oracle() -> str:
+    """q45: extend the Lloyd chain with q21's assign/probe/score shape,
+    probing c{KMEANS_ITER} (the trained centroids)."""
+    k = KMEANS_ITER
+    parts = _lloyd_ctes()
+    parts.append(
+        f"""cn AS (
+  SELECT cent_id, cv AS centv,
+         sqrt({_DOT_AB.format(a='cv', b='cv')}) AS centn
+  FROM c{k})"""
+    )
+    parts.append(
+        f"""asgn AS (
+  SELECT vec_id, cv, cn, cent_id FROM (
+    SELECT e.vec_id, e.v AS cv,
+           sqrt({_DOT_AB.format(a='e.v', b='e.v')}) AS cn,
+           c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DOT_AB.format(a='e.v', b='c.centv')} /
+                      (sqrt({_DOT_AB.format(a='e.v', b='e.v')}) * c.centn)
+                      DESC, c.cent_id ASC) AS r
+    FROM e CROSS JOIN cn c) WHERE r = 1)"""
+    )
+    parts.append(
+        f"""qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES})"""
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT query_id, qv, qn, cent_id FROM (
+    SELECT q.query_id, q.qv,
+           sqrt({_DOT_AB.format(a='q.qv', b='q.qv')}) AS qn,
+           c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DOT_AB.format(a='q.qv', b='c.centv')} /
+                      (sqrt({_DOT_AB.format(a='q.qv', b='q.qv')}) * c.centn)
+                      DESC, c.cent_id ASC) AS r
+    FROM qv q CROSS JOIN cn c) WHERE r <= {IVF_NPROBE})"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT query_id, vec_id,
+         round({_DOT_AB.format(a='qv', b='cv')} / (qn * cn), 9) AS cos
+  FROM asgn JOIN probes USING (cent_id))"""
+    )
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT cent_id, dim, val, n_assigned FROM m{KMEANS_ITER}"
-        " ORDER BY cent_id, dim"
+        + f"""
+SELECT query_id, rank, vec_id, cos
+FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
     )
 
 
@@ -223,6 +350,7 @@ QUERIES = {
     "q20_ann_bruteforce": q20_ann_bruteforce,
     "q21_ann_ivf": q21_ann_ivf,
     "q43_kmeans_train": q43_kmeans_train,
+    "q45_ann_ivf_trained": q45_ann_ivf_trained,
 }
 
 _EN = """
@@ -300,3 +428,4 @@ ORDER BY query_id, rank
 }
 
 ORACLE["q43_kmeans_train"] = _kmeans_oracle()
+ORACLE["q45_ann_ivf_trained"] = _ivf_trained_oracle()

@@ -46,6 +46,7 @@ ORACLE_CHECKED = [
     "q42_pack_sequences",
     "q43_kmeans_train",
     "q44_portable_hll",
+    "q45_ann_ivf_trained",
 ]
 
 
@@ -203,6 +204,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     n_queries = len({r["query_id"] for r in brute})
     assert len(v) == n_queries * TOP_K
     # probing 3 of ~centroids cells must still recover a solid fraction
+    assert len(b & v) / len(b) >= 0.3
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark):
+    """q45 (IVF over the q43-trained cells) must return full top-k lists
+    and recover a solid fraction of the brute-force neighbors."""
+    from searchengine_spark.pipelines.similarity import (
+        TOP_K,
+        q20_ann_bruteforce,
+        q45_ann_ivf_trained,
+    )
+
+    brute = q20_ann_bruteforce(spark, SF_DIR).collect()
+    ivf = q45_ann_ivf_trained(spark, SF_DIR).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    v = {(r["query_id"], r["vec_id"]) for r in ivf}
+    n_queries = len({r["query_id"] for r in brute})
+    assert len(v) == n_queries * TOP_K
     assert len(b & v) / len(b) >= 0.3
 
 
