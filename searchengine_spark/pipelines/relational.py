@@ -387,26 +387,36 @@ _HLL_M = 1 << _HLL_P  # 1024 registers
 _HLL_W = 60 - _HLL_P  # 50-bit register stream (portable hash is 60-bit)
 
 
-def q44_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+def hll_registers(df: DataFrame, key: str, value: str) -> DataFrame:
+    """HLL register table for distinct-``value`` per ``key``:
+    (key, bucket, mrho). Registers merge by MAX — commutative,
+    associative, idempotent — so partial register tables from any
+    partitioning, micro-batch split, or replayed delivery union+MAX to
+    the exact same table (streaming/sketch.py builds on this)."""
     h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col(value).cast("string")), 1, 15), 16, 10
     ).cast("long")
     w = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
     rho = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
         F.instr(F.lpad(F.bin(w), _HLL_W, "0"), "1")
     )
-    regs = (
-        ev.select(
-            "event_type",
+    return (
+        df.select(
+            F.col(key).alias("key"),
             F.shiftright(h, _HLL_W).alias("bucket"),
             rho.alias("rho"),
         )
-        .groupBy("event_type", "bucket")
+        .groupBy("key", "bucket")
         .agg(F.max("rho").alias("mrho"))
     )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Cardinality estimate per key from a register table — exact-int64
+    register sum, then the Flajolet formula with the small-range
+    linear-counting branch. Returns (key, hll_estimate)."""
     term = F.pow(F.lit(2.0), F.lit(_HLL_W + 1) - F.col("mrho")).cast("long")
-    s = regs.groupBy("event_type").agg(
+    s = regs.groupBy("key").agg(
         F.sum(term).cast("long").alias("s_present"),
         F.count("*").cast("long").alias("n_present"),
     )
@@ -426,12 +436,19 @@ def q44_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= 2.5 * _HLL_M) & (v > 0),
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
     ).otherwise(raw)
+    return s.select("key", F.round(est, 9).alias("hll_estimate"))
+
+
+def q44_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, "event_type", "user_id")
     exact = (
         ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("exact_users"))
     )
     return (
-        s.select("event_type", F.round(est, 9).alias("hll_users"))
+        hll_estimate(regs)
+        .select(F.col("key").alias("event_type"), F.col("hll_estimate").alias("hll_users"))
         .join(exact, "event_type")
         .orderBy("event_type")
     )

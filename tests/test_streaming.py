@@ -242,3 +242,65 @@ def test_stream_dedup_within_watermark_bounds_state(spark):
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 3 not in got
     assert {1, 2, 4} <= got
+
+
+def test_stream_hll_matches_batch(spark):
+    """HLL registers streamed in two micro-batches (and read back with
+    the MAX-fold) must equal the batch q44 registers and estimate to
+    the last bit; restarting the stream with no new data changes
+    nothing."""
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.pipelines.relational import (
+        hll_registers,
+        q44_portable_hll,
+    )
+    from searchengine_spark.streaming.sketch import (
+        hll_distinct,
+        read_hll_registers,
+        stream_hll,
+    )
+
+    events_dir = os.path.join(STREAMDIR, "events_hll")
+    regs_dir = os.path.join(STREAMDIR, "hll_regs")
+    ckpt = os.path.join(STREAMDIR, "hll_ckpt")
+    for d in (events_dir, regs_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(events_dir)
+    src = "/root/testdata/sf0.001/events.parquet"
+    tbl = pq.read_table(src)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), os.path.join(events_dir, "a0.parquet"))
+    pq.write_table(tbl.slice(half), os.path.join(events_dir, "b1.parquet"))
+    os.utime(os.path.join(events_dir, "a0.parquet"), (1, 1))
+
+    stream_hll(spark, events_dir, regs_dir, ckpt).awaitTermination()
+    streamed_regs = {
+        (r["key"], r["bucket"]): r["mrho"]
+        for r in read_hll_registers(spark, regs_dir).collect()
+    }
+    batch_regs = {
+        (r["key"], r["bucket"]): r["mrho"]
+        for r in hll_registers(
+            spark.read.parquet(src), "event_type", "user_id"
+        ).collect()
+    }
+    assert streamed_regs == batch_regs
+
+    streamed_est = {
+        r["key"]: r["hll_estimate"] for r in hll_distinct(spark, regs_dir).collect()
+    }
+    batch_est = {
+        r["event_type"]: r["hll_users"]
+        for r in q44_portable_hll(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert streamed_est == batch_est
+
+    # restart with no new input: checkpoint skips everything, registers
+    # unchanged
+    stream_hll(spark, events_dir, regs_dir, ckpt).awaitTermination()
+    again = {
+        (r["key"], r["bucket"]): r["mrho"]
+        for r in read_hll_registers(spark, regs_dir).collect()
+    }
+    assert again == streamed_regs
