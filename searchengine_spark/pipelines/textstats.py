@@ -232,12 +232,142 @@ def q39_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vals.groupBy("source").agg(*aggs).orderBy("source")
 
 
+# --------------------------------------------------------------------------
+# q46: unigram-LM perplexity filter — the CCNet-style quality gate a
+# web-corpus pipeline runs before training: fit a smoothed unigram model
+# on the corpus, score every document's cross-entropy against it, keep
+# the low-perplexity tail. Two aggregations end-to-end:
+#   train:  explode -> groupBy(tok).count (map-side partial combine; the
+#           model is |vocab| rows — MBs even at 100 TB corpus scale);
+#           N/V scalars ride along as a 1-row broadcast, never collect()ed.
+#   score:  per-doc term frequencies shuffle once on doc_id; the model
+#           join is broadcast at fixture scale and AQE-decided at 100 TB
+#           (vocab ≪ corpus either way).
+# Order-insensitivity: Σ log2 p over a doc's unordered token stream is
+# summed as exact DECIMAL(28,12) partials of the 12dp-rounded log —
+# identical at any parallelism/fold order (decimal sums carry no
+# float-multiply scale quirks either engine could disagree on) — and
+# divided once at the end (the CLAUDE.md float-reduction idiom).
+# --------------------------------------------------------------------------
+
+PPL_MAX = 800.0  # keep threshold for the filter verdict column
+
+
+def q46_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tok_arr()).alias("tok"))
+    )
+    model = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = model.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("v_vocab"),
+    )
+    logp = F.round(
+        F.log2((F.col("c") + 1) / (F.col("n_total") + F.col("v_vocab")).cast("double")),
+        12,
+    ).cast("decimal(28,12)")
+    sc = (
+        toks.join(F.broadcast(model), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(logp).alias("lsum"),
+            F.count("*").cast("long").alias("n_toks"),
+        )
+    )
+    h = -(F.col("lsum").cast("double") / F.col("n_toks"))
+    ppl = F.pow(F.lit(2.0), h)
+    return sc.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.round(h, 9).alias("cross_entropy"),
+        F.round(ppl, 9).alias("perplexity"),
+        (ppl < F.lit(PPL_MAX)).alias("kept"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q47: count-min-sketch heavy hitters — the frequency twin of q44's HLL:
+# a D×W counter grid whose merge is elementwise SUM (commutative,
+# associative), so per-partition / per-micro-batch partial sketches fold
+# to exactly the global sketch at any parallelism (streaming/sketch.py
+# reuses cms_sketch for the incremental twin). estimate(tok) =
+# min over D rows of grid[row][h_row(tok)] — always >= the true count
+# (only collisions inflate), which the `overcount` column exhibits
+# against the exact counts. The sketch is D·W rows (4 KiB of counters)
+# regardless of corpus size; the exact-count side here is the small-scale
+# verifier, vocab-sized, not corpus-sized.
+# --------------------------------------------------------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # buckets per row
+HH_K = 20      # heavy hitters reported
+
+
+def _cms_bucket(tok: F.Column, i: int) -> F.Column:
+    """Row-``i`` bucket for a token: portable 60-bit md5 hash of the
+    salted token, mod W (identical expression in the DuckDB oracle)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), tok)), 1, 15), 16, 10
+    ).cast("long")
+    return h % F.lit(CMS_W)
+
+
+def _cms_probe(tok: F.Column) -> F.Column:
+    """array<struct<row,bucket>> of the D probe cells for a token."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_bucket(tok, i).alias("bucket")
+            )
+            for i in range(CMS_D)
+        ]
+    )
+
+
+def cms_sketch(toks: DataFrame) -> DataFrame:
+    """Count-min grid (row, bucket, cnt) over a ``tok`` column — one
+    explode + one partial-combined groupBy; merges with sibling grids by
+    (row, bucket) SUM."""
+    return (
+        toks.select(F.explode(_cms_probe(F.col("tok"))).alias("rb"))
+        .groupBy(
+            F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def q47_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_docs(spark, sf_dir).select(F.explode(_tok_arr()).alias("tok"))
+    sketch = cms_sketch(toks)
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(HH_K)
+    probes = top.select(
+        "tok", "exact_cnt", F.explode(_cms_probe(F.col("tok"))).alias("rb")
+    ).select("tok", "exact_cnt", "rb.row", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), "tok")
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
     "q24_token_stats": q24_token_stats,
     "q25_fingerprint": q25_fingerprint,
     "q39_length_quantiles": q39_length_quantiles,
+    "q46_lm_perplexity": q46_lm_perplexity,
+    "q47_cms_heavy_hitters": q47_cms_heavy_hitters,
 }
 
 
@@ -352,5 +482,67 @@ v AS (
 SELECT source,
        {", ".join(f"round(max(CASE WHEN q = {q} THEN val END), 9) AS p{int(q * 100)}" for q in LENGTH_QUANTILES)}
 FROM v GROUP BY source ORDER BY source
+""",
+    # q46: same 12dp-rounded log2 per occurrence, exact DECIMAL(28,12)
+    # sum (order-free), one double division at the end — identical
+    # expression shape to the Spark side.
+    "q46_lm_perplexity": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+model AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (
+  SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS v_vocab FROM model
+),
+sc AS (
+  SELECT doc_id,
+         sum(round(log2((c + 1) / CAST(n_total + v_vocab AS DOUBLE)),
+                   12)::DECIMAL(28,12)) AS lsum,
+         count(*)::BIGINT AS n_toks
+  FROM toks JOIN model USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       n_toks::INT AS n_toks,
+       round(-(CAST(lsum AS DOUBLE) / n_toks), 9) AS cross_entropy,
+       round(pow(2.0::DOUBLE, -(CAST(lsum AS DOUBLE) / n_toks)), 9)
+         AS perplexity,
+       pow(2.0::DOUBLE, -(CAST(lsum AS DOUBLE) / n_toks)) < {PPL_MAX}::DOUBLE
+         AS kept
+FROM sc ORDER BY doc_id
+""",
+    # q47: identical salted-hash bucket expression; the grid and the
+    # probe both derive from it, so only collision structure (not engine
+    # fold order) shapes the estimates.
+    "q47_cms_heavy_hitters": f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+rows_ AS (SELECT unnest([{", ".join(str(i) for i in range(CMS_D))}]) AS row),
+pairs AS (
+  SELECT row,
+         ('0x' || substr(md5(row::VARCHAR || ':' || tok), 1, 15))::BIGINT
+           % {CMS_W} AS bucket
+  FROM toks CROSS JOIN rows_
+),
+sk AS (SELECT row, bucket, count(*)::BIGINT AS cnt FROM pairs GROUP BY row, bucket),
+exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY tok),
+top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT {HH_K}),
+probe AS (
+  SELECT tok, exact_cnt, row,
+         ('0x' || substr(md5(row::VARCHAR || ':' || tok), 1, 15))::BIGINT
+           % {CMS_W} AS bucket
+  FROM top CROSS JOIN rows_
+),
+est AS (
+  SELECT tok, exact_cnt, min(cnt) AS cms_estimate
+  FROM probe JOIN sk USING (row, bucket)
+  GROUP BY tok, exact_cnt
+)
+SELECT tok, exact_cnt, cms_estimate, cms_estimate - exact_cnt AS overcount
+FROM est ORDER BY exact_cnt DESC, tok
 """,
 }

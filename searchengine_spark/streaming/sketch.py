@@ -19,6 +19,11 @@ Layout: ``registers_dir/batch=<id>/`` holds each micro-batch's PARTIAL
 register table (key, bucket, mrho); readers fold all partials with one
 groupBy-MAX (k·m·n_batches tiny rows). A compactor would just rewrite
 the folded table; at register scale it is never needed.
+
+The count-min twin (``stream_cms``) follows the same per-batch-partial
+layout with a SUM fold: SUM is commutative/associative but NOT
+idempotent, so there the overwrite-per-batch-directory write is what
+upgrades foreachBatch's at-least-once to exactly-once counters.
 """
 
 from __future__ import annotations
@@ -66,6 +71,58 @@ def stream_hll(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def stream_cms(
+    spark: SparkSession,
+    docs_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOCS_SCHEMA,
+):
+    """availableNow stream over a documents directory: write each
+    micro-batch's partial count-min grid to ``sketch_dir/batch=<id>``
+    (overwrite — a replayed batch rewrites the same partial rather than
+    double-counting; the SUM fold then sees each batch exactly once).
+    Unlike HLL's MAX, SUM is not idempotent, so the per-batch-directory
+    layout is what carries exactly-once here."""
+    from ..pipelines.textstats import _tok_arr, cms_sketch
+
+    s = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(sketch_dir, f"batch={batch_id:08d}")
+        toks = batch_df.select(F.explode(_tok_arr()).alias("tok"))
+        cms_sketch(toks).write.mode("overwrite").parquet(out)
+
+    return (
+        s.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Fold all per-batch partial grids into the global count-min grid
+    (row, bucket, cnt) — one groupBy-SUM."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
 
 

@@ -130,6 +130,32 @@ def test_q39_single_exchange_per_sort(spark):
     assert "Window" in p
 
 
+def test_q46_model_join_is_broadcast(spark):
+    """Perplexity scoring joins the corpus token stream against the
+    vocab-sized model: the model must be the broadcast side (never a
+    shuffle of the token stream against it), scalars ride a 1-row
+    broadcast, and nothing degenerates to a cartesian."""
+    from searchengine_spark.pipelines.textstats import q46_lm_perplexity
+
+    p = plan(q46_lm_perplexity(spark, SF_DIR))
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q47_sketch_probe_is_broadcast_and_topk_is_take(spark):
+    """CMS heavy hitters: the D·W-row grid is the broadcast side of the
+    probe join, and the exact top-k compiles to TakeOrderedAndProject
+    (per-partition partial top-k), not a global sort of the vocab."""
+    from searchengine_spark.pipelines.textstats import q47_cms_heavy_hitters
+
+    p = plan(q47_cms_heavy_hitters(spark, SF_DIR))
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_queries_avoid_row_python_udfs(spark):
     """Sweep: no driver-contract query may compile to a row-at-a-time
     Python UDF (BatchEvalPython). Arrow-batched plans (ArrowEvalPython /

@@ -304,3 +304,51 @@ def test_stream_hll_matches_batch(spark):
         for r in read_hll_registers(spark, regs_dir).collect()
     }
     assert again == streamed_regs
+
+
+def test_stream_cms_matches_batch(spark):
+    """Count-min grid streamed in two micro-batches SUM-folds to exactly
+    the batch grid (partial sketches are mergeable), and a restart with
+    no new data double-counts nothing (per-batch overwrite carries
+    exactly-once over SUM's non-idempotence)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.pipelines.textstats import _tok_arr, cms_sketch
+    from searchengine_spark.streaming.sketch import (
+        read_cms_sketch,
+        stream_cms,
+    )
+
+    docs_dir = os.path.join(STREAMDIR, "docs_cms")
+    sketch_dir = os.path.join(STREAMDIR, "cms_grid")
+    ckpt = os.path.join(STREAMDIR, "cms_ckpt")
+    for d in (docs_dir, sketch_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(docs_dir)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tbl = pq.read_table(src)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), os.path.join(docs_dir, "a0.parquet"))
+    pq.write_table(tbl.slice(half), os.path.join(docs_dir, "b1.parquet"))
+    os.utime(os.path.join(docs_dir, "a0.parquet"), (1, 1))
+
+    stream_cms(spark, docs_dir, sketch_dir, ckpt).awaitTermination()
+    streamed = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in read_cms_sketch(spark, sketch_dir).collect()
+    }
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(
+            spark.read.parquet(src).select(F.explode(_tok_arr()).alias("tok"))
+        ).collect()
+    }
+    assert streamed == batch
+
+    stream_cms(spark, docs_dir, sketch_dir, ckpt).awaitTermination()
+    again = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in read_cms_sketch(spark, sketch_dir).collect()
+    }
+    assert again == streamed
