@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "q42_pack_sequences",
     "q43_kmeans_train",
     "q44_portable_hll",
+    "q46_lm_perplexity",
+    "q47_cms_heavy_hitters",
+    "q48_mixture_sample",
+    "q49_skew_salted_join",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

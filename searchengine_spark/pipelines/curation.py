@@ -318,6 +318,65 @@ def q42_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q48: token-weighted mixture sampling — training mixtures are specified
+# in TOKENS per source, not documents (a long-doc source at a doc quota
+# still swamps the mix), so the keep-rate is budget/token-mass. Same
+# integer-only coin as q35 (u·n_tokens < B·SCALE — no float thresholds),
+# same broadcast-census shape: the per-source table is |sources| rows,
+# the corpus-side pass is a map-only filter at scan speed at 100 TB.
+# Output is the per-source census (rates, kept docs, kept token mass);
+# the kept doc set itself is the same filter without the re-aggregation.
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 1300  # target tokens kept per source (in expectation)
+
+
+def q48_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(_tok_arr()).cast("long").alias("ntok")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    keep = _doc_uniform() * F.col("n_tokens") < F.lit(TOKEN_BUDGET) * F.lit(
+        _Q35_SCALE
+    )
+    kept = (
+        docs.join(F.broadcast(per_src), "source")
+        .withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(TOKEN_BUDGET)) / F.col("n_tokens").cast("double"),
+        ),
+        9,
+    )
+    return (
+        per_src.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rate.alias("keep_rate"),
+            "n_kept",
+            "kept_tokens",
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
     "q36_repetition_filter": q36_repetition_filter,
@@ -325,9 +384,38 @@ QUERIES = {
     "q40_curate_pipeline": q40_curate_pipeline,
     "q41_decontaminate": q41_decontaminate,
     "q42_pack_sequences": q42_pack_sequences,
+    "q48_mixture_sample": q48_mixture_sample,
 }
 
 ORACLE = {
+    "q48_mixture_sample": f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ntok
+  FROM documents
+),
+s AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens
+  FROM d GROUP BY source
+),
+k AS (
+  SELECT d.source,
+         sum(CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % {_Q35_SCALE}) * s.n_tokens
+                       < {TOKEN_BUDGET} * {_Q35_SCALE}
+                  THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         sum(CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % {_Q35_SCALE}) * s.n_tokens
+                       < {TOKEN_BUDGET} * {_Q35_SCALE}
+                  THEN d.ntok ELSE 0 END)::BIGINT AS kept_tokens
+  FROM d JOIN s USING (source) GROUP BY d.source
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(least(1.0::DOUBLE, {TOKEN_BUDGET}::DOUBLE / s.n_tokens), 9)
+         AS keep_rate,
+       k.n_kept, k.kept_tokens
+FROM s JOIN k USING (source) ORDER BY source
+""",
     "q35_source_quota_sample": f"""
 WITH n AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source)
 SELECT d.doc_id, d.source, n.n_source::BIGINT AS n_source

@@ -92,9 +92,70 @@ def q29_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select("term", stem_udf("term").alias("stem")).orderBy("term")
 
 
+# --------------------------------------------------------------------------
+# q49: skew-salted shuffle join — the standard 100 TB hot-key rewrite
+# (AQE's skew-join split only kicks in at runtime and only for
+# sort-merge; this is the explicit form that also covers shuffled-hash).
+# The small side is replicated across N_SALTS salt values; each big-side
+# row scatters to one salt by a row hash, so a hot join key occupies
+# N_SALTS reduce partitions instead of one. The salt is engine-internal
+# (never in the output) and the result is verified against the plain
+# unsalted join as the DuckDB oracle — the rewrite must be semantically
+# invisible. shuffle_hash hint keeps the demo on the shuffle path
+# (a broadcast of the small side would make salting moot at fixture
+# scale; at 100 TB the dimension may not fit the broadcast budget).
+# --------------------------------------------------------------------------
+
+N_SALTS = 8
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = N_SALTS
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``key`` with the small side
+    replicated across ``n_salts`` and the big side scattered by a
+    whole-row hash — identical result to ``big.join(small, key)``."""
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    small_r = small.withColumn("_salt", F.explode(salts))
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        .cast("int"),
+    )
+    return big_s.join(small_r.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")
+
+
+def q49_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = salted_join(li, pt, "l_partkey")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                9,
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 QUERIES = {
     "q28_postings_roundtrip": q28_postings_roundtrip,
     "q29_porter_stems": q29_porter_stems,
+    "q49_skew_salted_join": q49_skew_salted_join,
 }
 
 ORACLE = {
@@ -140,5 +201,16 @@ fixture(term, stem) AS (VALUES
 SELECT t.term, f.stem
 FROM terms t LEFT JOIN fixture f USING (term)
 ORDER BY t.term
+""",
+    # q49: the oracle is the PLAIN join — salting must be semantically
+    # invisible, so any salt-induced row loss/duplication hash-fails.
+    "q49_skew_salted_join": """
+SELECT p.p_brand,
+       count(*)::BIGINT AS n_rows,
+       round(CAST(sum(l.l_quantity::DECIMAL(18,2)) AS DOUBLE), 9) AS sum_qty,
+       round(CAST(sum(l.l_extendedprice::DECIMAL(18,2)) AS DOUBLE), 9)
+         AS sum_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
 """,
 }

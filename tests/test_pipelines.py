@@ -47,6 +47,10 @@ ORACLE_CHECKED = [
     "q43_kmeans_train",
     "q44_portable_hll",
     "q45_ann_ivf_trained",
+    "q46_lm_perplexity",
+    "q47_cms_heavy_hitters",
+    "q48_mixture_sample",
+    "q49_skew_salted_join",
 ]
 
 
@@ -401,3 +405,48 @@ def test_curate_job_cli(spark, tmp_path, monkeypatch):
 
     want = {r["doc_id"] for r in q40_curate_pipeline(spark, SF_DIR).collect()}
     assert {r["doc_id"] for r in got.collect()} == want
+
+
+def test_salted_join_equals_plain_join_on_hot_key(spark):
+    """salted_join must be semantically invisible even when one key
+    carries almost all big-side rows (the case it exists for), and the
+    hot key's rows must actually scatter across every salt."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.pipelines.engine_ops import N_SALTS, salted_join
+
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4500, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k long, name string"
+    )
+    got = (
+        salted_join(big, small, "k")
+        .groupBy("k", "name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    )
+    want = (
+        big.join(small, "k")
+        .groupBy("k", "name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the hot key occupies all N_SALTS scatter values
+    salts = (
+        big.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(N_SALTS)
+            ).cast("int"),
+        )
+        .filter(F.col("k") == 7)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == N_SALTS

@@ -156,6 +156,18 @@ def test_q47_sketch_probe_is_broadcast_and_topk_is_take(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_q49_salted_join_stays_on_shuffle_path(spark):
+    """The skew-salted join must compile to a ShuffledHashJoin keyed on
+    (key, _salt) — a broadcast would make the salting moot, and the demo
+    exists precisely for dimensions too big to broadcast."""
+    from searchengine_spark.pipelines.engine_ops import q49_skew_salted_join
+
+    p = plan(q49_skew_salted_join(spark, SF_DIR))
+    assert "ShuffledHashJoin" in p, p
+    assert "_salt" in p
+    assert "CartesianProduct" not in p
+
+
 def test_queries_avoid_row_python_udfs(spark):
     """Sweep: no driver-contract query may compile to a row-at-a-time
     Python UDF (BatchEvalPython). Arrow-batched plans (ArrowEvalPython /
