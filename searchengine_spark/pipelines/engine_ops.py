@@ -152,10 +152,104 @@ def q49_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q50: blocked Bloom filter as a join runtime-filter — the semi-join
+# prune a 100 TB engine pushes below the shuffle (Spark's own runtime
+# row-group skipping / DPP use exactly this shape): the build side's
+# keys fold into a 256-block × 63-bit mask table via bit_or (a
+# commutative/associative merge, so map-side partial masks OR to the
+# global filter at any parallelism), and the probe side checks its K
+# bits against the broadcast 256-row mask table — a map-only pass that
+# never shuffles the probe relation. The filter itself is portable
+# (md5-derived block/bit, 1<<bit on int64), so the DuckDB oracle
+# reproduces the masks AND the false positives bit-for-bit; the output
+# exposes bloom_pass next to the exact membership so the (deliberate,
+# deterministic) false-positive set is visible and hash-gated.
+# --------------------------------------------------------------------------
+
+BLOOM_BLOCKS = 256
+BLOOM_BITS = 63  # usable bits per block: DuckDB raises on 1::BIGINT << 63
+BLOOM_K = 2  # independent probes per key
+
+
+def _bloom_probe(key: F.Column, j: int) -> tuple[F.Column, F.Column]:
+    """(block, bit) of probe ``j`` for a key — fields carved from the
+    portable 60-bit md5 hash of the salted key."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"b{j}:"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # bit field via integer shift — a double division would round the
+    # 60-bit hash (doubles carry 53 mantissa bits)
+    return h % F.lit(BLOOM_BLOCKS), F.shiftright(h, 8) % F.lit(BLOOM_BITS)
+
+
+def bloom_masks(keys: DataFrame, col: str) -> DataFrame:
+    """Blocked-bloom mask table (block, mask) over a key column."""
+    probes = []
+    for j in range(BLOOM_K):
+        block, bit = _bloom_probe(F.col(col), j)
+        probes.append(F.struct(block.alias("block"), bit.alias("bit")))
+    return (
+        keys.select(F.explode(F.array(*probes)).alias("p"))
+        .select("p.block", "p.bit")
+        .withColumn(
+            "m", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+        )
+        .groupBy("block")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def q50_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_custkey"
+    )
+    masks = bloom_masks(orders.select(F.col("o_custkey").alias("k")), "k")
+    probes = []
+    for j in range(BLOOM_K):
+        block, bit = _bloom_probe(F.col("c_custkey"), j)
+        probes.append(F.struct(block.alias("block"), bit.alias("bit")))
+    probed = cust.select(
+        "c_custkey", F.explode(F.array(*probes)).alias("p")
+    ).select("c_custkey", "p.block", "p.bit")
+    hits = (
+        probed.join(F.broadcast(masks), "block", "left")
+        .select(
+            "c_custkey",
+            F.expr(
+                "CAST((coalesce(mask, CAST(0 AS BIGINT)) & "
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0 AS INT)"
+            ).alias("hit"),
+        )
+        .groupBy("c_custkey")
+        .agg((F.sum("hit") == F.lit(BLOOM_K)).alias("bloom_pass"))
+    )
+    member = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).withColumn("is_member", F.lit(True))
+    return (
+        hits.join(member, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "bloom_pass",
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 QUERIES = {
     "q28_postings_roundtrip": q28_postings_roundtrip,
     "q29_porter_stems": q29_porter_stems,
     "q49_skew_salted_join": q49_skew_salted_join,
+    "q50_bloom_join_prune": q50_bloom_join_prune,
 }
 
 ORACLE = {
@@ -212,5 +306,39 @@ SELECT p.p_brand,
          AS sum_price
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+    # q50: the oracle reproduces the MASKS, not just the verdicts — the
+    # same md5-carved (block, bit) cells and int64 bit_or fold, so the
+    # deterministic false-positive set must match bit-for-bit.
+    "q50_bloom_join_prune": f"""
+WITH ok AS (SELECT DISTINCT o_custkey AS k FROM orders),
+js AS (SELECT unnest([{", ".join(str(j) for j in range(BLOOM_K))}]) AS j),
+bp AS (
+  SELECT ('0x' || substr(md5('b' || j::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT AS h
+  FROM ok CROSS JOIN js
+),
+masks AS (
+  SELECT h % {BLOOM_BLOCKS} AS block,
+         bit_or(1::BIGINT << ((h >> 8) % 63)::INT) AS mask
+  FROM bp GROUP BY h % {BLOOM_BLOCKS}
+),
+cp AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5('b' || j::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM customer CROSS JOIN js
+),
+hits AS (
+  SELECT c_custkey,
+         sum(CASE WHEN (coalesce(m.mask, 0) & (1::BIGINT << ((cp.h >> 8) % 63)::INT)) <> 0
+                  THEN 1 ELSE 0 END) AS nhit
+  FROM cp LEFT JOIN masks m ON m.block = cp.h % {BLOOM_BLOCKS}
+  GROUP BY c_custkey
+)
+SELECT c.c_custkey,
+       h.nhit = {BLOOM_K} AS bloom_pass,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AS is_member
+FROM customer c JOIN hits h ON h.c_custkey = c.c_custkey
+ORDER BY c.c_custkey
 """,
 }

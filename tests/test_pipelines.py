@@ -51,6 +51,7 @@ ORACLE_CHECKED = [
     "q47_cms_heavy_hitters",
     "q48_mixture_sample",
     "q49_skew_salted_join",
+    "q50_bloom_join_prune",
 ]
 
 

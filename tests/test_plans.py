@@ -168,6 +168,16 @@ def test_q49_salted_join_stays_on_shuffle_path(spark):
     assert "CartesianProduct" not in p
 
 
+def test_q50_mask_table_is_broadcast(spark):
+    """The bloom probe must be a map-side pass: the 256-row mask table
+    joins broadcast, nothing degenerates to a cartesian."""
+    from searchengine_spark.pipelines.engine_ops import q50_bloom_join_prune
+
+    p = plan(q50_bloom_join_prune(spark, SF_DIR))
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+    assert "CartesianProduct" not in p
+
+
 def test_queries_avoid_row_python_udfs(spark):
     """Sweep: no driver-contract query may compile to a row-at-a-time
     Python UDF (BatchEvalPython). Arrow-batched plans (ArrowEvalPython /
