@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q48_mixture_sample",
     "q49_skew_salted_join",
     "q50_bloom_join_prune",
+    "q51_range_join",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

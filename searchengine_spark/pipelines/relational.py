@@ -270,6 +270,63 @@ def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q51: range (band) join — for each purchase, clicks by the same user in
+# the preceding hour. A naive realization is a theta join (cross-product
+# per user, BroadcastNestedLoopJoin — the 100 TB killer). The scalable
+# rewrite: bucket both sides by hour (band width = range width), probe
+# buckets {b, b-1} from the purchase side (2-way explode), equi-join on
+# (user_id, bucket) — one hash shuffle — then apply the exact interval
+# predicate to candidates only. A click lands in exactly one bucket and
+# the probe buckets are distinct, so no dedup step is needed. The DuckDB
+# oracle is the plain inequality join, so any bucket-coverage bug
+# (band math off by one) loses pairs and hash-fails.
+# --------------------------------------------------------------------------
+
+BAND_SECONDS = 3600
+
+
+def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # integer floor-div bucketing (a double division could round an
+    # exact hour boundary across the bucket edge)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.expr(f"unix_timestamp(ts) div {BAND_SECONDS}").alias("b"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.expr(f"unix_timestamp(ts) div {BAND_SECONDS}").alias("b0"),
+    )
+    probe = purch.select(
+        "event_id",
+        "user_id",
+        "pts",
+        F.explode(F.array(F.col("b0"), F.col("b0") - 1)).alias("b"),
+    )
+    matched = probe.join(clicks, ["user_id", "b"]).filter(
+        (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts"))
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_clicks_1h")
+    )
+    return (
+        purch.join(counts, "event_id", "left")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.coalesce(F.col("n_clicks_1h"), F.lit(0)).cast("long").alias(
+                "n_clicks_1h"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # q10: deterministic sampling + take (reference sample uses
 # Math.random(), spark/Worker.java:191-205 — rebuilt seeded/deterministic
 # per SURVEY §2.6 so results are reproducible across runs).
@@ -467,11 +524,30 @@ QUERIES = {
     "q07_sessionize": q07_sessionize,
     "q08_window_agg": q08_window_agg,
     "q09_asof_join": q09_asof_join,
+    "q51_range_join": q51_range_join,
     "q10_sample_take": q10_sample_take,
     "q34_cogroup": q34_cogroup,
 }
 
 ORACLE = {
+    # q51: the oracle is the naive inequality join — the banded rewrite
+    # must find exactly the same pairs.
+    "q51_range_join": """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.event_id, count(*)::BIGINT AS n
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+  GROUP BY p.event_id
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       coalesce(m.n, 0)::BIGINT AS n_clicks_1h
+FROM p LEFT JOIN m USING (event_id)
+ORDER BY purchase_id
+""",
     "q30_cube": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,

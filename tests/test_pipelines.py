@@ -52,6 +52,7 @@ ORACLE_CHECKED = [
     "q48_mixture_sample",
     "q49_skew_salted_join",
     "q50_bloom_join_prune",
+    "q51_range_join",
 ]
 
 

@@ -178,6 +178,17 @@ def test_q50_mask_table_is_broadcast(spark):
     assert "CartesianProduct" not in p
 
 
+def test_q51_band_join_avoids_theta_join(spark):
+    """The range join must compile to an equi-join on (user, bucket) —
+    never the theta-join shapes (BroadcastNestedLoopJoin /
+    CartesianProduct) a naive interval predicate produces."""
+    from searchengine_spark.pipelines.relational import q51_range_join
+
+    p = plan(q51_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p
+
+
 def test_queries_avoid_row_python_udfs(spark):
     """Sweep: no driver-contract query may compile to a row-at-a-time
     Python UDF (BatchEvalPython). Arrow-batched plans (ArrowEvalPython /
