@@ -329,7 +329,7 @@ def q42_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the kept doc set itself is the same filter without the re-aggregation.
 # --------------------------------------------------------------------------
 
-TOKEN_BUDGET = 1300  # target tokens kept per source (in expectation)
+MIX_TOKEN_BUDGET = 1300  # target tokens kept per source (in expectation)
 
 
 def q48_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +340,7 @@ def q48_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("ntok").cast("long").alias("n_tokens"),
     )
-    keep = _doc_uniform() * F.col("n_tokens") < F.lit(TOKEN_BUDGET) * F.lit(
+    keep = _doc_uniform() * F.col("n_tokens") < F.lit(MIX_TOKEN_BUDGET) * F.lit(
         _Q35_SCALE
     )
     kept = (
@@ -359,7 +359,7 @@ def q48_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.round(
         F.least(
             F.lit(1.0),
-            F.lit(float(TOKEN_BUDGET)) / F.col("n_tokens").cast("double"),
+            F.lit(float(MIX_TOKEN_BUDGET)) / F.col("n_tokens").cast("double"),
         ),
         9,
     )
@@ -402,16 +402,16 @@ k AS (
   SELECT d.source,
          sum(CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % {_Q35_SCALE}) * s.n_tokens
-                       < {TOKEN_BUDGET} * {_Q35_SCALE}
+                       < {MIX_TOKEN_BUDGET} * {_Q35_SCALE}
                   THEN 1 ELSE 0 END)::BIGINT AS n_kept,
          sum(CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % {_Q35_SCALE}) * s.n_tokens
-                       < {TOKEN_BUDGET} * {_Q35_SCALE}
+                       < {MIX_TOKEN_BUDGET} * {_Q35_SCALE}
                   THEN d.ntok ELSE 0 END)::BIGINT AS kept_tokens
   FROM d JOIN s USING (source) GROUP BY d.source
 )
 SELECT s.source, s.n_docs, s.n_tokens,
-       round(least(1.0::DOUBLE, {TOKEN_BUDGET}::DOUBLE / s.n_tokens), 9)
+       round(least(1.0::DOUBLE, {MIX_TOKEN_BUDGET}::DOUBLE / s.n_tokens), 9)
          AS keep_rate,
        k.n_kept, k.kept_tokens
 FROM s JOIN k USING (source) ORDER BY source
