@@ -352,3 +352,60 @@ def test_stream_cms_matches_batch(spark):
         for r in read_cms_sketch(spark, sketch_dir).collect()
     }
     assert again == streamed
+
+
+def test_stream_range_join_matches_batch(spark):
+    """Stream-stream interval join (purchases x clicks within the
+    preceding hour, both sides in two arbitrary micro-batches) must emit
+    exactly the batch range join's pair set."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.streaming.joins import stream_range_join
+
+    clicks_dir = os.path.join(STREAMDIR, "rj_clicks")
+    purch_dir = os.path.join(STREAMDIR, "rj_purch")
+    out = os.path.join(STREAMDIR, "rj_out")
+    ckpt = os.path.join(STREAMDIR, "rj_ckpt")
+    for d in (clicks_dir, purch_dir, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = pq.read_table(src)
+    import pyarrow.compute as pc
+
+    clicks = ev.filter(pc.equal(ev["event_type"], "click"))
+    purch = ev.filter(pc.equal(ev["event_type"], "purchase"))
+    for tbl, d in ((clicks, clicks_dir), (purch, purch_dir)):
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), os.path.join(d, "a0.parquet"))
+        pq.write_table(tbl.slice(half), os.path.join(d, "b1.parquet"))
+        os.utime(os.path.join(d, "a0.parquet"), (1, 1))
+
+    stream_range_join(spark, clicks_dir, purch_dir, out, ckpt).awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    evdf = spark.read.parquet(src)
+    c = evdf.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = evdf.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") < F.col("pts")),
+        ).collect()
+    }
+    assert got == want and want
