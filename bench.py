@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q49_skew_salted_join",
     "q50_bloom_join_prune",
     "q51_range_join",
+    "q52_hist_quantiles",
+    "q53_stratified_sample",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

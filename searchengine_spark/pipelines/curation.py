@@ -377,6 +377,34 @@ def q48_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q53: exact-n stratified sample — q35/q48 cap strata IN EXPECTATION
+# (map-only coin, no shuffle); when the contract is "exactly n docs per
+# stratum" (eval-set carving, per-domain audit samples), the realization
+# is a per-stratum top-n by hash rank: deterministic order (portable
+# md5 coin, doc_id tie-break), one window per stratum — the per-source
+# sort parallelizes across strata like q39's, and n rows survive per
+# stratum, so the output is |strata|·n regardless of corpus size.
+# --------------------------------------------------------------------------
+
+STRATUM_N = 10  # docs kept per source, exactly (or all, if fewer)
+
+
+def q53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "source", _doc_uniform().alias("u")
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_N)
+        .select("source", F.col("rk").cast("long").alias("rk"), "doc_id")
+        .orderBy("source", "rk")
+    )
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
     "q36_repetition_filter": q36_repetition_filter,
@@ -385,9 +413,23 @@ QUERIES = {
     "q41_decontaminate": q41_decontaminate,
     "q42_pack_sequences": q42_pack_sequences,
     "q48_mixture_sample": q48_mixture_sample,
+    "q53_stratified_sample": q53_stratified_sample,
 }
 
 ORACLE = {
+    "q53_stratified_sample": f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % {_Q35_SCALE}, doc_id
+         )::BIGINT AS rk
+  FROM documents
+)
+SELECT source, rk, doc_id FROM r WHERE rk <= {STRATUM_N}
+ORDER BY source, rk
+""",
     "q48_mixture_sample": f"""
 WITH d AS (
   SELECT doc_id, source,

@@ -360,6 +360,78 @@ def q47_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("exact_cnt"), "tok")
 
 
+# --------------------------------------------------------------------------
+# q52: histogram quantile sketch — the mergeable scale path q39's own
+# docstring promises as the fallback when even one per-source sort is
+# too much: a fixed-width histogram (source, bin, n) built with ONE
+# map-side-combinable groupBy (merges across partitions/streams by SUM,
+# like q44/q47's sketches), then p50/p90/p99 estimated by uniform
+# interpolation inside the covering bin. The histogram is |sources|×
+# |bins| rows — KBs at any corpus size — so the quantile finish runs on
+# a broadcast-scale relation. Deterministic end-to-end: integer bins,
+# integer cumulative ranks, one double division — the DuckDB oracle
+# reproduces the estimate (not just the histogram) bit-for-bit.
+# Accuracy vs the exact q39 is bounded by the bin width (±Q52_BIN_W),
+# asserted in pytest.
+# --------------------------------------------------------------------------
+
+Q52_BIN_W = 25  # tokens per histogram bin
+
+
+def q52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).select(
+        "source",
+        F.expr(
+            f"CAST(size(filter(split(text, ' '), x -> x != '')) div {Q52_BIN_W} AS BIGINT)"
+        ).alias("bin"),
+    )
+    hist = docs.groupBy("source", "bin").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cum_excl", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn(
+        "n_total", F.sum("n").over(Window.partitionBy("source"))
+    )
+    qs = spark.createDataFrame([(q,) for q in LENGTH_QUANTILES], "q double")
+    # 0-based target rank r = floor(q*(N-1)); covering bin has
+    # cum_excl <= r < cum_excl + n; uniform interpolation inside it
+    tagged = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "r", F.floor(F.col("q") * (F.col("n_total") - 1)).cast("long")
+        )
+        .filter(
+            (F.col("cum_excl") <= F.col("r"))
+            & (F.col("r") < F.col("cum_excl") + F.col("n"))
+        )
+        .withColumn(
+            "est",
+            F.round(
+                F.col("bin") * F.lit(Q52_BIN_W)
+                + F.lit(float(Q52_BIN_W))
+                * (F.col("r") - F.col("cum_excl"))
+                / F.col("n").cast("double"),
+                9,
+            ),
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("q") == F.lit(q), F.col("est"))).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in LENGTH_QUANTILES
+    ]
+    return tagged.groupBy("source").agg(*aggs).orderBy("source")
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
@@ -368,6 +440,7 @@ QUERIES = {
     "q39_length_quantiles": q39_length_quantiles,
     "q46_lm_perplexity": q46_lm_perplexity,
     "q47_cms_heavy_hitters": q47_cms_heavy_hitters,
+    "q52_hist_quantiles": q52_hist_quantiles,
 }
 
 
@@ -544,5 +617,38 @@ est AS (
 )
 SELECT tok, exact_cnt, cms_estimate, cms_estimate - exact_cnt AS overcount
 FROM est ORDER BY exact_cnt DESC, tok
+""",
+    # q52: identical integer bins / cumulative ranks / interpolation
+    # expression — the sketch estimate itself is deterministic.
+    "q52_hist_quantiles": f"""
+WITH d AS (
+  SELECT source,
+         (len(list_filter(string_split(text, ' '), x -> x <> ''))
+          // {Q52_BIN_W})::BIGINT AS bin
+  FROM documents
+),
+hist AS (SELECT source, bin, count(*)::BIGINT AS n FROM d GROUP BY source, bin),
+cum AS (
+  SELECT source, bin, n,
+         coalesce(sum(n) OVER (PARTITION BY source ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+         sum(n) OVER (PARTITION BY source) AS n_total
+  FROM hist
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in LENGTH_QUANTILES)}]::DOUBLE[]) AS q),
+tagged AS (
+  SELECT source, q,
+         round(bin * {Q52_BIN_W}
+               + {Q52_BIN_W}::DOUBLE * (r - cum_excl) / CAST(n AS DOUBLE),
+               9) AS est
+  FROM (
+    SELECT c.*, q, floor(q * (n_total - 1))::BIGINT AS r
+    FROM cum c CROSS JOIN qs
+  )
+  WHERE cum_excl <= r AND r < cum_excl + n
+)
+SELECT source,
+       {", ".join(f"max(CASE WHEN q = {q} THEN est END) AS p{int(q * 100)}" for q in LENGTH_QUANTILES)}
+FROM tagged GROUP BY source ORDER BY source
 """,
 }

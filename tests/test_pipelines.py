@@ -53,6 +53,8 @@ ORACLE_CHECKED = [
     "q49_skew_salted_join",
     "q50_bloom_join_prune",
     "q51_range_join",
+    "q52_hist_quantiles",
+    "q53_stratified_sample",
 ]
 
 
@@ -452,3 +454,20 @@ def test_salted_join_equals_plain_join_on_hot_key(spark):
         .count()
     )
     assert salts == N_SALTS
+
+
+def test_hist_quantiles_within_bin_width_of_exact(spark):
+    """q52's histogram estimates must sit within one bin width of q39's
+    exact rank-selection quantiles for every (source, percentile)."""
+    from searchengine_spark.pipelines.textstats import (
+        Q52_BIN_W,
+        q39_length_quantiles,
+        q52_hist_quantiles,
+    )
+
+    exact = {r["source"]: r for r in q39_length_quantiles(spark, SF_DIR).collect()}
+    est = {r["source"]: r for r in q52_hist_quantiles(spark, SF_DIR).collect()}
+    assert set(exact) == set(est)
+    for src in exact:
+        for p in ("p50", "p90", "p99"):
+            assert abs(exact[src][p] - est[src][p]) <= Q52_BIN_W, (src, p)
