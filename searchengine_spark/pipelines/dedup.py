@@ -496,6 +496,183 @@ def q38_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q54: all-pairs sparse (tf-idf) cosine similarity — inverted-index
+# self-join. Token-space sibling of the embedding paths (q19/q33): the
+# shuffle carries (term, doc_id, weight) postings, never document text,
+# and candidate pairs materialize only for documents that actually share
+# a term (volume = sum over terms of df(t)^2). On a real Zipf corpus the
+# `max_df_frac` cap bounds that sum by dropping stopword-grade terms
+# before pairing (their idf weight is ~0 anyway); the fixture's 31-word
+# synthetic vocabulary is degenerately dense (every term in ~every doc),
+# so the contract entry runs uncapped and, like q16/q17, the entry is
+# correctness-gated at sf0.01 rather than benchmarked at sf0.1.
+# Float discipline (CLAUDE.md): norms and dots fold as exact
+# DECIMAL(28,12) partials — order-insensitive at any parallelism and
+# bit-identical in DuckDB — with ONE double division / sqrt at the end.
+# --------------------------------------------------------------------------
+
+SPARSE_COS_THRESHOLD = 0.9
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = SPARSE_COS_THRESHOLD,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine) for tf-idf cosine >= threshold.
+
+    w(d,t) = tf * ln(N/df); vectors L2-normalized; pairs built by an
+    equi-self-join of the (term, doc, weight) inverted index — one hash
+    shuffle on term, no O(n^2) cross product."""
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_row = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        dfs = (
+            dfs.crossJoin(F.broadcast(n_row))
+            .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
+            .select("term", "df")
+        )
+    # dfs is |vocab| rows (the q46 LM-broadcast shape): broadcast it over
+    # the posting stream, never the reverse.
+    w = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    norms = (
+        w.groupBy("doc_id")
+        .agg(F.sum((F.col("w") * F.col("w")).cast("decimal(28,12)")).alias("ss"))
+        .select("doc_id", F.sqrt(F.col("ss").cast("double")).alias("nrm"))
+    )
+    inv = w.join(norms, "doc_id").select(
+        "term", "doc_id", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    a = inv.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("wn").alias("wa"),
+    )
+    b = inv.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("wn").alias("wb"),
+    )
+    return (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)")).alias("dot")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot").cast("double"), 9).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q54_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparse_cosine_pairs(load_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q55: duplicated-span detection — exact-substring dedup at K-token
+# shingle granularity (the span-level complement of q15's whole-document
+# hash). Every K-token window hashes to one portable 60-bit int; a span
+# is "duplicated" when its hash occurs in >= 2 distinct documents. The
+# shuffle carries (shingle_hash, doc_id, pos) — 8-byte keys, linear in
+# corpus tokens, never document text — so unlike the pairwise near-dup
+# family this op needs no candidate pairing at all and scales to 100 TB
+# as two hash aggregations. Output: per-doc duplicated-token coverage
+# (union of flagged windows) and a flag at DUP_SPAN_FLAG fraction.
+# --------------------------------------------------------------------------
+
+SPAN_K = 8
+DUP_SPAN_FLAG = (1, 5)  # flag docs with >= 1/5 of tokens inside a dup span
+
+
+def dup_spans(docs: DataFrame) -> DataFrame:
+    k = SPAN_K
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    # hash all windows inside one JVM expression (no per-position array
+    # duplication), then posexplode to (doc_id, pos, sh)
+    sh_arr = F.when(
+        F.col("n_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_toks") - k + 1),
+            lambda i: portable_hash(F.concat_ws(" ", F.slice("toks", i, k))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    occ = base.select(
+        "doc_id", F.posexplode(sh_arr).alias("pos0", "sh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    dup = (
+        occ.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    # dup is tiny relative to occ on real corpora but CAN be large on a
+    # heavily-duplicated crawl — left to Catalyst/AQE (broadcast when it
+    # fits, hash shuffle otherwise), nothing hard-coded.
+    docc = occ.join(dup, "sh")
+    cover = (
+        docc.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("dup_tokens"))
+    )
+    ndup = docc.groupBy("doc_id").agg(F.count("*").alias("n_dup_shingles"))
+    num, den = DUP_SPAN_FLAG
+    return (
+        base.select("doc_id", "n_toks")
+        .join(ndup, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.greatest(F.col("n_toks") - k + 1, F.lit(0))
+            .cast("long")
+            .alias("n_shingles"),
+            F.coalesce(F.col("n_dup_shingles"), F.lit(0).cast("long")).alias(
+                "n_dup_shingles"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+        )
+        .withColumn("dup_frac", F.round(F.col("dup_tokens") / F.col("n_toks"), 9))
+        .withColumn(
+            "flag_dup",
+            (F.col("dup_tokens") * den >= F.col("n_toks") * num).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q55_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_spans(load_docs(spark, sf_dir))
+
+
 QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
     "q16_ngram_jaccard": q16_ngram_jaccard,
@@ -505,6 +682,8 @@ QUERIES = {
     "q32_simhash_banded": q32_simhash_banded,
     "q33_embedding_neardup_ivf": q33_embedding_neardup_ivf,
     "q38_dup_clusters": q38_dup_clusters,
+    "q54_sparse_cosine": q54_sparse_cosine,
+    "q55_dup_spans": q55_dup_spans,
 }
 
 _TOKSETS_CTE = """
@@ -760,5 +939,68 @@ WHERE round(
           (acc, x) -> acc + x)
         / sqrt(a.nrm * b.nrm), 9) >= {EMB_NEARDUP_COS}
 ORDER BY vec_a, vec_b
+""",
+    # q54: same DECIMAL(28,12)-partial fold as the Spark side — norms
+    # and dots are order-insensitive exact sums, one double sqrt/div.
+    "q54_sparse_cosine": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT doc_id, term, tf * ln((SELECT n_docs FROM n) / df) AS w
+  FROM tf JOIN dfs USING (term)
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(CAST(w * w AS DECIMAL(28,12)))::DOUBLE) AS nrm
+  FROM w GROUP BY doc_id
+),
+inv AS (SELECT term, doc_id, w / nrm AS wn FROM w JOIN norms USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(sum(CAST(a.wn * b.wn AS DECIMAL(28,12)))::DOUBLE, 9) AS cosine
+FROM inv a JOIN inv b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING round(sum(CAST(a.wn * b.wn AS DECIMAL(28,12)))::DOUBLE, 9)
+       >= {SPARSE_COS_THRESHOLD}::DOUBLE
+ORDER BY doc_a, doc_b
+""",
+    # q55: windows via a 1-based list comprehension — identical strings
+    # to Spark's concat_ws over slice, so the portable hashes agree.
+    "q55_dup_spans": f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, len(toks) AS n_toks, toks FROM t),
+occ AS (
+  SELECT doc_id, i AS pos,
+         {PORTABLE_HASH_SQL.format(
+             c=f"array_to_string(toks[i:i+{SPAN_K - 1}], ' ')")} AS sh
+  FROM base, unnest(range(1, greatest(n_toks - {SPAN_K - 1}, 0) + 1)) AS u(i)
+),
+dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+docc AS (SELECT occ.* FROM occ JOIN dup USING (sh)),
+cover AS (
+  SELECT doc_id, count(DISTINCT p) AS dup_tokens
+  FROM (SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p FROM docc)
+  GROUP BY doc_id
+),
+ndup AS (SELECT doc_id, count(*) AS n_dup_shingles FROM docc GROUP BY doc_id)
+SELECT b.doc_id, b.n_toks,
+       greatest(b.n_toks - {SPAN_K - 1}, 0) AS n_shingles,
+       coalesce(n.n_dup_shingles, 0) AS n_dup_shingles,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(c.dup_tokens, 0)::DOUBLE / b.n_toks, 9) AS dup_frac,
+       CASE WHEN coalesce(c.dup_tokens, 0) * {DUP_SPAN_FLAG[1]}
+                 >= b.n_toks * {DUP_SPAN_FLAG[0]} THEN 1 ELSE 0 END AS flag_dup
+FROM base b
+LEFT JOIN ndup n USING (doc_id)
+LEFT JOIN cover c USING (doc_id)
+ORDER BY doc_id
 """,
 }

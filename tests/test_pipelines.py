@@ -55,6 +55,8 @@ ORACLE_CHECKED = [
     "q51_range_join",
     "q52_hist_quantiles",
     "q53_stratified_sample",
+    "q54_sparse_cosine",
+    "q55_dup_spans",
 ]
 
 
@@ -471,3 +473,53 @@ def test_hist_quantiles_within_bin_width_of_exact(spark):
     for src in exact:
         for p in ("p50", "p90", "p99"):
             assert abs(exact[src][p] - est[src][p]) <= Q52_BIN_W, (src, p)
+
+
+def test_dup_spans_planted(spark):
+    """q55 coverage math on a planted corpus: docs A and B share a
+    9-token span (two overlapping 8-shingles -> 9 covered tokens, not
+    16); doc C shares nothing."""
+    from searchengine_spark.pipelines.dedup import SPAN_K, dup_spans
+
+    assert SPAN_K == 8  # the planted arithmetic below assumes K=8
+    shared = " ".join(f"s{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3 a4"),        # 13 toks, span at pos 3..11
+            (2, f"b1 {shared} b2 b3 b4 b5 b6"),  # 16 toks, span at pos 2..10
+            (3, " ".join(f"c{i}" for i in range(10))),  # 10 toks, unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_spans(docs).collect()}
+    assert rows[1]["n_toks"] == 13 and rows[1]["n_shingles"] == 6
+    assert rows[1]["n_dup_shingles"] == 2 and rows[1]["dup_tokens"] == 9
+    assert rows[1]["flag_dup"] == 1  # 9/13 >= 1/5
+    assert rows[2]["n_dup_shingles"] == 2 and rows[2]["dup_tokens"] == 9
+    assert rows[3]["n_dup_shingles"] == 0 and rows[3]["dup_tokens"] == 0
+    assert rows[3]["dup_frac"] == 0.0 and rows[3]["flag_dup"] == 0
+
+
+def test_sparse_cosine_planted_and_max_df_cap(spark):
+    """q54: identical docs cosine to exactly 1.0; docs sharing no term
+    never materialize a pair. The max_df cap at 1.0 is a no-op; a
+    binding cap drops the capped terms from the vocabulary."""
+    from searchengine_spark.pipelines.dedup import sparse_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma alpha"),
+            (3, "delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sparse_cosine_pairs(docs, threshold=0.0).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in got}
+    assert pairs == {(1, 2): 1.0}  # no shared term -> no candidate row
+    uncapped = sparse_cosine_pairs(docs, threshold=0.0).collect()
+    noop_cap = sparse_cosine_pairs(docs, threshold=0.0, max_df_frac=1.0).collect()
+    assert sorted(map(tuple, uncapped)) == sorted(map(tuple, noop_cap))
+    # cap below 2/3 removes every term shared by docs 1 and 2
+    capped = sparse_cosine_pairs(docs, threshold=0.0, max_df_frac=0.5).collect()
+    assert capped == []

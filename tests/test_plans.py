@@ -229,3 +229,25 @@ def test_q40_fuses_map_stages_into_one_scan(spark):
     assert len(full_reads) <= 1, "only the fused map scan may read text+source"
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q54_inverted_join_shapes(spark):
+    """q54: the vocab-sized df table and the 1-row N scalar are
+    broadcast; the inverted-index self-join must stay an equi hash/merge
+    join — never a CartesianProduct (the O(n^2) shape the op exists to
+    avoid)."""
+    from searchengine_spark.pipelines.dedup import q54_sparse_cosine
+
+    p = plan(q54_sparse_cosine(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # df table + N scalar ride broadcasts
+
+
+def test_q55_is_two_hash_aggs_no_pairing(spark):
+    """q55 must never build candidate pairs: no cartesian/theta join
+    anywhere, and the text column is read once (one documents scan)."""
+    from searchengine_spark.pipelines.dedup import q55_dup_spans
+
+    p = plan(q55_dup_spans(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
