@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     # 31-word vocabulary makes every doc pair share terms (O(n^2) dense,
     # like q16/q17), so it is not a meaningful throughput probe.
     "q55_dup_spans",
+    "q56_gapfill",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

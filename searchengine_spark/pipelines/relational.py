@@ -511,6 +511,76 @@ def q44_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q56: time-series gap-fill + linear interpolation (hypertable-style
+# resample). Buckets are integer floor-divs of epoch seconds (q51's
+# idiom — a double division could round an exact boundary across the
+# bucket edge). The missing-bucket grid is generated PER USER from that
+# user's own [min, max] span — a sequence explode on the already
+# user-partitioned span table, never a global calendar cross join — and
+# the interpolation windows are partitioned by user, so the whole op is
+# one (user, bucket) shuffle plus user-local windows: no stage touches
+# more than one user's span at once, at any corpus size.
+# Bucket averages fold as exact DECIMAL(18,2) partials (order-
+# insensitive), one double division at the end; interpolated values use
+# the identical expression shape in both engines.
+# --------------------------------------------------------------------------
+
+GAPFILL_BUCKET_S = 21_600  # 6-hour buckets
+
+
+def q56_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill(load(spark, sf_dir, "events"))
+
+
+def gapfill(ev: DataFrame) -> DataFrame:
+    obs = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_timestamp(ts) div {GAPFILL_BUCKET_S}").alias("b"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("user_id", "b")
+        .agg((F.sum("v").cast("double") / F.count("*")).alias("avg_v"))
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    )
+    grid = spans.select("user_id", F.explode(F.sequence("mn", "mx")).alias("b"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("avg_v").isNotNull(), F.col("b"))
+    j = (
+        grid.join(obs, ["user_id", "b"], "left")
+        .withColumn("pv", F.last("avg_v", ignorenulls=True).over(wp))
+        .withColumn("pb", F.last(ob, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("avg_v", ignorenulls=True).over(wn))
+        .withColumn("nb", F.first(ob, ignorenulls=True).over(wn))
+    )
+    val = F.when(F.col("avg_v").isNotNull(), F.col("avg_v")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            (F.col("b") - F.col("pb")).cast("double")
+            / (F.col("nb") - F.col("pb")).cast("double")
+        )
+    )
+    return j.select(
+        "user_id",
+        (F.col("b") * GAPFILL_BUCKET_S).alias("bucket_start_s"),
+        F.round(val, 9).alias("value"),
+        F.col("avg_v").isNull().cast("int").alias("filled"),
+    ).orderBy("user_id", "bucket_start_s")
+
+
 QUERIES = {
     "q01_fold_agg": q01_fold_agg,
     "q30_cube": q30_cube,
@@ -527,6 +597,7 @@ QUERIES = {
     "q51_range_join": q51_range_join,
     "q10_sample_take": q10_sample_take,
     "q34_cogroup": q34_cogroup,
+    "q56_gapfill": q56_gapfill,
 }
 
 ORACLE = {
@@ -734,4 +805,40 @@ exact AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
 SELECT f.event_type, round(f.est, 9) AS hll_users, exact_users
 FROM fin f JOIN exact USING (event_type)
 ORDER BY event_type
+"""
+
+# q56 oracle: floor(epoch) before the integer div (epoch() is a DOUBLE
+# with fractional seconds; a bare ::BIGINT cast ROUNDS, which would
+# shift .5+ fractions across a bucket edge — unix_timestamp floors).
+ORACLE["q56_gapfill"] = f"""
+WITH obs AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT // {GAPFILL_BUCKET_S} AS b,
+         sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id, g.b FROM spans, unnest(generate_series(mn, mx)) AS g(b)
+),
+j AS (
+  SELECT g.user_id, g.b, o.avg_v,
+         last_value(o.avg_v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN o.avg_v IS NOT NULL THEN g.b END IGNORE NULLS)
+           OVER wp AS pb,
+         first_value(o.avg_v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN o.avg_v IS NOT NULL THEN g.b END IGNORE NULLS)
+           OVER wn AS nb
+  FROM grid g LEFT JOIN obs o USING (user_id, b)
+  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY g.user_id ORDER BY g.b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, b * {GAPFILL_BUCKET_S} AS bucket_start_s,
+       round(CASE WHEN avg_v IS NOT NULL THEN avg_v
+                  ELSE pv + (nv - pv)
+                       * ((b - pb)::DOUBLE / (nb - pb)::DOUBLE) END, 9) AS value,
+       CASE WHEN avg_v IS NULL THEN 1 ELSE 0 END AS filled
+FROM j
+ORDER BY user_id, bucket_start_s
 """

@@ -57,6 +57,7 @@ ORACLE_CHECKED = [
     "q53_stratified_sample",
     "q54_sparse_cosine",
     "q55_dup_spans",
+    "q56_gapfill",
 ]
 
 
@@ -523,3 +524,33 @@ def test_sparse_cosine_planted_and_max_df_cap(spark):
     # cap below 2/3 removes every term shared by docs 1 and 2
     capped = sparse_cosine_pairs(docs, threshold=0.0, max_df_frac=0.5).collect()
     assert capped == []
+
+
+def test_gapfill_planted_interpolation(spark):
+    """q56 on a planted series: user observed at 6h-buckets 0 and 3
+    (values 10 and 40) gets buckets 1 and 2 linearly filled (20, 30);
+    two events in one bucket average exactly."""
+    from datetime import datetime
+
+    from searchengine_spark.pipelines.relational import GAPFILL_BUCKET_S, gapfill
+
+    def at(bucket, offset_s=0):
+        return datetime.utcfromtimestamp(bucket * GAPFILL_BUCKET_S + offset_s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, at(0), 10.0),
+            (1, at(3, 60), 40.0),
+            (2, at(5), 7.0),
+            (2, at(5, 120), 9.0),  # same bucket -> avg 8.0
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = {(r["user_id"], r["bucket_start_s"]): r for r in gapfill(ev).collect()}
+    b = GAPFILL_BUCKET_S
+    assert rows[(1, 0)]["value"] == 10.0 and rows[(1, 0)]["filled"] == 0
+    assert rows[(1, 1 * b)]["value"] == 20.0 and rows[(1, 1 * b)]["filled"] == 1
+    assert rows[(1, 2 * b)]["value"] == 30.0 and rows[(1, 2 * b)]["filled"] == 1
+    assert rows[(1, 3 * b)]["value"] == 40.0 and rows[(1, 3 * b)]["filled"] == 0
+    assert rows[(2, 5 * b)]["value"] == 8.0 and rows[(2, 5 * b)]["filled"] == 0
+    assert len(rows) == 5
