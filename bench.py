@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     # like q16/q17), so it is not a meaningful throughput probe.
     "q55_dup_spans",
     "q56_gapfill",
+    "q57_priority_sample",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

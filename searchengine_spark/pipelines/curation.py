@@ -405,6 +405,63 @@ def q53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q57: exact-n WEIGHTED sampling without replacement per stratum —
+# Efraimidis–Spirakis priority sampling. Each doc draws the portable
+# uniform u = (h+1)/2^60 from its id hash and gets priority
+# ln(u)/weight (monotone in the classic u^(1/w) key, using only ln and
+# division — both bit-identical across Spark and DuckDB, unlike pow);
+# the top-n priorities per stratum ARE a weight-proportional
+# without-replacement sample. Complements q48 (weighted Bernoulli, n in
+# expectation) and q53 (exact-n uniform).
+# Scale: ranking runs TWO-PHASE — per-(stratum, salt) partial top-n,
+# then top-n of the ≤ n·S survivors — so a billion-doc stratum never
+# lands in a single window task. Exact by construction (the global
+# top-n is a subset of the union of per-salt top-ns), so the oracle is
+# the plain single-window SQL and pytest pins two-phase == one-phase.
+# --------------------------------------------------------------------------
+
+PRIO_SAMPLE_N = 10
+PRIO_N_SALTS = 16
+_PRIO_U_DEN = float(1 << 60)
+
+
+def priority_sample(docs: DataFrame, two_phase: bool = True) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = docs.select("doc_id", "source", "n_chars", h.alias("h")).withColumn(
+        "prio",
+        F.log((F.col("h") + 1) / F.lit(_PRIO_U_DEN)) / F.col("n_chars"),
+    )
+    if two_phase:
+        w1 = Window.partitionBy("source", F.col("h") % PRIO_N_SALTS).orderBy(
+            F.desc("prio"), F.asc("doc_id")
+        )
+        d = d.withColumn("prk", F.row_number().over(w1)).filter(
+            F.col("prk") <= PRIO_SAMPLE_N
+        )
+    w2 = Window.partitionBy("source").orderBy(F.desc("prio"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= PRIO_SAMPLE_N)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round("prio", 9).alias("priority"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+def q57_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_sample(load_docs(spark, sf_dir))
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
     "q36_repetition_filter": q36_repetition_filter,
@@ -414,6 +471,7 @@ QUERIES = {
     "q42_pack_sequences": q42_pack_sequences,
     "q48_mixture_sample": q48_mixture_sample,
     "q53_stratified_sample": q53_stratified_sample,
+    "q57_priority_sample": q57_priority_sample,
 }
 
 ORACLE = {
@@ -582,4 +640,29 @@ WHERE pred_lang IN ({", ".join(f"'{l}'" for l in CURATE_LANGS)})
   AND quality >= {CURATE_MIN_QUALITY}
   AND rep_keep = 1 AND doc_id = canonical_id
 ORDER BY doc_id
+"""
+
+# q57 oracle: the PLAIN single-window ranking — the two-phase salted
+# rewrite must be semantically invisible (same exact rows).
+ORACLE["q57_priority_sample"] = f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, n_chars,
+         ln((h + 1)::DOUBLE / {int(_PRIO_U_DEN)}::DOUBLE) / n_chars AS prio
+  FROM d
+),
+r AS (
+  SELECT source, doc_id, n_chars, prio,
+         row_number() OVER (
+           PARTITION BY source ORDER BY prio DESC, doc_id
+         )::BIGINT AS rk
+  FROM p
+)
+SELECT source, rk, doc_id, n_chars AS weight, round(prio, 9) AS priority
+FROM r WHERE rk <= {PRIO_SAMPLE_N}
+ORDER BY source, rk
 """

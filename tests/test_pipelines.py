@@ -58,6 +58,7 @@ ORACLE_CHECKED = [
     "q54_sparse_cosine",
     "q55_dup_spans",
     "q56_gapfill",
+    "q57_priority_sample",
 ]
 
 
@@ -554,3 +555,29 @@ def test_gapfill_planted_interpolation(spark):
     assert rows[(1, 3 * b)]["value"] == 40.0 and rows[(1, 3 * b)]["filled"] == 0
     assert rows[(2, 5 * b)]["value"] == 8.0 and rows[(2, 5 * b)]["filled"] == 0
     assert len(rows) == 5
+
+
+def test_priority_sample_two_phase_equals_plain(spark):
+    """q57's salted two-phase ranking must return exactly the plain
+    single-window sample, and exactly min(n, stratum size) rows per
+    stratum — weighted sampling changes WHICH docs win, never HOW MANY."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.pipelines.curation import (
+        PRIO_SAMPLE_N,
+        priority_sample,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    docs = load_docs(spark, SF_DIR)
+    two = priority_sample(docs, two_phase=True).collect()
+    one = priority_sample(docs, two_phase=False).collect()
+    assert sorted(map(tuple, two)) == sorted(map(tuple, one))
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got: dict = {}
+    for r in two:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    assert got == {s: min(PRIO_SAMPLE_N, n) for s, n in sizes.items()}
