@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q55_dup_spans",
     "q56_gapfill",
     "q57_priority_sample",
+    "q58_triangles",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -83,7 +83,95 @@ def q27_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
-QUERIES = {"q27_pagerank": q27_pagerank}
+# --------------------------------------------------------------------------
+# q58: per-node triangle counting over the co-purchase projection
+# (parts sharing an order). The projection pairs items WITHIN one order
+# — order size is bounded (~7 lineitems), so edge generation is linear
+# in lineitem, never a global cross product. Counting orients every
+# edge low→high by the total order (degree, node): each triangle is
+# then rooted exactly once at its minimum vertex, and — the scale
+# property — every node's out-degree is O(sqrt(m)), so the wedge join
+# (out-neighbor pairs per root) is O(m^1.5) instead of Σdeg² on the
+# raw graph; hub nodes generate no wedges at all. Pure integer math —
+# no float portability hazards. The oracle is the naive id-oriented
+# 3-way self-join: the degree-oriented rewrite must find exactly the
+# same triangles (semantically invisible, like q49/q57's plain twins).
+# --------------------------------------------------------------------------
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (pa < pb) between parts co-occurring in
+    an order."""
+    op = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    a = op.select("ok", F.col("p").alias("pa"))
+    b = op.select("ok", F.col("p").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+def q58_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(copurchase_edges(spark, sf_dir))
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles) from distinct undirected (pa < pb)
+    edges, via degree-ordered orientation."""
+    pairs = pairs.cache()
+    deg = (
+        pairs.select(F.col("pa").alias("v"))
+        .unionAll(pairs.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = pairs.join(
+        deg.select(F.col("v").alias("pa"), F.col("deg").alias("da")), "pa"
+    ).join(deg.select(F.col("v").alias("pb"), F.col("deg").alias("db")), "pb")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        pairs, (F.col("v") == F.col("pa")) & (F.col("w") == F.col("pb")), "left_semi"
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("v").alias("node"), "deg")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+QUERIES = {"q27_pagerank": q27_pagerank, "q58_triangles": q58_triangles}
 
 
 def _iteration_sql(prev: str, cur: str) -> str:
@@ -126,3 +214,37 @@ SELECT node, CAST(round(rank_dec, 9) AS DOUBLE) AS rank
 FROM r{N_ITERS} ORDER BY node
 """,
 }
+
+# q58 oracle: the naive id-oriented 3-way self-join — the degree-
+# oriented engine rewrite must count exactly the same triangles.
+ORACLE["q58_triangles"] = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+deg AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+  GROUP BY v
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1
+  JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+),
+pn AS (
+  SELECT node, count(*) AS n
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.v AS node, d.deg::BIGINT AS degree,
+       coalesce(pn.n, 0)::BIGINT AS n_triangles
+FROM deg d LEFT JOIN pn ON pn.node = d.v
+ORDER BY node
+"""

@@ -59,6 +59,7 @@ ORACLE_CHECKED = [
     "q55_dup_spans",
     "q56_gapfill",
     "q57_priority_sample",
+    "q58_triangles",
 ]
 
 
@@ -581,3 +582,19 @@ def test_priority_sample_two_phase_equals_plain(spark):
     for r in two:
         got[r["source"]] = got.get(r["source"], 0) + 1
     assert got == {s: min(PRIO_SAMPLE_N, n) for s, n in sizes.items()}
+
+
+def test_triangle_counts_planted(spark):
+    """q58 core on a planted graph: a 4-clique (each node in C(3,2)=3
+    triangles) plus a pendant edge (0 triangles); per-node counts sum to
+    3x the triangle total."""
+    from searchengine_spark.pipelines.graph import triangle_counts
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(clique + [(4, 9)], "pa long, pb long")
+    rows = {r["node"]: r for r in triangle_counts(edges).collect()}
+    assert {n: rows[n]["n_triangles"] for n in (1, 2, 3, 9)} == {
+        1: 3, 2: 3, 3: 3, 9: 0,
+    }
+    assert rows[4]["n_triangles"] == 3 and rows[4]["degree"] == 4
+    assert sum(r["n_triangles"] for r in rows.values()) == 3 * 4
