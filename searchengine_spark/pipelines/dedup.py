@@ -605,14 +605,19 @@ SPAN_K = 8
 DUP_SPAN_FLAG = (1, 5)  # flag docs with >= 1/5 of tokens inside a dup span
 
 
-def dup_spans(docs: DataFrame) -> DataFrame:
-    k = SPAN_K
-    base = docs.select(
+def span_doc_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, n_toks) tokenized base for span hashing."""
+    return docs.select(
         "doc_id",
         F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
-    # hash all windows inside one JVM expression (no per-position array
-    # duplication), then posexplode to (doc_id, pos, sh)
+
+
+def span_occurrences(base: DataFrame) -> DataFrame:
+    """(doc_id, pos, sh) one row per K-token window — hashes all windows
+    inside one JVM expression (no per-position array duplication), then
+    posexplodes."""
+    k = SPAN_K
     sh_arr = F.when(
         F.col("n_toks") >= k,
         F.transform(
@@ -620,9 +625,20 @@ def dup_spans(docs: DataFrame) -> DataFrame:
             lambda i: portable_hash(F.concat_ws(" ", F.slice("toks", i, k))),
         ),
     ).otherwise(F.expr("array()").cast("array<long>"))
-    occ = base.select(
+    return base.select(
         "doc_id", F.posexplode(sh_arr).alias("pos0", "sh")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+
+
+def dup_spans(docs: DataFrame) -> DataFrame:
+    base = span_doc_base(docs)
+    return dup_spans_from(base.select("doc_id", "n_toks"), span_occurrences(base))
+
+
+def dup_spans_from(base: DataFrame, occ: DataFrame) -> DataFrame:
+    """Aggregation half of q55 over (doc_id, n_toks) + (doc_id, pos, sh)
+    — also fed by the streaming twin's folded per-batch partials."""
+    k = SPAN_K
     dup = (
         occ.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -409,3 +409,57 @@ def test_stream_range_join_matches_batch(spark):
         ).collect()
     }
     assert got == want and want
+
+
+def test_stream_dup_spans_matches_batch(spark):
+    """q55's streaming twin: occurrence partials streamed in two
+    micro-batches fold to row-identical batch output, INCLUDING spans
+    whose two copies arrive in different batches (the fixture has
+    hundreds of cross-half dup shingles — asserted below by comparing
+    against the per-batch-local union, which misses them). Restart with
+    no new data changes nothing."""
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.pipelines.dedup import dup_spans
+    from searchengine_spark.streaming.spans import (
+        read_dup_spans,
+        stream_span_occurrences,
+    )
+
+    docs_dir = os.path.join(STREAMDIR, "docs_spans")
+    spans_dir = os.path.join(STREAMDIR, "spans_part")
+    ckpt = os.path.join(STREAMDIR, "spans_ckpt")
+    for d in (docs_dir, spans_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(docs_dir)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tbl = pq.read_table(src)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), os.path.join(docs_dir, "a0.parquet"))
+    pq.write_table(tbl.slice(half), os.path.join(docs_dir, "b1.parquet"))
+    os.utime(os.path.join(docs_dir, "a0.parquet"), (1, 1))
+
+    stream_span_occurrences(spark, docs_dir, spans_dir, ckpt).awaitTermination()
+    streamed = [tuple(r) for r in read_dup_spans(spark, spans_dir).collect()]
+    batch = [
+        tuple(r) for r in dup_spans(spark.read.parquet(src)).collect()
+    ]
+    assert streamed == batch
+
+    # the duplicate decision happens at READ time over the union: the
+    # per-batch-local results would miss cross-batch duplicate spans
+    local = []
+    for f in ("a0.parquet", "b1.parquet"):
+        local += [
+            tuple(r)
+            for r in dup_spans(
+                spark.read.parquet(os.path.join(docs_dir, f))
+            ).collect()
+        ]
+    streamed_dups = sum(r[3] for r in streamed)  # n_dup_shingles column
+    local_dups = sum(r[3] for r in local)
+    assert streamed_dups > local_dups
+
+    stream_span_occurrences(spark, docs_dir, spans_dir, ckpt).awaitTermination()
+    again = [tuple(r) for r in read_dup_spans(spark, spans_dir).collect()]
+    assert again == streamed
