@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q56_gapfill",
     "q57_priority_sample",
     "q58_triangles",
+    "q59_hits",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

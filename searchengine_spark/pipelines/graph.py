@@ -171,7 +171,83 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     )
 
 
-QUERIES = {"q27_pagerank": q27_pagerank, "q58_triangles": q58_triangles}
+# --------------------------------------------------------------------------
+# q59: HITS hubs/authorities over the supplier→part bipartite graph —
+# the GLOBAL-normalization iterative pattern (q27's pagerank normalizes
+# per-node by outdegree; HITS divides every score by the graph-wide L1
+# mass each half-round). Per-round shape: one equi-join + one exact
+# DECIMAL(28,12) aggregation per side, plus a 1-row L1 scalar that
+# rides a broadcast — the fact table never shuffles for the
+# normalization. Scores quantized to 12dp before every sum (order-
+# insensitive at any parallelism), ONE double division per half-round.
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 3
+
+
+def q59_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            F.col("l_suppkey").cast("long").alias("hub"),
+            F.col("l_partkey").cast("long").alias("auth"),
+        )
+        .distinct()
+    )
+    return hits_scores(e)
+
+
+def hits_scores(e: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(node, kind, score) from distinct bipartite (hub, auth) edges;
+    each side L1-normalized per half-round."""
+    e = e.cache()
+    hubs = e.select("hub").distinct().withColumn("h", F.lit(1.0))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, "hub")
+            .select("auth", F.round("h", 12).cast(QDEC).alias("hq"))
+            .groupBy("auth")
+            .agg(F.sum("hq").alias("ar"))
+        )
+        s_a = a_raw.agg(F.sum("ar").alias("sa"))
+        auths = a_raw.crossJoin(F.broadcast(s_a)).select(
+            "auth",
+            (F.col("ar").cast("double") / F.col("sa").cast("double")).alias("a"),
+        ).localCheckpoint()
+        h_raw = (
+            e.join(auths, "auth")
+            .select("hub", F.round("a", 12).cast(QDEC).alias("aq"))
+            .groupBy("hub")
+            .agg(F.sum("aq").alias("hr"))
+        )
+        s_h = h_raw.agg(F.sum("hr").alias("sh"))
+        hubs = h_raw.crossJoin(F.broadcast(s_h)).select(
+            "hub",
+            (F.col("hr").cast("double") / F.col("sh").cast("double")).alias("h"),
+        ).localCheckpoint()
+    return (
+        hubs.select(
+            F.col("hub").alias("node"),
+            F.lit("hub").alias("kind"),
+            F.round("h", 9).alias("score"),
+        )
+        .unionAll(
+            auths.select(
+                F.col("auth").alias("node"),
+                F.lit("auth").alias("kind"),
+                F.round("a", 9).alias("score"),
+            )
+        )
+        .orderBy("kind", "node")
+    )
+
+
+QUERIES = {
+    "q27_pagerank": q27_pagerank,
+    "q58_triangles": q58_triangles,
+    "q59_hits": q59_hits,
+}
 
 
 def _iteration_sql(prev: str, cur: str) -> str:
@@ -247,4 +323,42 @@ SELECT d.v AS node, d.deg::BIGINT AS degree,
        coalesce(pn.n, 0)::BIGINT AS n_triangles
 FROM deg d LEFT JOIN pn ON pn.node = d.v
 ORDER BY node
+"""
+
+
+def _hits_round_sql(hp: str, an: str, hn: str) -> str:
+    """One HITS round: authorities from hubs table ``hp``, then hubs
+    from those authorities; same quantize-sum-normalize as the engine."""
+    return f"""
+{an}r AS (
+  SELECT auth, sum(round(p.h, 12)::DECIMAL(28,12)) AS ar
+  FROM e JOIN {hp} p USING (hub) GROUP BY auth
+),
+{an} AS (
+  SELECT auth, ar::DOUBLE / (SELECT sum(ar) FROM {an}r)::DOUBLE AS a FROM {an}r
+),
+{hn}r AS (
+  SELECT hub, sum(round(p.a, 12)::DECIMAL(28,12)) AS hr
+  FROM e JOIN {an} p USING (auth) GROUP BY hub
+),
+{hn} AS (
+  SELECT hub, hr::DOUBLE / (SELECT sum(hr) FROM {hn}r)::DOUBLE AS h FROM {hn}r
+)"""
+
+
+_HITS_CTES = ",".join(
+    _hits_round_sql(f"h{i}", f"a{i + 1}", f"h{i + 1}") for i in range(HITS_ITERS)
+)
+
+ORACLE["q59_hits"] = f"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey::BIGINT AS hub, l_partkey::BIGINT AS auth
+  FROM lineitem
+),
+h0 AS (SELECT DISTINCT hub, 1.0::DOUBLE AS h FROM e),
+{_HITS_CTES}
+SELECT hub AS node, 'hub' AS kind, round(h, 9) AS score FROM h{HITS_ITERS}
+UNION ALL
+SELECT auth AS node, 'auth' AS kind, round(a, 9) AS score FROM a{HITS_ITERS}
+ORDER BY kind, node
 """

@@ -60,6 +60,7 @@ ORACLE_CHECKED = [
     "q56_gapfill",
     "q57_priority_sample",
     "q58_triangles",
+    "q59_hits",
 ]
 
 
@@ -598,3 +599,22 @@ def test_triangle_counts_planted(spark):
     }
     assert rows[4]["n_triangles"] == 3 and rows[4]["degree"] == 4
     assert sum(r["n_triangles"] for r in rows.values()) == 3 * 4
+
+
+def test_hits_planted(spark):
+    """q59 core on a planted bipartite graph: hub 1 points at all three
+    auths, hub 2 at one of them — hub 1 must out-score hub 2, the shared
+    auth must out-score the exclusive ones, and each side's scores are an
+    L1-normalized distribution (sum to 1)."""
+    from searchengine_spark.pipelines.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 12)], "hub long, auth long"
+    )
+    rows = {(r["kind"], r["node"]): r["score"] for r in hits_scores(edges).collect()}
+    assert rows[("hub", 1)] > rows[("hub", 2)] > 0
+    assert rows[("auth", 12)] > rows[("auth", 10)] > 0
+    assert rows[("auth", 10)] == rows[("auth", 11)]
+    for kind in ("hub", "auth"):
+        total = sum(v for (k, _), v in rows.items() if k == kind)
+        assert abs(total - 1.0) < 1e-8
