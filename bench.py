@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q57_priority_sample",
     "q58_triangles",
     "q59_hits",
+    "q60_pmi_collocations",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

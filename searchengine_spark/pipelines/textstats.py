@@ -432,6 +432,80 @@ def q52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("source").agg(*aggs).orderBy("source")
 
 
+# --------------------------------------------------------------------------
+# q60: PMI collocation mining — adjacent-bigram pointwise mutual
+# information over the corpus, the classic phrase/tokenizer-merge signal.
+# Bigram formation happens INSIDE each doc as one JVM array expression
+# (no shuffle, no per-position row duplication until the single
+# explode); counting is two map-side-combinable hash aggregations
+# (unigram + bigram); the marginals attach via vocab-keyed equi-joins —
+# NOT broadcast, a web-scale vocab is itself large — and the two 1-row
+# corpus totals ride a broadcast crossJoin. Top-N by PMI is
+# TakeOrderedAndProject (per-partition heap, never a global sort). PMI
+# is ONE ln over a fixed-shape double ratio rounded 9dp, bit-portable
+# vs the oracle.
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 100
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """(w1, w2, c_ab, pmi) top collocations from a 'text' column;
+    pmi = ln(p(w1,w2) / (p(w1)·p(w2))) with adjacent-pair cooccurrence."""
+    base = docs.select(_tok_arr().alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = base.agg(
+        F.sum("n").cast("double").alias("t_uni"),
+        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).cast("double").alias("t_bi"),
+    )
+    pair_arr = F.when(
+        F.col("n") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 2),
+            lambda i: F.struct(
+                F.get("toks", i).alias("w1"), F.get("toks", i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        base.select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("t_uni") * F.col("t_uni"))
+                    / (F.col("t_bi") * F.col("c_a") * F.col("c_b"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_N)
+    )
+
+
+def q60_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(load_docs(spark, sf_dir))
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
@@ -441,6 +515,7 @@ QUERIES = {
     "q46_lm_perplexity": q46_lm_perplexity,
     "q47_cms_heavy_hitters": q47_cms_heavy_hitters,
     "q52_hist_quantiles": q52_hist_quantiles,
+    "q60_pmi_collocations": q60_pmi_collocations,
 }
 
 
@@ -652,3 +727,37 @@ SELECT source,
 FROM tagged GROUP BY source ORDER BY source
 """,
 }
+
+# q60 oracle: same fixed-shape single-ln PMI; DuckDB builds bigrams by
+# positional list indexing (range is end-exclusive, lists 1-indexed).
+ORACLE["q60_pmi_collocations"] = f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT toks, len(toks) AS n FROM t),
+uc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+),
+totals AS (
+  SELECT sum(n)::DOUBLE AS t_uni,
+         sum(greatest(n - 1, 0))::DOUBLE AS t_bi
+  FROM base
+),
+bc AS (
+  SELECT w1, w2, count(*) AS c_ab
+  FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM base, unnest(range(1, n)) AS u(i)
+  )
+  GROUP BY w1, w2 HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_ab::BIGINT AS c_ab,
+       round(ln((c_ab::DOUBLE * t_uni * t_uni) / (t_bi * ca.c * cb.c)), 9) AS pmi
+FROM bc
+JOIN uc ca ON ca.w = bc.w1
+JOIN uc cb ON cb.w = bc.w2, totals
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_N}
+"""

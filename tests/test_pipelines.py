@@ -61,6 +61,7 @@ ORACLE_CHECKED = [
     "q57_priority_sample",
     "q58_triangles",
     "q59_hits",
+    "q60_pmi_collocations",
 ]
 
 
@@ -618,3 +619,21 @@ def test_hits_planted(spark):
     for kind in ("hub", "auth"):
         total = sum(v for (k, _), v in rows.items() if k == kind)
         assert abs(total - 1.0) < 1e-8
+
+
+def test_pmi_planted(spark):
+    """q60 core on a planted corpus: 'alpha beta' adjacent in all 5 docs
+    (c_ab=5, c_a=c_b=5, T_uni=15, T_bi=10 → pmi=ln(4.5)); every other
+    bigram occurs once and dies at the min-count gate."""
+    import math
+
+    from searchengine_spark.pipelines.textstats import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(f"alpha beta w{i}",) for i in range(5)], "text string"
+    )
+    rows = pmi_collocations(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["c_ab"]) == ("alpha", "beta", 5)
+    assert r["pmi"] == round(math.log(5 * 15 * 15 / (10 * 5 * 5)), 9)
