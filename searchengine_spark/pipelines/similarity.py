@@ -346,11 +346,110 @@ ORDER BY query_id, rank"""
     )
 
 
+# --------------------------------------------------------------------------
+# q61: scalar-quantized (int8) ANN with exact re-rank — the MEMORY
+# scale path. At 100 TB the embedding table itself is the bottleneck
+# (64 dims × f32 = 256 B/vec); per-dim affine int8 codes cut that 4–8×
+# so the shortlist scan streams codes, not floats. Train = ONE map-side-
+# combinable per-dim min/max agg (64 rows, broadcast back as two
+# arrays); encode/decode are pure JVM array expressions (floor — NOT
+# round: Spark rounds HALF_UP, DuckDB half-even); shortlist = the q20
+# single-pass scan over DEQUANTIZED candidates; then only SHORTLIST
+# full vectors per query are re-scored exactly. Codes are exact small
+# integers, so dequantized doubles are bit-identical on both engines.
+# --------------------------------------------------------------------------
+
+SQ_LEVELS = 254  # codes 0..254 (one spare level keeps max in range)
+SQ_SHORTLIST = 30
+
+
+def _sq_stats(cand: DataFrame) -> DataFrame:
+    """1-row (mn_arr, d_arr) per-dim affine quantizer params."""
+    dims = cand.select(F.posexplode("v").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("dim"), "x"
+    )
+    st = dims.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return st.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "dim",
+                        F.when(F.col("mx") > F.col("mn"), F.col("mx") - F.col("mn"))
+                        .otherwise(F.lit(1.0))
+                        .alias("d"),
+                    )
+                )
+            ),
+            lambda s: s["d"],
+        ).alias("d_arr"),
+    )
+
+
+def _sq_dequant(v: Column, mn_arr: Column, d_arr: Column) -> Column:
+    """Encode to clamped floor codes and decode back, as one expression:
+    deq[i] = mn + (clamp(floor(((x - mn) * L) / d)) * d) / L."""
+    lv = float(SQ_LEVELS)
+    code = F.zip_with(
+        F.zip_with(v, mn_arr, lambda x, m: x - m),
+        d_arr,
+        lambda t, d: F.least(
+            F.lit(lv), F.greatest(F.lit(0.0), F.floor((t * lv) / d).cast("double"))
+        ),
+    )
+    return F.zip_with(
+        F.zip_with(code, d_arr, lambda c, d: (c * d) / lv),
+        mn_arr,
+        lambda t, m: m + t,
+    )
+
+
+def q61_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_emb(spark, sf_dir))
+    cand = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    stats = _sq_stats(cand.select(F.col("cv").alias("v")))
+    deq = cand.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "cv",
+        "cn",
+        _sq_dequant(F.col("cv"), F.col("mn_arr"), F.col("d_arr")).alias("dv"),
+    )
+    deq = deq.withColumn("dn", F.sqrt(_dot(F.col("dv"), F.col("dv"))))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    approx = deq.crossJoin(F.broadcast(q)).withColumn(
+        "acos", F.round(_dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")), 9)
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    short = approx.withColumn("r", F.row_number().over(ws)).filter(
+        F.col("r") <= SQ_SHORTLIST
+    )
+    rer = short.withColumn(
+        "cos", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos", "acos")
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "q20_ann_bruteforce": q20_ann_bruteforce,
     "q21_ann_ivf": q21_ann_ivf,
     "q43_kmeans_train": q43_kmeans_train,
     "q45_ann_ivf_trained": q45_ann_ivf_trained,
+    "q61_ann_sq": q61_ann_sq,
 }
 
 _EN = """
@@ -429,3 +528,60 @@ ORDER BY query_id, rank
 
 ORACLE["q43_kmeans_train"] = _kmeans_oracle()
 ORACLE["q45_ann_ivf_trained"] = _ivf_trained_oracle()
+
+# q61 oracle: same affine floor-code dequantization, spelled with the
+# identical clamp/decode expression shape (floor, not round — Spark
+# rounds HALF_UP, DuckDB half-even).
+_SQ_DEQ = (
+    f"list_transform(generate_series(1, len(cv)), i -> mn_arr[i] + "
+    f"((least({float(SQ_LEVELS)}, greatest(0.0, "
+    f"floor(((cv[i] - mn_arr[i]) * {float(SQ_LEVELS)}) / d_arr[i])))"
+    f" * d_arr[i]) / {float(SQ_LEVELS)}))"
+)
+
+ORACLE["q61_ann_sq"] = f"""
+WITH {_EN},
+cand AS (SELECT vec_id, v AS cv, nrm AS cn FROM en WHERE vec_id >= {N_QUERIES}),
+dimx AS (
+  SELECT unnest(generate_series(1, len(cv))) AS dim, unnest(cv) AS x FROM cand
+),
+st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dimx GROUP BY dim),
+s AS (
+  SELECT list(mn ORDER BY dim) AS mn_arr,
+         list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY dim) AS d_arr
+  FROM st
+),
+deq AS (
+  SELECT vec_id, cv, cn, {_SQ_DEQ} AS dv
+  FROM cand CROSS JOIN s
+),
+deqn AS (
+  SELECT vec_id, cv, cn, dv,
+         sqrt({_DOT_AB.format(a='dv', b='dv')}) AS dn
+  FROM deq
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM en WHERE vec_id < {N_QUERIES}),
+approx AS (
+  SELECT query_id, vec_id, cv, cn, qv, qn,
+         round({_DOT_AB.format(a='qv', b='dv')} / (qn * dn), 9) AS acos
+  FROM deqn CROSS JOIN q
+),
+short AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY acos DESC, vec_id ASC) AS r
+    FROM approx) WHERE r <= {SQ_SHORTLIST}
+),
+rer AS (
+  SELECT query_id, vec_id, acos,
+         round({_DOT_AB.format(a='qv', b='cv')} / (qn * cn), 9) AS cos
+  FROM short
+)
+SELECT query_id, rank, vec_id, cos, acos
+FROM (
+  SELECT query_id, vec_id, cos, acos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""

@@ -62,6 +62,7 @@ ORACLE_CHECKED = [
     "q58_triangles",
     "q59_hits",
     "q60_pmi_collocations",
+    "q61_ann_sq",
 ]
 
 
@@ -220,6 +221,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(v) == n_queries * TOP_K
     # probing 3 of ~centroids cells must still recover a solid fraction
     assert len(b & v) / len(b) >= 0.3
+
+
+def test_sq_recall_vs_bruteforce(spark):
+    """q61 (int8 scalar quantization + exact re-rank) must return full
+    top-k lists with high recall vs brute force — SQ distorts distances
+    far less than IVF cell pruning, and the exact re-rank repairs
+    shortlist-order noise."""
+    from searchengine_spark.pipelines.similarity import (
+        TOP_K,
+        q20_ann_bruteforce,
+        q61_ann_sq,
+    )
+
+    brute = q20_ann_bruteforce(spark, SF_DIR).collect()
+    sq = q61_ann_sq(spark, SF_DIR).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    s = {(r["query_id"], r["vec_id"]) for r in sq}
+    n_queries = len({r["query_id"] for r in brute})
+    assert len(s) == n_queries * TOP_K
+    assert len(b & s) / len(b) >= 0.8
+    # re-ranked cosines are the TRUE cosines: any overlapping
+    # (query, vec) pair must carry the brute-force score exactly
+    bs = {(r["query_id"], r["vec_id"]): r["cos"] for r in brute}
+    for r in sq:
+        k = (r["query_id"], r["vec_id"])
+        if k in bs:
+            assert r["cos"] == bs[k]
 
 
 def test_trained_ivf_recall_vs_bruteforce(spark):
