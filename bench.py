@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q59_hits",
     "q60_pmi_collocations",
     "q61_ann_sq",
+    "q62_ann_pq",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -444,12 +444,153 @@ def q61_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q62: product-quantization ANN with ADC (asymmetric distance
+# computation) — the CODE-size scale path beyond q61's int8: each
+# 64-dim vector compresses to PQ_M sub-codes (here 8 codes ≈ 8 bytes,
+# 32× under f32). Codebooks are per-subspace k-means (Lloyd over the
+# slice table — ALL subspaces train in one DataFrame pass, the
+# subspace id is just a grouping key, never a loop over columns).
+# Query time: the PQ_M×PQ_K distance table (tiny, broadcast) is
+# equi-joined to the relational code table (vec_id, m, cid) and summed
+# per (query, vec) — quantized DECIMAL(28,12) partials so the M-way sum
+# is order-insensitive — then only PQ_SHORTLIST full vectors per query
+# are re-scored exactly. L2 in the quantized space (PQ's native
+# metric), exact cosine for the final ranking.
+# --------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_SUB_D = 8      # dims per subspace (8*8 = 64)
+PQ_K = 16         # codewords per subspace
+PQ_ITERS = 2      # Lloyd rounds per subspace
+PQ_SHORTLIST = 50
+_QDEC = "decimal(28,12)"
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_sub(df: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
+    """Explode ``vcol`` into PQ_M (m, sv) slice rows per input row."""
+    return df.select(
+        *keep, vcol, F.explode(F.sequence(F.lit(1), F.lit(PQ_M))).alias("m")
+    ).select(
+        *keep,
+        "m",
+        F.expr(f"slice({vcol}, (m - 1) * {PQ_SUB_D} + 1, {PQ_SUB_D})").alias("sv"),
+    )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, m): equi-join on the subspace id,
+    L2 tie-broken by cid."""
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("dist", _l2(F.col("sv"), F.col("cv")))
+        .withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") == 1)
+    )
+
+
+def _pq_train(sub: DataFrame, init_ids: DataFrame) -> DataFrame:
+    """PQ_ITERS Lloyd rounds over the slice table; returns the codebook
+    (m, cid, cv). Empty codewords drop out, exactly like q43."""
+    cb = sub.join(init_ids, "vec_id").select(
+        "m", "cid", F.col("sv").alias("cv")
+    )
+    for _ in range(PQ_ITERS):
+        a = _pq_assign(sub, cb).select("vec_id", "m", "sv", "cid")
+        dims = a.select(
+            "m", "cid", F.posexplode("sv").alias("pos", "x")
+        ).select("m", "cid", (F.col("pos") + 1).alias("dim"), "x")
+        means = dims.groupBy("m", "cid", "dim").agg(
+            F.round(
+                F.sum(F.col("x").cast(_QDEC)).cast("double") / F.count("*"), 9
+            ).alias("val")
+        )
+        cb = means.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("cv")
+        )
+    return cb
+
+
+def q62_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_emb(spark, sf_dir))
+    cand = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sub = _pq_sub(
+        cand.select("vec_id", F.col("cv").alias("v")), "v", ["vec_id"]
+    ).localCheckpoint()
+    wi = Window.orderBy("vec_id")
+    init_ids = (
+        cand.filter(F.pmod("vec_id", F.lit(IVF_CENTROID_MOD)) == 0)
+        .select("vec_id")
+        .withColumn("cid", F.row_number().over(wi))
+        .filter(F.col("cid") <= PQ_K)
+    )
+    cb = _pq_train(sub, init_ids).localCheckpoint()
+    enc = _pq_assign(sub, cb).select("vec_id", "m", "cid")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qsub = _pq_sub(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        "v",
+        ["vec_id"],
+    ).select(F.col("vec_id").alias("query_id"), "m", "sv")
+    dt = (
+        qsub.join(F.broadcast(cb), "m")
+        .select("query_id", "m", "cid", _l2(F.col("sv"), F.col("cv")).alias("dist"))
+    )
+    ad = (
+        enc.join(F.broadcast(dt), ["m", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.round("dist", 12).cast(_QDEC)).cast("double"), 9
+            ).alias("adist")
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    short = ad.withColumn("r", F.row_number().over(ws)).filter(
+        F.col("r") <= PQ_SHORTLIST
+    )
+    rer = (
+        short.join(cand, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos", "adist")
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "q20_ann_bruteforce": q20_ann_bruteforce,
     "q21_ann_ivf": q21_ann_ivf,
     "q43_kmeans_train": q43_kmeans_train,
     "q45_ann_ivf_trained": q45_ann_ivf_trained,
     "q61_ann_sq": q61_ann_sq,
+    "q62_ann_pq": q62_ann_pq,
 }
 
 _EN = """
@@ -538,6 +679,131 @@ _SQ_DEQ = (
     f"floor(((cv[i] - mn_arr[i]) * {float(SQ_LEVELS)}) / d_arr[i])))"
     f" * d_arr[i]) / {float(SQ_LEVELS)}))"
 )
+
+# q62 oracle: the full PQ pipeline unrolled — subspace slice table,
+# PQ_ITERS Lloyd CTEs (all subspaces at once, m is a grouping key),
+# encode, broadcast-shaped distance table, quantized ADC sum, exact
+# re-rank. Same L2/assignment/mean expression shapes as the engine.
+_L2_AB = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _pq_oracle() -> str:
+    parts = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        f" WHERE vec_id >= {N_QUERIES})",
+        f"""sub AS (
+  SELECT vec_id, m,
+         list_slice(v, (m - 1) * {PQ_SUB_D} + 1, m * {PQ_SUB_D}) AS sv
+  FROM e, unnest(generate_series(1, {PQ_M})) AS u(m))""",
+        f"""init AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cid
+    FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0)
+  WHERE cid <= {PQ_K})""",
+        "cb0 AS (SELECT m, cid, sv AS cv FROM sub JOIN init USING (vec_id))",
+    ]
+    asgn = (
+        "SELECT vec_id, m, sv, cid FROM ("
+        "SELECT s.vec_id, s.m, s.sv, c.cid, "
+        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY "
+        + _L2_AB.format(a="s.sv", b="c.cv")
+        + " ASC, c.cid ASC) AS rr "
+        "FROM sub s JOIN cb{prev} c USING (m)) WHERE rr = 1"
+    )
+    for it in range(1, PQ_ITERS + 1):
+        parts.append(f"a{it} AS ({asgn.format(prev=it - 1)})")
+        parts.append(
+            f"x{it} AS (SELECT m, cid, unnest(generate_series(1, len(sv)))"
+            f" AS dim, unnest(sv) AS x FROM a{it})"
+        )
+        parts.append(
+            f"""m{it} AS (
+  SELECT m, cid, CAST(dim AS INT) AS dim,
+         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+           AS val
+  FROM x{it} GROUP BY m, cid, dim)"""
+        )
+        parts.append(
+            f"cb{it} AS (SELECT m, cid, list(val ORDER BY dim) AS cv"
+            f" FROM m{it} GROUP BY m, cid)"
+        )
+    k = PQ_ITERS
+    parts.append(
+        "enc AS (SELECT vec_id, m, cid FROM ("
+        "SELECT s.vec_id, s.m, c.cid, "
+        "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY "
+        + _L2_AB.format(a="s.sv", b="c.cv")
+        + f" ASC, c.cid ASC) AS rr FROM sub s JOIN cb{k} c USING (m))"
+        " WHERE rr = 1)"
+    )
+    parts.append(
+        f"""qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES})"""
+    )
+    parts.append(
+        f"""qsub AS (
+  SELECT query_id, m,
+         list_slice(v, (m - 1) * {PQ_SUB_D} + 1, m * {PQ_SUB_D}) AS sv
+  FROM qv, unnest(generate_series(1, {PQ_M})) AS u(m))"""
+    )
+    parts.append(
+        "dt AS (SELECT query_id, q.m, c.cid, "
+        + _L2_AB.format(a="q.sv", b="c.cv")
+        + f" AS dist FROM qsub q JOIN cb{k} c USING (m))"
+    )
+    parts.append(
+        """ad AS (
+  SELECT query_id, vec_id,
+         round(CAST(sum(round(dist, 12)::DECIMAL(28,12)) AS DOUBLE), 9)
+           AS adist
+  FROM enc JOIN dt USING (m, cid) GROUP BY query_id, vec_id)"""
+    )
+    parts.append(
+        f"""short AS (
+  SELECT query_id, vec_id, adist FROM (
+    SELECT query_id, vec_id, adist,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adist ASC, vec_id ASC) AS r
+    FROM ad) WHERE r <= {PQ_SHORTLIST})"""
+    )
+    parts.append(
+        f"""cn AS (
+  SELECT vec_id, v AS cv, sqrt({_DOT_AB.format(a='v', b='v')}) AS cn
+  FROM e)"""
+    )
+    parts.append(
+        f"""qn AS (
+  SELECT query_id, v AS qvv,
+         sqrt({_DOT_AB.format(a='v', b='v')}) AS qn
+  FROM qv)"""
+    )
+    parts.append(
+        f"""rer AS (
+  SELECT s.query_id, s.vec_id, s.adist,
+         round({_DOT_AB.format(a='qvv', b='cv')} / (qn.qn * c.cn), 9) AS cos
+  FROM short s JOIN cn c USING (vec_id) JOIN qn ON qn.query_id = s.query_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, rank, vec_id, cos, adist
+FROM (
+  SELECT query_id, vec_id, cos, adist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
+    )
+
+
+ORACLE["q62_ann_pq"] = _pq_oracle()
 
 ORACLE["q61_ann_sq"] = f"""
 WITH {_EN},

@@ -63,6 +63,7 @@ ORACLE_CHECKED = [
     "q59_hits",
     "q60_pmi_collocations",
     "q61_ann_sq",
+    "q62_ann_pq",
 ]
 
 
@@ -245,6 +246,32 @@ def test_sq_recall_vs_bruteforce(spark):
     # (query, vec) pair must carry the brute-force score exactly
     bs = {(r["query_id"], r["vec_id"]): r["cos"] for r in brute}
     for r in sq:
+        k = (r["query_id"], r["vec_id"])
+        if k in bs:
+            assert r["cos"] == bs[k]
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """q62 (8-byte PQ codes + ADC shortlist + exact re-rank) must return
+    full top-k lists, recover a solid fraction of the brute-force
+    neighbors, and carry TRUE cosines on every overlapping pair."""
+    from searchengine_spark.pipelines.similarity import (
+        TOP_K,
+        q20_ann_bruteforce,
+        q62_ann_pq,
+    )
+
+    brute = q20_ann_bruteforce(spark, SF_DIR).collect()
+    pq = q62_ann_pq(spark, SF_DIR).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    p = {(r["query_id"], r["vec_id"]) for r in pq}
+    n_queries = len({r["query_id"] for r in brute})
+    assert len(p) == n_queries * TOP_K
+    # 32x-compressed codes keep coarse geometry, not exact ranks: the
+    # shortlist+rerank must still recover a solid share of true top-k
+    assert len(b & p) / len(b) >= 0.4
+    bs = {(r["query_id"], r["vec_id"]): r["cos"] for r in brute}
+    for r in pq:
         k = (r["query_id"], r["vec_id"])
         if k in bs:
             assert r["cos"] == bs[k]
