@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q60_pmi_collocations",
     "q61_ann_sq",
     "q62_ann_pq",
+    "q63_funnel",
+    "q64_json_extract",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -581,6 +581,95 @@ def gapfill(ev: DataFrame) -> DataFrame:
     ).orderBy("user_id", "bucket_start_s")
 
 
+# --------------------------------------------------------------------------
+# q63: funnel sequence match — users progressing view → click →
+# purchase with STRICTLY increasing timestamps. The scalable shape is a
+# cascade of per-user conditional-min aggregations (t1 = first view;
+# t2 = first click AFTER t1; t3 = first purchase AFTER t2): three
+# user-keyed aggregations + two user-keyed joins — Catalyst reuses the
+# hash partitioning across the cascade, so it's ONE logical shuffle by
+# user, never a per-user event-array collect (a hot user's history
+# can't blow a task). Counts are exact; conversion = n_step/n_first.
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q63_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1, s2, s3 = FUNNEL_STEPS
+    v1 = (
+        ev.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v2 = (
+        ev.filter(F.col("event_type") == s2)
+        .join(v1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    v3 = (
+        ev.filter(F.col("event_type") == s3)
+        .join(v2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        v1.agg(F.count("*").alias("n1"))
+        .crossJoin(v2.agg(F.count("*").alias("n2")))
+        .crossJoin(v3.agg(F.count("*").alias("n3")))
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"n{i + 1}").cast("long").alias("n_users"),
+                F.round(
+                    F.col(f"n{i + 1}").cast("double") / F.col("n1"), 9
+                ).alias("conv"),
+            )
+            for i, name in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return (
+        c.select(F.explode(rows).alias("s")).select("s.*").orderBy("step")
+    )
+
+
+# --------------------------------------------------------------------------
+# q64: semi-structured JSON column extraction — parse the events
+# ``props`` JSON payload in place (get_json_object stays JVM-side; at
+# 100 TB the parse happens inside the scan stage, no Python, no extra
+# pass) and aggregate the extracted field per event_type. Money-style
+# doubles sum as DECIMAL(18,2) partials; the int field sums exactly.
+# --------------------------------------------------------------------------
+
+def q64_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.col("value").cast(DEC).alias("val"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count("*"), 9
+            ).alias("avg_k"),
+            F.sum("val").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q01_fold_agg": q01_fold_agg,
     "q30_cube": q30_cube,
@@ -598,6 +687,8 @@ QUERIES = {
     "q10_sample_take": q10_sample_take,
     "q34_cogroup": q34_cogroup,
     "q56_gapfill": q56_gapfill,
+    "q63_funnel": q63_funnel,
+    "q64_json_extract": q64_json_extract,
 }
 
 ORACLE = {
@@ -841,4 +932,50 @@ SELECT user_id, b * {GAPFILL_BUCKET_S} AS bucket_start_s,
        CASE WHEN avg_v IS NULL THEN 1 ELSE 0 END AS filled
 FROM j
 ORDER BY user_id, bucket_start_s
+"""
+
+# q63 oracle: the same strict-after conditional-min cascade.
+ORACLE["q63_funnel"] = f"""
+WITH ev AS (SELECT user_id, ts, event_type FROM events),
+v1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+v2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM ev e JOIN v1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[1]}' AND ts > t1 GROUP BY e.user_id
+),
+v3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM ev e JOIN v2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[2]}' AND ts > t2 GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT count(*) FROM v1) AS n1,
+         (SELECT count(*) FROM v2) AS n2,
+         (SELECT count(*) FROM v3) AS n3
+)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name, n1::BIGINT AS n_users,
+       round(n1::DOUBLE / n1, 9) AS conv FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', n2::BIGINT, round(n2::DOUBLE / n1, 9) FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', n3::BIGINT, round(n3::DOUBLE / n1, 9) FROM c
+ORDER BY step
+"""
+
+# q64 oracle: json_extract_string == get_json_object for scalar paths.
+ORACLE["q64_json_extract"] = """
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         value::DECIMAL(18,2) AS val
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(k)::BIGINT AS sum_k,
+       round(sum(k)::DOUBLE / count(*), 9) AS avg_k,
+       CAST(sum(val) AS DOUBLE) AS sum_value
+FROM ev GROUP BY event_type ORDER BY event_type
 """

@@ -64,6 +64,8 @@ ORACLE_CHECKED = [
     "q60_pmi_collocations",
     "q61_ann_sq",
     "q62_ann_pq",
+    "q63_funnel",
+    "q64_json_extract",
 ]
 
 
