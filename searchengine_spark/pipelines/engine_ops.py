@@ -245,11 +245,59 @@ def q50_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q71: bucketed co-located join — both sides written bucketBy(sortBy)
+# on the join key as external tables, then sort-merge-joined with ZERO
+# exchange on the key (test_plans pins `hashpartitioning(o_custkey/
+# c_custkey` out of the plan). This is the 100 TB pattern for a fact
+# table joined repeatedly on the same key: pay the layout shuffle once
+# at write time, never again at read time. The MERGE hint keeps the
+# small fixture side from broadcasting so the bucketed plan is actually
+# exercised.
+# --------------------------------------------------------------------------
+
+Q71_BUCKETS = 8
+Q71_SCRATCH = os.environ.get("SPARK_GRAFT_BUCKET_DIR", "/tmp/se_bucketed")
+
+
+def q71_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"b_{name}_{tag}"
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.format("parquet")
+            .bucketBy(Q71_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(Q71_SCRATCH, tag, name))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    o = spark.table(f"b_orders_{tag}")
+    c = spark.table(f"b_customer_{tag}")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES = {
     "q28_postings_roundtrip": q28_postings_roundtrip,
     "q29_porter_stems": q29_porter_stems,
     "q49_skew_salted_join": q49_skew_salted_join,
     "q50_bloom_join_prune": q50_bloom_join_prune,
+    "q71_bucketed_join": q71_bucketed_join,
 }
 
 ORACLE = {
@@ -295,6 +343,15 @@ fixture(term, stem) AS (VALUES
 SELECT t.term, f.stem
 FROM terms t LEFT JOIN fixture f USING (term)
 ORDER BY t.term
+""",
+    # q71: the oracle is the plain join+agg — the bucketed layout must be
+    # semantically invisible; only the physical plan differs.
+    "q71_bucketed_join": """
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
 """,
     # q49: the oracle is the PLAIN join — salting must be semantically
     # invisible, so any salt-induced row loss/duplication hash-fails.

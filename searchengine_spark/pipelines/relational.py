@@ -670,6 +670,173 @@ def q64_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q65: pivot (wide conditional aggregation). The pivot values are pinned
+# explicitly so Spark skips the extra distinct-values job — at 10^12 rows
+# an unpinned pivot scans the fact table twice.
+# --------------------------------------------------------------------------
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def q65_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    wide = (
+        orders.withColumn(
+            "month",
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"),
+        )
+        .groupBy("month")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+    )
+    return wide.select(
+        "month",
+        *[
+            F.coalesce(F.col(s).cast("double"), F.lit(0.0)).alias(
+                f"rev_{s.lower()}"
+            )
+            for s in PIVOT_STATUSES
+        ],
+    ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# q66: unpivot / melt (wide -> long). One narrow aggregate first, then
+# DataFrame.unpivot — the melt runs on the already-reduced frame, never
+# on the fact table.
+# --------------------------------------------------------------------------
+
+def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("double").alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_bal"),
+        F.max(F.col("c_acctbal").cast(DEC)).cast("double").alias("max_bal"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"], ["n_cust", "sum_bal", "max_bal"], "metric", "val"
+    ).orderBy("c_nationkey", "metric")
+
+
+# --------------------------------------------------------------------------
+# q67: statistical aggregates (avg / stddev / covar / corr) from exact
+# decimal moments. Built-in corr/stddev fold doubles in partition order
+# and are NOT rank-identical across parallelism; instead the five power
+# sums run in DECIMAL (exact, order-insensitive) and the closed-form
+# combines them once, in one fixed double-expression shape shared with
+# the oracle.
+# --------------------------------------------------------------------------
+
+MOM_DEC_IN = "decimal(18,6)"  # per-row cast; products -> decimal(37,12)
+
+
+def q67_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(MOM_DEC_IN)
+    y = F.col("l_extendedprice").cast(MOM_DEC_IN)
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    # no 9dp round here: the closed form runs the SAME IEEE double ops
+    # on the SAME exact decimal sums in both engines, so the unrounded
+    # doubles are bit-identical — while round(x, 9) itself differs
+    # between engines exactly at a half-ulp boundary (covar hit one).
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("avg_qty"),
+        F.sqrt(vx / (n - F.lit(1.0))).alias("stddev_qty"),
+        F.sqrt(vy / (n - F.lit(1.0))).alias("stddev_price"),
+        (cxy / (n - F.lit(1.0))).alias("covar_qty_price"),
+        (cxy / F.sqrt(vx * vy)).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# q68: incremental aggregate merge (MERGE INTO / upsert semantics over
+# immutable parquet): a frozen base snapshot plus a delta window combine
+# via full-outer join — the 100 TB pattern for maintaining a materialized
+# aggregate without rescanning history.
+# --------------------------------------------------------------------------
+
+INC_CUTOFF = "2000-01-01"
+INC_EPOCH = "1900-01-01 00:00:00"
+
+
+def q68_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias(f"rev_{tag}"),
+            F.max("o_orderdate").alias(f"last_{tag}"),
+        )
+
+    base = snap(orders.filter(F.col("o_orderdate") < F.lit(INC_CUTOFF)), "b")
+    delta = snap(orders.filter(F.col("o_orderdate") >= F.lit(INC_CUTOFF)), "d")
+    zero = F.lit(0).cast(DEC)
+    epoch = F.lit(INC_EPOCH).cast("timestamp")
+    return (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("n_b"), F.lit(0))
+                + F.coalesce(F.col("n_d"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("rev_b"), zero)
+                + F.coalesce(F.col("rev_d"), zero)
+            ).cast("double").alias("revenue"),
+            F.greatest(
+                F.coalesce(F.col("last_b"), epoch),
+                F.coalesce(F.col("last_d"), epoch),
+            ).alias("last_order"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q69: rolling event-time window (RANGE frame over epoch micros) — the
+# per-row trailing-24h aggregate q08's tumbling buckets can't express.
+# Partitioned by user, so no global-window shuffle-to-one-task.
+# --------------------------------------------------------------------------
+
+ROLL_24H_US = 24 * 3600 * 1_000_000
+
+
+def q69_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-ROLL_24H_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_24h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_24h"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "q01_fold_agg": q01_fold_agg,
     "q30_cube": q30_cube,
@@ -689,6 +856,11 @@ QUERIES = {
     "q56_gapfill": q56_gapfill,
     "q63_funnel": q63_funnel,
     "q64_json_extract": q64_json_extract,
+    "q65_pivot": q65_pivot,
+    "q66_unpivot": q66_unpivot,
+    "q67_stats_moments": q67_stats_moments,
+    "q68_incremental_merge": q68_incremental_merge,
+    "q69_rolling_window": q69_rolling_window,
 }
 
 ORACLE = {
@@ -978,4 +1150,114 @@ SELECT event_type,
        round(sum(k)::DOUBLE / count(*), 9) AS avg_k,
        CAST(sum(val) AS DOUBLE) AS sum_value
 FROM ev GROUP BY event_type ORDER BY event_type
+"""
+
+# q65 oracle: pivot == conditional aggregation.
+ORACLE["q65_pivot"] = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+           AS rev_f,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+           AS rev_o,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+           AS rev_p
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+# q66 oracle: unpivot == UNION ALL of one row-shape per metric.
+ORACLE["q66_unpivot"] = """
+WITH w AS (
+  SELECT c_nationkey,
+         count(*)::DOUBLE AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+         CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+  FROM customer GROUP BY 1
+)
+SELECT c_nationkey, 'n_cust' AS metric, n_cust AS val FROM w
+UNION ALL SELECT c_nationkey, 'sum_bal', sum_bal FROM w
+UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM w
+ORDER BY c_nationkey, metric
+"""
+
+# q67 oracle: identical closed form over the same exact decimal moments
+# (same double-expression shape => bit-identical before the 9dp round).
+ORACLE["q67_stats_moments"] = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+         -- width 19 forces DuckDB's int128 physical type: an 18-wide
+         -- multiply overflows int64 on per-row products (~1e21 unscaled)
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+  FROM lineitem GROUP BY 1
+), d AS (
+  -- decimal -> double via VARCHAR: strtod is correctly rounded, matching
+  -- Java's BigDecimal.doubleValue on the Spark side. DuckDB's direct
+  -- DECIMAL(38,12)::DOUBLE rounds the int128 unscaled value first (two
+  -- roundings), which diverges by ULPs once the unscaled exceeds 2^53.
+  SELECT l_returnflag, n,
+         n::DOUBLE AS nd,
+         CAST(sx::VARCHAR AS DOUBLE) AS sx, CAST(sy::VARCHAR AS DOUBLE) AS sy,
+         CAST(sxx::VARCHAR AS DOUBLE) AS sxx,
+         CAST(syy::VARCHAR AS DOUBLE) AS syy,
+         CAST(sxy::VARCHAR AS DOUBLE) AS sxy
+  FROM m
+)
+SELECT l_returnflag, n,
+       sx / nd AS avg_qty,
+       sqrt((sxx - sx * sx / nd) / (nd - 1.0)) AS stddev_qty,
+       sqrt((syy - sy * sy / nd) / (nd - 1.0)) AS stddev_price,
+       (sxy - sx * sy / nd) / (nd - 1.0) AS covar_qty_price,
+       (sxy - sx * sy / nd)
+           / sqrt((sxx - sx * sx / nd) * (syy - sy * sy / nd))
+           AS corr_qty_price
+FROM d
+ORDER BY l_returnflag
+"""
+
+# q68 oracle: the merged snapshot must equal base ⊕ delta recombined.
+ORACLE["q68_incremental_merge"] = """
+WITH base AS (
+  SELECT o_custkey, count(*) AS n_b,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_b,
+         max(o_orderdate) AS last_b
+  FROM orders WHERE o_orderdate < DATE '2000-01-01' GROUP BY 1
+), delta AS (
+  SELECT o_custkey, count(*) AS n_d,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
+         max(o_orderdate) AS last_d
+  FROM orders WHERE o_orderdate >= DATE '2000-01-01' GROUP BY 1
+)
+SELECT COALESCE(base.o_custkey, delta.o_custkey) AS o_custkey,
+       (COALESCE(n_b, 0) + COALESCE(n_d, 0))::BIGINT AS n_orders,
+       CAST(COALESCE(rev_b, 0::DECIMAL(18,2))
+            + COALESCE(rev_d, 0::DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       greatest(COALESCE(last_b, TIMESTAMP '1900-01-01 00:00:00'),
+                COALESCE(last_d, TIMESTAMP '1900-01-01 00:00:00'))
+           AS last_order
+FROM base FULL OUTER JOIN delta ON base.o_custkey = delta.o_custkey
+ORDER BY o_custkey
+"""
+
+# q69 oracle: RANGE frame over epoch micros — numeric ordering on both
+# engines so the frame bounds are integer arithmetic, not interval logic.
+ORACLE["q69_rolling_window"] = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_24h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
 """

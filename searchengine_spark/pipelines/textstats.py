@@ -506,6 +506,86 @@ def q60_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(load_docs(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# q70: n-gram LM count table — trigram conditional log-probabilities with
+# add-k smoothing, the count artifact an LM-training/quality pipeline
+# materializes from a corpus. Same shuffle discipline as q60: n-grams
+# form INSIDE each doc as one JVM array expression; counting is two
+# map-side-combinable hash aggs (trigram + bigram-context); the context
+# counts attach via a vocab-keyed equi-join (never broadcast — a web
+# vocab is itself large); the 1-row vocab size rides a broadcast
+# crossJoin; top-N is TakeOrderedAndProject. logp is ONE ln over a
+# fixed-shape double ratio of exact int counts, bit-portable.
+# --------------------------------------------------------------------------
+
+LM_MIN_COUNT = 3
+LM_TOP_N = 100
+LM_K = 0.5  # add-k smoothing constant
+
+
+def ngram_lm_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, w3, c3, logp) for the corpus' top trigrams;
+    logp = ln((c3 + k) / (c2 + k*V)) — add-k smoothed P(w3 | w1 w2)."""
+    base = docs.select(_tok_arr().alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+
+    def grams(width: int, names: list[str]) -> F.Column:
+        empty = "array<struct<%s>>" % ",".join(f"{c}:string" for c in names)
+        return F.when(
+            F.col("n") >= width,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - width),
+                lambda i: F.struct(
+                    *[
+                        F.get("toks", i + j).alias(names[j])
+                        for j in range(width)
+                    ]
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast(empty))
+
+    tri = (
+        base.select(F.explode(grams(3, ["w1", "w2", "w3"])).alias("g"))
+        .select("g.w1", "g.w2", "g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+        .filter(F.col("c3") >= LM_MIN_COUNT)
+    )
+    ctx = (
+        base.select(F.explode(grams(2, ["w1", "w2"])).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    vocab = base.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("double").alias("v")
+    )
+    return (
+        tri.join(ctx, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("c3").cast("long").alias("c3"),
+            F.round(
+                F.log(
+                    (F.col("c3").cast("double") + F.lit(LM_K))
+                    / (F.col("c2").cast("double") + F.lit(LM_K) * F.col("v"))
+                ),
+                9,
+            ).alias("logp"),
+        )
+        .orderBy(F.col("c3").desc(), "w1", "w2", "w3")
+        .limit(LM_TOP_N)
+    )
+
+
+def q70_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_lm_counts(load_docs(spark, sf_dir))
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
@@ -516,6 +596,7 @@ QUERIES = {
     "q47_cms_heavy_hitters": q47_cms_heavy_hitters,
     "q52_hist_quantiles": q52_hist_quantiles,
     "q60_pmi_collocations": q60_pmi_collocations,
+    "q70_ngram_lm": q70_ngram_lm,
 }
 
 
@@ -760,4 +841,40 @@ JOIN uc ca ON ca.w = bc.w1
 JOIN uc cb ON cb.w = bc.w2, totals
 ORDER BY pmi DESC, w1, w2
 LIMIT {PMI_TOP_N}
+"""
+
+# q70 oracle: same counts, same fixed-shape ln ratio. range(1, n - 1)
+# yields trigram start positions 1..n-2 (1-based list indexing).
+ORACLE["q70_ngram_lm"] = f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT toks, len(toks) AS n FROM t),
+tri AS (
+  SELECT w1, w2, w3, count(*) AS c3
+  FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+    FROM base, unnest(range(1, n - 1)) AS u(i)
+  )
+  GROUP BY w1, w2, w3 HAVING count(*) >= {LM_MIN_COUNT}
+),
+ctx AS (
+  SELECT w1, w2, count(*) AS c2
+  FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM base, unnest(range(1, n)) AS u(i)
+  )
+  GROUP BY w1, w2
+),
+vocab AS (
+  SELECT count(DISTINCT w)::DOUBLE AS v
+  FROM (SELECT unnest(toks) AS w FROM base)
+)
+SELECT w1, w2, w3, c3::BIGINT AS c3,
+       round(ln((c3::DOUBLE + {LM_K}::DOUBLE)
+                / (c2::DOUBLE + {LM_K}::DOUBLE * v)), 9) AS logp
+FROM tri JOIN ctx USING (w1, w2), vocab
+ORDER BY c3 DESC, w1, w2, w3
+LIMIT {LM_TOP_N}
 """

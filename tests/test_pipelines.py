@@ -66,6 +66,13 @@ ORACLE_CHECKED = [
     "q62_ann_pq",
     "q63_funnel",
     "q64_json_extract",
+    "q65_pivot",
+    "q66_unpivot",
+    "q67_stats_moments",
+    "q68_incremental_merge",
+    "q69_rolling_window",
+    "q70_ngram_lm",
+    "q71_bucketed_join",
 ]
 
 

@@ -251,3 +251,17 @@ def test_q55_is_two_hash_aggs_no_pairing(spark):
     p = plan(q55_dup_spans(spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q71_bucketed_join_has_no_key_exchange(spark):
+    """The bucketed layout must eliminate the join-key shuffle: the plan
+    sort-merge-joins the two bucketed scans with NO hashpartitioning
+    exchange on either key (the only exchanges left belong to the
+    nationkey agg and the final sort)."""
+    from searchengine_spark.pipelines.engine_ops import q71_bucketed_join
+
+    p = plan(q71_bucketed_join(spark, SF_DIR))
+    assert "SortMergeJoin" in p, p
+    assert "hashpartitioning(o_custkey" not in p, "orders side reshuffled"
+    assert "hashpartitioning(c_custkey" not in p, "customer side reshuffled"
+    assert "Bucketed: true" in p, "scan did not use the bucketed layout"
