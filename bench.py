@@ -68,6 +68,14 @@ BENCH_QUERIES = [
     "q62_ann_pq",
     "q63_funnel",
     "q64_json_extract",
+    "q65_pivot",
+    "q66_unpivot",
+    "q67_stats_moments",
+    "q68_incremental_merge",
+    "q69_rolling_window",
+    "q70_ngram_lm",
+    "q71_bucketed_join",
+    "q72_partition_pruning",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

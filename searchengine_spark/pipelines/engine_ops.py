@@ -292,12 +292,51 @@ def q71_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q72: hive-partitioned layout + static partition pruning — events
+# written partitionBy(event_type), then a filtered read that must scan
+# ONLY the matching directory (test_plans pins `PartitionFilters` on the
+# scan and zero PushedFilters leakage of the partition predicate into
+# row groups). At 100 TB this is the difference between listing one
+# directory and scanning the table; the same mechanism drives the
+# index's bucket=/group= layout.
+# --------------------------------------------------------------------------
+
+Q72_SCRATCH = os.environ.get("SPARK_GRAFT_PART_DIR", "/tmp/se_partitioned")
+
+
+def _q72_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
+    import re
+
+    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.join(Q72_SCRATCH, tag, "events")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    return path
+
+
+def q72_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pe = spark.read.parquet(_q72_partitioned_path(spark, sf_dir))
+    return (
+        pe.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q28_postings_roundtrip": q28_postings_roundtrip,
     "q29_porter_stems": q29_porter_stems,
     "q49_skew_salted_join": q49_skew_salted_join,
     "q50_bloom_join_prune": q50_bloom_join_prune,
     "q71_bucketed_join": q71_bucketed_join,
+    "q72_partition_pruning": q72_partition_pruning,
 }
 
 ORACLE = {
@@ -352,6 +391,16 @@ SELECT c_nationkey, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 ORDER BY c_nationkey
+""",
+    # q72: the oracle reads the original unpartitioned table — the
+    # partitioned layout must be semantically invisible.
+    "q72_partition_pruning": """
+SELECT user_id, count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
 """,
     # q49: the oracle is the PLAIN join — salting must be semantically
     # invisible, so any salt-induced row loss/duplication hash-fails.

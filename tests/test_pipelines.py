@@ -73,6 +73,7 @@ ORACLE_CHECKED = [
     "q69_rolling_window",
     "q70_ngram_lm",
     "q71_bucketed_join",
+    "q72_partition_pruning",
 ]
 
 

@@ -265,3 +265,34 @@ def test_q71_bucketed_join_has_no_key_exchange(spark):
     assert "hashpartitioning(o_custkey" not in p, "orders side reshuffled"
     assert "hashpartitioning(c_custkey" not in p, "customer side reshuffled"
     assert "Bucketed: true" in p, "scan did not use the bucketed layout"
+
+
+def test_q65_pivot_single_scan(spark):
+    """Pinned pivot values must not trigger the distinct-values pre-job:
+    exactly one orders scan in the plan."""
+    from searchengine_spark.pipelines.relational import q65_pivot
+
+    p = plan(q65_pivot(spark, SF_DIR))
+    assert len(scan_blocks(p)) == 1, p
+
+
+def test_q69_rolling_window_partitioned_by_user(spark):
+    """The rolling frame must ride a user-keyed window spec — a window
+    with no partition key collapses to one task at any scale."""
+    from searchengine_spark.pipelines.relational import q69_rolling_window
+
+    p = plan(q69_rolling_window(spark, SF_DIR))
+    assert "windowspecdefinition(user_id" in p, p
+
+
+def test_q72_partition_pruning_reaches_scan(spark):
+    """The event_type predicate must prune partitions at the scan —
+    PartitionFilters carries it, so non-matching directories are never
+    listed into the read."""
+    from searchengine_spark.pipelines.engine_ops import q72_partition_pruning
+
+    p = plan(q72_partition_pruning(spark, SF_DIR))
+    scans = scan_blocks(p)
+    assert len(scans) == 1, p
+    m = re.search(r"PartitionFilters: \[(.*?)\]", scans[0])
+    assert m and "event_type" in m.group(1), scans[0]
