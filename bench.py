@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q70_ngram_lm",
     "q71_bucketed_join",
     "q72_partition_pruning",
+    "q73_formats_roundtrip",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

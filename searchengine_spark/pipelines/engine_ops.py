@@ -330,6 +330,55 @@ def q72_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q73: interchange-format roundtrip (formats.py under the hash gate) —
+# events exported to JSONL and CSV and read back with explicit schemas,
+# then aggregated identically per format against the ORIGINAL parquet as
+# the oracle. Any fidelity loss in either connector (timestamp micros,
+# double shortest-repr, quoted text) shifts a per-format aggregate and
+# hash-fails. Fidelity is per-row and per-column, so the gate covers the
+# exact options (timestampNTZFormat, quote/escape, FAILFAST) a 100 TB
+# ingest job would rely on.
+# --------------------------------------------------------------------------
+
+Q73_SCRATCH = os.environ.get("SPARK_GRAFT_FMT_DIR", "/tmp/se_formats")
+
+
+def q73_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from ..formats import read_csv, read_jsonl, write_csv, write_jsonl
+
+    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    jp = os.path.join(Q73_SCRATCH, tag, "events_jsonl")
+    cp = os.path.join(Q73_SCRATCH, tag, "events_csv")
+    write_jsonl(ev, jp)
+    write_csv(ev, cp)
+
+    def census(df: DataFrame, fmt: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+                F.sum(F.length("props")).cast("long").alias("props_chars"),
+            )
+            .withColumn("fmt", F.lit(fmt))
+        )
+
+    return (
+        census(read_jsonl(spark, jp, ev.schema), "jsonl")
+        .unionAll(census(read_csv(spark, cp, ev.schema), "csv"))
+        .orderBy("fmt", "event_type")
+    )
+
+
 QUERIES = {
     "q28_postings_roundtrip": q28_postings_roundtrip,
     "q29_porter_stems": q29_porter_stems,
@@ -337,6 +386,7 @@ QUERIES = {
     "q50_bloom_join_prune": q50_bloom_join_prune,
     "q71_bucketed_join": q71_bucketed_join,
     "q72_partition_pruning": q72_partition_pruning,
+    "q73_formats_roundtrip": q73_formats_roundtrip,
 }
 
 ORACLE = {
@@ -401,6 +451,24 @@ FROM events
 WHERE event_type = 'purchase'
 GROUP BY user_id
 ORDER BY user_id
+""",
+    # q73: the oracle aggregates the ORIGINAL table once and emits one
+    # row-set per format — both roundtrips must reproduce it exactly.
+    "q73_formats_roundtrip": """
+WITH a AS (
+  SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id)::BIGINT AS n_users,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         min(ts) AS min_ts, max(ts) AS max_ts,
+         sum(length(props))::BIGINT AS props_chars
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, n_users, sum_value, min_ts, max_ts, props_chars,
+       'jsonl' AS fmt FROM a
+UNION ALL
+SELECT event_type, n, n_users, sum_value, min_ts, max_ts, props_chars,
+       'csv' AS fmt FROM a
+ORDER BY fmt, event_type
 """,
     # q49: the oracle is the PLAIN join — salting must be semantically
     # invisible, so any salt-induced row loss/duplication hash-fails.

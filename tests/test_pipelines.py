@@ -74,6 +74,7 @@ ORACLE_CHECKED = [
     "q70_ngram_lm",
     "q71_bucketed_join",
     "q72_partition_pruning",
+    "q73_formats_roundtrip",
 ]
 
 
