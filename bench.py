@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q71_bucketed_join",
     "q72_partition_pruning",
     "q73_formats_roundtrip",
+    "q74_multimodal_features",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -93,7 +93,41 @@ def q26_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-QUERIES = {"q26_multimodal_meta": q26_multimodal_meta}
+# --------------------------------------------------------------------------
+# q74: the ACTUAL mapInPandas feature pipeline under the oracle gate —
+# payload = utf8(text) (fixture text is ASCII, so DuckDB codepoints ==
+# bytes), decode-stub -> FEATURE_DIM byte-histogram features ->
+# average-pool "resize" to POOL_DIM dims, one row per doc. Unlike q26
+# (the JVM twin), this drives the real Arrow batch path — binary column
+# in, array<double> out — and DuckDB recomputes the identical feature
+# math, so a batch-shape or dtype regression in extract_features
+# hash-fails the round gate. Values are exact small integers (sums mod
+# 997) and exact halves after pooling — bit-stable, no rounding needed.
+# --------------------------------------------------------------------------
+
+POOL_DIM = 4  # FEATURE_DIM // 2 after 2:1 average pooling
+
+
+def q74_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = extract_features(media)
+    pooled = [
+        (
+            (F.get("features", 2 * j) + F.get("features", 2 * j + 1))
+            / F.lit(2.0)
+        ).alias(f"g{j}")
+        for j in range(POOL_DIM)
+    ]
+    return feats.select("doc_id", "n_bytes", *pooled).orderBy("doc_id")
+
+
+QUERIES = {
+    "q26_multimodal_meta": q26_multimodal_meta,
+    "q74_multimodal_features": q74_multimodal_features,
+}
 
 ORACLE = {
     "q26_multimodal_meta": """
@@ -101,5 +135,38 @@ SELECT doc_id,
        octet_length(encode(text))::INT AS n_bytes,
        md5(text) AS checksum
 FROM documents ORDER BY doc_id
+""",
+    # q74: recompute fake_features relationally — byte value at 0-based
+    # position p lands in bucket p % FEATURE_DIM; bucket sum mod 997;
+    # 2:1 average pool. ASCII fixture => unicode(char) == byte value.
+    "q74_multimodal_features": """
+WITH pos AS (
+  SELECT doc_id, i, unicode(substr(text, i, 1)) AS code
+  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+),
+f AS (
+  SELECT doc_id, (i - 1) % 8 AS b, (sum(code) % 997)::DOUBLE AS v
+  FROM pos GROUP BY doc_id, (i - 1) % 8
+),
+w AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN b = 0 THEN v END), 0) AS f0,
+         coalesce(max(CASE WHEN b = 1 THEN v END), 0) AS f1,
+         coalesce(max(CASE WHEN b = 2 THEN v END), 0) AS f2,
+         coalesce(max(CASE WHEN b = 3 THEN v END), 0) AS f3,
+         coalesce(max(CASE WHEN b = 4 THEN v END), 0) AS f4,
+         coalesce(max(CASE WHEN b = 5 THEN v END), 0) AS f5,
+         coalesce(max(CASE WHEN b = 6 THEN v END), 0) AS f6,
+         coalesce(max(CASE WHEN b = 7 THEN v END), 0) AS f7
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       octet_length(encode(d.text))::INT AS n_bytes,
+       (coalesce(f0, 0) + coalesce(f1, 0)) / 2.0 AS g0,
+       (coalesce(f2, 0) + coalesce(f3, 0)) / 2.0 AS g1,
+       (coalesce(f4, 0) + coalesce(f5, 0)) / 2.0 AS g2,
+       (coalesce(f6, 0) + coalesce(f7, 0)) / 2.0 AS g3
+FROM documents d LEFT JOIN w USING (doc_id)
+ORDER BY doc_id
 """,
 }

@@ -75,6 +75,7 @@ ORACLE_CHECKED = [
     "q71_bucketed_join",
     "q72_partition_pruning",
     "q73_formats_roundtrip",
+    "q74_multimodal_features",
 ]
 
 
