@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q72_partition_pruning",
     "q73_formats_roundtrip",
     "q74_multimodal_features",
+    "q75_frame_sample",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -124,9 +124,69 @@ def q74_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", *pooled).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# q75: frame sampling (video-style payload → every Nth fixed-size frame
+# → per-frame feature). Exercises the 1→N Arrow batch shape (one input
+# row explodes into a variable number of frame rows inside the kernel —
+# the shape a real video sampler has), with a deterministic per-frame
+# feature so DuckDB reproduces every sampled frame bit-for-bit. Frame
+# fan-out is bounded by payload size / FRAME_BYTES / FRAME_STRIDE, so a
+# task's output stays proportional to its input split at any scale.
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 32  # "frame" = fixed 32-byte window of the payload
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("f", T.LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched frame sampler over a binary column: one output row
+    per KEPT frame (indices 0, FRAME_STRIDE, 2·FRAME_STRIDE, …)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            feats: list[int] = []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                payload = bytes(p) if p is not None else b""
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = (len(arr) + FRAME_BYTES - 1) // FRAME_BYTES
+                for k in range(0, n_frames, FRAME_STRIDE):
+                    frame = arr[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    feats.append(int(frame.sum()) % 997)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "f": pd.Series(feats, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def q75_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
 QUERIES = {
     "q26_multimodal_meta": q26_multimodal_meta,
     "q74_multimodal_features": q74_multimodal_features,
+    "q75_frame_sample": q75_frame_sample,
 }
 
 ORACLE = {
@@ -168,5 +228,15 @@ SELECT d.doc_id,
        (coalesce(f6, 0) + coalesce(f7, 0)) / 2.0 AS g3
 FROM documents d LEFT JOIN w USING (doc_id)
 ORDER BY doc_id
+""",
+    # q75: frame of 0-based byte position p = p // FRAME_BYTES; keep
+    # frames where idx % FRAME_STRIDE == 0; per-frame byte sum mod 997.
+    "q75_frame_sample": """
+SELECT doc_id, ((i - 1) // 32)::INT AS frame_idx,
+       (sum(unicode(substr(text, i, 1))) % 997)::BIGINT AS f
+FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+WHERE ((i - 1) // 32) % 4 = 0
+GROUP BY doc_id, (i - 1) // 32
+ORDER BY doc_id, frame_idx
 """,
 }

@@ -76,6 +76,7 @@ ORACLE_CHECKED = [
     "q72_partition_pruning",
     "q73_formats_roundtrip",
     "q74_multimodal_features",
+    "q75_frame_sample",
 ]
 
 

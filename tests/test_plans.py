@@ -198,7 +198,7 @@ def test_queries_avoid_row_python_udfs(spark):
 
     allowed_arrow = {"q26_multimodal_meta", "q28_postings_roundtrip",
                      "q29_porter_stems", "q34_cogroup",
-                     "q74_multimodal_features"}
+                     "q74_multimodal_features", "q75_frame_sample"}
     for name, fn in sorted(all_queries().items()):
         if name in ("q27_pagerank", "q38_dup_clusters"):
             continue  # iterative: plan built over localCheckpoints
