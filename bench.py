@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q73_formats_roundtrip",
     "q74_multimodal_features",
     "q75_frame_sample",
+    "q76_retention_cohorts",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -837,6 +837,34 @@ def q69_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# --------------------------------------------------------------------------
+# q76: retention cohort analysis — users grouped by first-activity day
+# (cohort), counted per day-offset of later activity. Two hash aggs and
+# one user-keyed equi-join, all on the same user_id partitioning; day
+# arithmetic is integer floor-div on epoch days, identical in DuckDB.
+# --------------------------------------------------------------------------
+
+COHORT_DAY_S = 86_400
+
+
+def q76_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(COHORT_DAY_S * 1_000_000)
+        ).alias("day"),
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 QUERIES = {
     "q01_fold_agg": q01_fold_agg,
     "q30_cube": q30_cube,
@@ -861,6 +889,7 @@ QUERIES = {
     "q67_stats_moments": q67_stats_moments,
     "q68_incremental_merge": q68_incremental_merge,
     "q69_rolling_window": q69_rolling_window,
+    "q76_retention_cohorts": q76_retention_cohorts,
 }
 
 ORACLE = {
@@ -1260,4 +1289,19 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
+"""
+
+# q76 oracle: same epoch-day floor-div cohort arithmetic.
+ORACLE["q76_retention_cohorts"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1
+)
+SELECT cohort_day, (day - cohort_day) AS day_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM active a JOIN first USING (user_id)
+GROUP BY cohort_day, (day - cohort_day)
+ORDER BY cohort_day, day_offset
 """

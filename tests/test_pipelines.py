@@ -77,6 +77,7 @@ ORACLE_CHECKED = [
     "q73_formats_roundtrip",
     "q74_multimodal_features",
     "q75_frame_sample",
+    "q76_retention_cohorts",
 ]
 
 
