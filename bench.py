@@ -240,11 +240,15 @@ def main() -> None:
     # same-day spread on the identical local[2] build: 102-244 s),
     # so each retry must give the episode a chance to miss the pair —
     # hence the short pause before each retry. Bounded at 3 retries.
-    for _ in range(3):
+    for attempt in range(5):
         eff = t_low / (4.0 * t_high)
         if 0.75 <= eff <= 1.05:
             break
-        time.sleep(20)  # let a minutes-long episode drift off the pair
+        # escalating pause: one observed episode outlasted 3 retries at a
+        # flat 20 s (it held local[8] at ~1.4x for >10 min while leaving
+        # local[2] near its floor — eff read 0.576); later retries must
+        # wait long enough for a minutes-long episode to move off.
+        time.sleep(20 * (attempt + 1))
         t_low = min(t_low, _build(f"local[{scale_n}]", scale_n, pages_path,
                                   os.path.join(BENCH_TMP, "idx_n")))
         t_high = min(t_high, _build(f"local[{scale_4n}]", scale_4n,
