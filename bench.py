@@ -181,6 +181,13 @@ def main() -> None:
     # otherwise dominate the scaling measurement
     os.makedirs(BENCH_TMP, exist_ok=True)
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", os.path.join(BENCH_TMP, "spark"))
+    # the side-effect queries (q71/q72/q73) write scratch trees; keep
+    # them on tmpfs too or a virtio throttle episode inflates their
+    # timed phase 4-7x
+    for var, leaf in (("SPARK_GRAFT_BUCKET_DIR", "bucketed"),
+                      ("SPARK_GRAFT_PART_DIR", "partitioned"),
+                      ("SPARK_GRAFT_FMT_DIR", "formats")):
+        os.environ.setdefault(var, os.path.join(BENCH_TMP, leaf))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
@@ -239,7 +246,7 @@ def main() -> None:
     # >10 min episode kept three consecutive local[2] builds at ~2x;
     # same-day spread on the identical local[2] build: 102-244 s),
     # so each retry must give the episode a chance to miss the pair —
-    # hence the short pause before each retry. Bounded at 3 retries.
+    # hence the escalating pause before each retry. Bounded at 5 retries.
     for attempt in range(5):
         eff = t_low / (4.0 * t_high)
         if 0.75 <= eff <= 1.05:

@@ -23,6 +23,7 @@ regenerated with ``porter.porter_stem``.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -32,6 +33,19 @@ from pyspark.sql import types as T
 
 from ..compress import encode_postings, varbyte_decode, to_signed
 from ..porter import porter_stem
+
+def _scratch_tag(sf_dir: str) -> str:
+    """One scratch subtree per SF dir for the side-effect queries."""
+    return re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _scratch_root(env_key: str, leaf: str) -> str:
+    """Read the scratch root at CALL time, not import time — bench.py
+    redirects these onto tmpfs (the virtio /tmp disk throttles 4-7x and
+    would pollute the timed query phase) after this module may already
+    be imported."""
+    return os.environ.get(env_key, os.path.join("/tmp", leaf))
+
 
 SEG_SCHEMA = T.StructType(
     [
@@ -257,13 +271,11 @@ def q50_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 Q71_BUCKETS = 8
-Q71_SCRATCH = os.environ.get("SPARK_GRAFT_BUCKET_DIR", "/tmp/se_bucketed")
 
 
 def q71_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-
-    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    tag = _scratch_tag(sf_dir)
+    scratch = _scratch_root("SPARK_GRAFT_BUCKET_DIR", "se_bucketed")
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tbl = f"b_{name}_{tag}"
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -272,7 +284,7 @@ def q71_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.write.format("parquet")
             .bucketBy(Q71_BUCKETS, key)
             .sortBy(key)
-            .option("path", os.path.join(Q71_SCRATCH, tag, name))
+            .option("path", os.path.join(scratch, tag, name))
             .mode("overwrite")
             .saveAsTable(tbl)
         )
@@ -302,14 +314,12 @@ def q71_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index's bucket=/group= layout.
 # --------------------------------------------------------------------------
 
-Q72_SCRATCH = os.environ.get("SPARK_GRAFT_PART_DIR", "/tmp/se_partitioned")
-
-
 def _q72_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
-    import re
-
-    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
-    path = os.path.join(Q72_SCRATCH, tag, "events")
+    path = os.path.join(
+        _scratch_root("SPARK_GRAFT_PART_DIR", "se_partitioned"),
+        _scratch_tag(sf_dir),
+        "events",
+    )
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
     return path
@@ -341,18 +351,14 @@ def q72_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ingest job would rely on.
 # --------------------------------------------------------------------------
 
-Q73_SCRATCH = os.environ.get("SPARK_GRAFT_FMT_DIR", "/tmp/se_formats")
-
-
 def q73_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-
     from ..formats import read_csv, read_jsonl, write_csv, write_jsonl
 
-    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    scratch = _scratch_root("SPARK_GRAFT_FMT_DIR", "se_formats")
+    tag = _scratch_tag(sf_dir)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    jp = os.path.join(Q73_SCRATCH, tag, "events_jsonl")
-    cp = os.path.join(Q73_SCRATCH, tag, "events_csv")
+    jp = os.path.join(scratch, tag, "events_jsonl")
+    cp = os.path.join(scratch, tag, "events_csv")
     write_jsonl(ev, jp)
     write_csv(ev, cp)
 

@@ -105,7 +105,7 @@ def q26_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 997) and exact halves after pooling — bit-stable, no rounding needed.
 # --------------------------------------------------------------------------
 
-POOL_DIM = 4  # FEATURE_DIM // 2 after 2:1 average pooling
+POOL_DIM = FEATURE_DIM // 2  # 2:1 average pooling
 
 
 def q74_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

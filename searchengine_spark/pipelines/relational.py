@@ -1294,7 +1294,12 @@ ORDER BY event_id
 # q76 oracle: same epoch-day floor-div cohort arithmetic.
 ORACLE["q76_retention_cohorts"] = """
 WITH active AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+  -- floor(double) matches Spark's floor(long/long -> double) for ALL
+  -- epochs incl. pre-1970 (DuckDB's integer // truncates toward zero);
+  -- exact while |epoch_us| < 2^53 (~year 2255)
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events
 ),
 first AS (
   SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1
