@@ -77,3 +77,17 @@ def read_csv(
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC keeps types natively (timestamps binary, no string format
+    round-trip) — the columnar interchange twin of the parquet primary."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    # explicit schema anyway: a schema-drifted shard must fail the read,
+    # not silently widen the frame
+    return spark.read.schema(schema).orc(path)

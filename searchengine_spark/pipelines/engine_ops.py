@@ -342,7 +342,8 @@ def q72_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q73: interchange-format roundtrip (formats.py under the hash gate) —
-# events exported to JSONL and CSV and read back with explicit schemas,
+# events exported to JSONL, CSV, and ORC and read back with explicit
+# schemas,
 # then aggregated identically per format against the ORIGINAL parquet as
 # the oracle. Any fidelity loss in either connector (timestamp micros,
 # double shortest-repr, quoted text) shifts a per-format aggregate and
@@ -352,15 +353,18 @@ def q72_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q73_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..formats import read_csv, read_jsonl, write_csv, write_jsonl
+    from ..formats import (read_csv, read_jsonl, read_orc, write_csv,
+                           write_jsonl, write_orc)
 
     scratch = _scratch_root("SPARK_GRAFT_FMT_DIR", "se_formats")
     tag = _scratch_tag(sf_dir)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     jp = os.path.join(scratch, tag, "events_jsonl")
     cp = os.path.join(scratch, tag, "events_csv")
+    op = os.path.join(scratch, tag, "events_orc")
     write_jsonl(ev, jp)
     write_csv(ev, cp)
+    write_orc(ev, op)
 
     def census(df: DataFrame, fmt: str) -> DataFrame:
         return (
@@ -381,6 +385,7 @@ def q73_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         census(read_jsonl(spark, jp, ev.schema), "jsonl")
         .unionAll(census(read_csv(spark, cp, ev.schema), "csv"))
+        .unionAll(census(read_orc(spark, op, ev.schema), "orc"))
         .orderBy("fmt", "event_type")
     )
 
@@ -474,6 +479,9 @@ SELECT event_type, n, n_users, sum_value, min_ts, max_ts, props_chars,
 UNION ALL
 SELECT event_type, n, n_users, sum_value, min_ts, max_ts, props_chars,
        'csv' AS fmt FROM a
+UNION ALL
+SELECT event_type, n, n_users, sum_value, min_ts, max_ts, props_chars,
+       'orc' AS fmt FROM a
 ORDER BY fmt, event_type
 """,
     # q49: the oracle is the PLAIN join — salting must be semantically

@@ -1,5 +1,5 @@
-"""JSON-lines / CSV connectors: explicit-schema round-trips must equal
-the Parquet source exactly (values, types, timestamps)."""
+"""JSON-lines / CSV / ORC connectors: explicit-schema round-trips must
+equal the Parquet source exactly (values, types, timestamps)."""
 
 import os
 
@@ -17,7 +17,7 @@ def _canon(df):
     return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+@pytest.mark.parametrize("fmt", ["jsonl", "csv", "orc"])
 def test_roundtrip_equals_parquet(spark, fmt):
     src = spark.read.parquet(os.path.join(SF, "events.parquet"))
     path = os.path.join(FMTDIR, fmt)
