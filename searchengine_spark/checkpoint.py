@@ -115,8 +115,10 @@ def run_partitioned_stage(
     max_parallel: int | None = None,
 ) -> dict:
     """Run ``fn(pid) -> (output_path, rows, bytes)`` for every partition not
-    already completed (idempotent resume). ``kill_after`` aborts after that
-    many completions — used by the resume tests to simulate a killed build.
+    already completed (idempotent resume). ``kill_after`` aborts BEFORE the
+    (N+1)th partition starts, so exactly N complete (kill_after=0
+    completes none) — used by the resume tests to simulate a killed
+    build; same boundary semantics as merge_tokens_stage's knob.
 
     Partitions run as *concurrent Spark jobs* from driver threads
     (``max_parallel`` at a time, default 4): one partition's shuffle
@@ -143,11 +145,11 @@ def run_partitioned_stage(
     ran: list[int] = []
     if kill_after is not None:
         for pid in todo:
-            ran.append(run_one(pid))
             if len(ran) >= kill_after:
                 raise KeyboardInterrupt(
                     f"simulated kill after {kill_after} partitions"
                 )
+            ran.append(run_one(pid))
         return {"ran": ran, "skipped": skipped}
 
     n_workers = min(max_parallel or 4, max(len(todo), 1))

@@ -188,12 +188,76 @@ def merge_tokens_stage(
             if part.startswith("bucket=")
         }
     )
+    oob = [b for b in affected if b < 0 or b >= n_buckets]
+    if oob:
+        raise RuntimeError(
+            f"delta token files under bucket ids {oob[:5]} but the index "
+            f"has n_buckets={n_buckets} — the token writer used a "
+            "mismatched n_buckets; re-ingest with the index's _meta.json "
+            "value"
+        )
     delta_paths = [os.path.join(tokens_root, rel) for rel in delta]
+
+    def _finish_bucket(
+        b: int, g: int, bucket_dir: str, plan_tmp: str, old_dir: str,
+        t0: float,
+    ) -> None:
+        """Post-swap tail shared by the normal path and crash recovery:
+        dictionary read-modify-swap from the persisted salt plan, lineage
+        record, THEN scratch cleanup (record gates re-entry, so cleanup
+        must come last)."""
+        salt_plan = spark.read.parquet(plan_tmp)
+        # dictionary/group=<g> is shared by every bucket of the group:
+        # the read-modify-swap must be serialized per group, INCLUDING
+        # the read — a concurrent same-group bucket could otherwise
+        # snapshot the other bucket's pre-merge rows and clobber its
+        # freshly-swapped salt plan with stale df/n_salts
+        dict_dir = os.path.join(catalog.path(root, "dictionary"), f"group={g}")
+        with _dict_locks[g]:
+            old_dict = spark.read.parquet(dict_dir).filter(F.col("bucket") != b)
+            dict_stage = dict_dir + f".merge-tmp-b{b}"
+            shutil.rmtree(dict_stage, ignore_errors=True)
+            old_dict.unionByName(salt_plan).write.mode("overwrite").parquet(
+                dict_stage
+            )
+            shutil.rmtree(dict_dir, ignore_errors=True)
+            os.replace(dict_stage, dict_dir)
+        rows, nbytes = catalog.parquet_rows_bytes(bucket_dir)
+        checkpoint.record(
+            root, build_id, "merge", b, merge_fp,
+            bucket_dir, rows, nbytes,
+            int((time.monotonic() - t0) * 1000),
+        )
+        shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(plan_tmp, ignore_errors=True)
 
     def merge_bucket(b: int) -> None:
         t0 = time.monotonic()
         g = b // group_size
-        bucket_dir = os.path.join(postings_root, f"group={g}", f"bucket={b}")
+        group_dir = os.path.join(postings_root, f"group={g}")
+        bucket_dir = os.path.join(group_dir, f"bucket={b}")
+        # scratch names are dot-prefixed so the readers' bucket=* globs
+        # and Spark's recursive listings can never pick up a leftover
+        stage_dir = os.path.join(group_dir, f".merge-tmp-b{b}")
+        old_dir = os.path.join(group_dir, f".merge-old-b{b}")
+        plan_tmp = os.path.join(postings_root, f"_salt_plan_b{b}.merge-tmp")
+        marker = os.path.join(bucket_dir, "_merge_fp")
+        # ---- crash recovery (no lineage row exists for this bucket) ----
+        if not os.path.exists(bucket_dir) and os.path.exists(old_dir):
+            # died between the aside and the swap-in: restore, re-merge
+            os.replace(old_dir, bucket_dir)
+        if os.path.exists(marker) and os.path.exists(plan_tmp):
+            with open(marker) as fh:
+                if fh.read() == merge_fp:
+                    # died after the segment swap but before the lineage
+                    # record: the delta is already IN these segments —
+                    # re-merging would duplicate every streamed posting.
+                    # Finish the dictionary + lineage tail only.
+                    _finish_bucket(b, g, bucket_dir, plan_tmp, old_dir, t0)
+                    return
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        # ---- normal path ----
         old_segments = (
             spark.read.option("basePath", postings_root).parquet(bucket_dir)
             if os.path.exists(bucket_dir)
@@ -211,57 +275,56 @@ def merge_tokens_stage(
             F.lit(b).cast("int").alias("bucket"),
             "doc_id", "term", "tf", "positions", "doc_len",
         )
-        toks = old_tokens.unionByName(new_tokens)
-        term_stats = toks.groupBy("bucket", "term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
-        salt_plan = term_stats.select(
-            "bucket", "term", "df", "cf",
-            F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
-        )
-        # persist the salt plan FIRST: everything downstream (segments
-        # AND the dictionary update) must read it from disk, not re-run
-        # a lineage that still points at the pre-swap segment files
-        plan_tmp = os.path.join(
-            postings_root, f"_salt_plan_b{b}.merge-tmp"
-        )
-        shutil.rmtree(plan_tmp, ignore_errors=True)
-        salt_plan.write.mode("overwrite").parquet(plan_tmp)
-        salt_plan = spark.read.parquet(plan_tmp)
-        salted = toks.join(
-            F.broadcast(salt_plan.select("term", "n_salts")), "term"
-        ).withColumn("salt", salt_expr(F.col("n_salts")))
-        segments = salted.groupBy("bucket", "term", "salt").applyInPandas(
-            _postings_kernel(avgdl), POSTINGS_SCHEMA
-        )
-        # stage + swap so a killed merge never leaves a half bucket
-        stage_dir = bucket_dir + ".merge-tmp"
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        segments.drop("bucket").write.mode("overwrite").parquet(stage_dir)
-        shutil.rmtree(bucket_dir, ignore_errors=True)
-        os.replace(stage_dir, bucket_dir)
-        # dictionary/group=<g> is shared by every bucket of the group:
-        # the read-modify-swap must be serialized per group, INCLUDING
-        # the read — a concurrent same-group bucket could otherwise
-        # snapshot the other bucket's pre-merge rows and clobber its
-        # freshly-swapped salt plan with stale df/n_salts
-        dict_dir = os.path.join(catalog.path(root, "dictionary"), f"group={g}")
-        with _dict_locks[g]:
-            old_dict = spark.read.parquet(dict_dir).filter(F.col("bucket") != b)
-            dict_stage = dict_dir + f".merge-tmp-b{b}"
-            shutil.rmtree(dict_stage, ignore_errors=True)
-            old_dict.unionByName(salt_plan).write.mode("overwrite").parquet(
-                dict_stage
+        # writer/meta n_buckets mismatch detector: a delta written with a
+        # different bucket count would merge into buckets the readers'
+        # term-hash pruning never looks in — silent invisibility
+        mism = new_tokens.filter(
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+            != F.lit(b)
+        ).limit(1).count()
+        if mism:
+            raise RuntimeError(
+                f"delta tokens under bucket={b} contain terms hashing to a "
+                f"different bucket at n_buckets={n_buckets} — the token "
+                "writer used a mismatched n_buckets; re-ingest with the "
+                "index's _meta.json value"
             )
-            shutil.rmtree(dict_dir, ignore_errors=True)
-            os.replace(dict_stage, dict_dir)
-        shutil.rmtree(plan_tmp, ignore_errors=True)
-        rows, nbytes = catalog.parquet_rows_bytes(bucket_dir)
-        checkpoint.record(
-            root, build_id, "merge", b, merge_fp,
-            bucket_dir, rows, nbytes,
-            int((time.monotonic() - t0) * 1000),
-        )
+        # persist: the union is materialized twice below (salt plan +
+        # segments) and each action would otherwise re-decode every old
+        # blob through the Python kernel — the dominant per-bucket cost
+        toks = old_tokens.unionByName(new_tokens).persist()
+        try:
+            term_stats = toks.groupBy("bucket", "term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            )
+            salt_plan = term_stats.select(
+                "bucket", "term", "df", "cf",
+                F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
+            )
+            # persist the salt plan FIRST: everything downstream (segments
+            # AND the dictionary update) must read it from disk, not re-run
+            # a lineage that still points at the pre-swap segment files
+            shutil.rmtree(plan_tmp, ignore_errors=True)
+            salt_plan.write.mode("overwrite").parquet(plan_tmp)
+            salt_plan = spark.read.parquet(plan_tmp)
+            salted = toks.join(
+                F.broadcast(salt_plan.select("term", "n_salts")), "term"
+            ).withColumn("salt", salt_expr(F.col("n_salts")))
+            segments = salted.groupBy("bucket", "term", "salt").applyInPandas(
+                _postings_kernel(avgdl), POSTINGS_SCHEMA
+            )
+            # stage + swap so a killed merge never leaves a half bucket;
+            # the marker inside the staged data makes the swap+record pair
+            # crash-recoverable (see recovery preamble above)
+            segments.drop("bucket").write.mode("overwrite").parquet(stage_dir)
+        finally:
+            toks.unpersist()
+        with open(os.path.join(stage_dir, "_merge_fp"), "w") as fh:
+            fh.write(merge_fp)
+        if os.path.exists(bucket_dir):
+            os.replace(bucket_dir, old_dir)  # atomic aside — never a gap
+        os.replace(stage_dir, bucket_dir)  # atomic swap-in
+        _finish_bucket(b, g, bucket_dir, plan_tmp, old_dir, t0)
 
     # buckets merge as concurrent Spark jobs (same pattern as
     # checkpoint.run_partitioned_stage) — one bucket's shuffle rarely
@@ -362,18 +425,33 @@ def _docstats_from_tokens(
         .select("doc_id", "url", "doc_len")
     )
     ds_path = catalog.path(root, catalog.DOCSTATS)
+    st_path = catalog.path(root, catalog.STATS)
+    # crash recovery: a previous run may have died between the two
+    # renames below, leaving the live dir missing and the aside present
+    for live in (ds_path, st_path):
+        aside = live + ".merge-old"
+        if not os.path.exists(live) and os.path.exists(aside):
+            os.replace(aside, live)
     old = spark.read.parquet(ds_path)
     merged = old.unionByName(
         new_docs.join(old.select("doc_id"), "doc_id", "left_anti")
     )
-    merged.write.mode("overwrite").parquet(ds_path + ".merge-tmp")
-    shutil.rmtree(ds_path)
-    os.replace(ds_path + ".merge-tmp", ds_path)
+
+    def _swap(live: str, write_fn) -> None:
+        """tmp-write then aside+swap: there is never a moment with no
+        live dir (rmtree-then-replace had a crash window that left the
+        index unreadable and resume unable to proceed)."""
+        tmp, aside = live + ".merge-tmp", live + ".merge-old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_fn(tmp)
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(live, aside)
+        os.replace(tmp, live)
+        shutil.rmtree(aside, ignore_errors=True)
+
+    _swap(ds_path, lambda t: merged.write.mode("overwrite").parquet(t))
     written = spark.read.parquet(ds_path)
     agg = written.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
-    stats_tmp = catalog.path(root, catalog.STATS) + ".merge-tmp"
-    agg.write.mode("overwrite").parquet(stats_tmp)
-    shutil.rmtree(catalog.path(root, catalog.STATS))
-    os.replace(stats_tmp, catalog.path(root, catalog.STATS))
+    _swap(st_path, lambda t: agg.write.mode("overwrite").parquet(t))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import catalog
 from ..indexer import _bucket, _ingest_filter, docs_with_scoring_text, tokenize
 
 PAGES_SPARK_SCHEMA = T.StructType(
@@ -43,11 +44,23 @@ def stream_tokenize(
     pages_dir: str,
     tokens_out: str,
     checkpoint_dir: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     max_files_per_trigger: int | None = None,
 ):
     """Start (availableNow) the incremental tokenize stream; returns the
-    StreamingQuery. Idempotent across restarts via the checkpoint."""
+    StreamingQuery. Idempotent across restarts via the checkpoint.
+
+    ``n_buckets`` defaults to the index's ``_meta.json`` value when
+    ``tokens_out`` sits inside an index root — the writer MUST agree
+    with the readers' term-hash pruning, or streamed tokens merge into
+    buckets queries never look in. Pass it explicitly only for a
+    standalone tokens table."""
+    if n_buckets is None:
+        root = os.path.dirname(os.path.normpath(tokens_out))
+        try:
+            n_buckets = int(catalog.read_meta(root)["n_buckets"])
+        except (OSError, KeyError, ValueError):
+            n_buckets = catalog.N_BUCKETS
     reader = (
         spark.readStream.schema(PAGES_SPARK_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger or 16)

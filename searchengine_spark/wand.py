@@ -298,6 +298,8 @@ def wand_topk(terms: list, k: int, mode: str = "OR") -> list[tuple[int, float]]:
     """Block-max WAND (OR) / pruned intersection (AND) top-k over any
     cursor implementation (_TermList or _LazyTermList).
     Returns [(doc_id, score)] sorted score DESC, doc_id ASC."""
+    if mode == "AND" and any(not t.n_postings for t in terms):
+        return []  # a term with no postings empties the conjunction
     terms = [t for t in terms if t.n_postings]
     if not terms or k <= 0:
         return []

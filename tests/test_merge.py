@@ -214,3 +214,89 @@ def test_maybe_merge_compaction_policy(spark, tmp_path):
     from searchengine_spark.fsck import fsck
 
     assert fsck(spark, root).collect() == []
+
+
+def test_merge_crash_between_swap_and_record_recovers(spark):
+    """The deadliest crash window: segments swapped in, lineage row not
+    yet written. A naive resume would re-union the delta into the
+    already-merged bucket (duplicating every streamed posting); the
+    marker+plan recovery must instead finish the dictionary/lineage tail
+    and end rank-identical to a from-scratch rebuild."""
+    import searchengine_spark.merge as merge_mod
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    base = os.path.join(MERGEDIR, "crashwin")
+    shutil.rmtree(base, ignore_errors=True)
+    full_dir = os.path.join(MERGEDIR, "pages_full")  # from module fixture dir
+    if not os.path.exists(full_dir):
+        corpus.write_pages_parquet(full_dir, N_PAGES, batch_rows=40)
+    files = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    initial_dir = os.path.join(base, "pages_initial")
+    stream_dir = os.path.join(base, "pages_stream")
+    os.makedirs(initial_dir)
+    os.makedirs(stream_dir)
+    for f in files[:-4]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
+    for f in files[-4:]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(stream_dir, f))
+    root = os.path.join(base, "index")
+    build_index(spark, initial_dir, root, n_chunks=2, n_buckets=N_BUCKETS)
+    q = stream_tokenize(
+        spark, stream_dir, catalog.path(root, catalog.TOKENS),
+        os.path.join(base, "ckpt"), n_buckets=N_BUCKETS,
+    )
+    q.awaitTermination()
+
+    real_record = checkpoint.record
+    state = {"merges": 0}
+
+    def dying_record(root_, build_id, stage, *a, **kw):
+        if stage == "merge":
+            state["merges"] += 1
+            if state["merges"] == 1:
+                raise KeyboardInterrupt("simulated crash before the record")
+        return real_record(root_, build_id, stage, *a, **kw)
+
+    merge_mod.checkpoint.record = dying_record
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            merge_tokens_stage(spark, root, pages_path=full_dir, kill_after=99)
+    finally:
+        merge_mod.checkpoint.record = real_record
+
+    report = merge_tokens_stage(spark, root, pages_path=full_dir)
+    assert report["delta_files"] > 0
+    merged_rows = [
+        m for m in checkpoint.read_metrics(root) if m["stage"] == "merge"
+    ]
+    assert len(merged_rows) == len({m["partition_id"] for m in merged_rows})
+
+    root2 = os.path.join(base, "index_rebuilt")
+    build_index(spark, full_dir, root2, n_chunks=2, n_buckets=N_BUCKETS)
+    qs = corpus.reference_queries()
+    a = {(r["query_id"], r["rank"], r["doc_id"])
+         for r in score_wand(spark, root, qs).collect()}
+    b = {(r["query_id"], r["rank"], r["doc_id"])
+         for r in score_wand(spark, root2, qs).collect()}
+    assert a == b, "recovered merge diverged from a from-scratch rebuild"
+
+
+def test_wand_and_mode_empty_term_empties_conjunction():
+    """AND with any zero-posting term must return [] — not the
+    intersection of only the non-empty terms."""
+    import numpy as np
+
+    from searchengine_spark.wand import _TermList, wand_topk
+
+    docs = np.array([1, 2, 3], dtype=np.int64)
+    norms = np.array([0.5, 0.4, 0.3])
+    full = _TermList(
+        1.0, docs, norms, np.array([3], dtype=np.int64), np.array([1.0])
+    )
+    full.max_score = 1.0
+    empty = _TermList(
+        1.0, np.array([], dtype=np.int64), np.array([]),
+        np.array([], dtype=np.int64), np.array([]),
+    )
+    assert wand_topk([full], 5, mode="AND")
+    assert wand_topk([full, empty], 5, mode="AND") == []
