@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import uuid
 
 TOKENS = "tokens"
@@ -90,7 +91,13 @@ def tree_manifest(dir_path: str) -> list[tuple[str, int, int]]:
     if os.path.isfile(dir_path):
         st = os.stat(dir_path)
         return [(os.path.basename(dir_path), st.st_size, st.st_mtime_ns)]
-    for dp, _dirs, files in os.walk(dir_path):
+    for dp, dirs, files in os.walk(dir_path):
+        # prune hidden/bookkeeping DIRECTORIES too: Spark's job-commit
+        # scratch (_temporary/) holds normally-named part files, so a
+        # basename check alone would manifest a half-written batch —
+        # and merge would fold it in, then flag it "vanished" after the
+        # stream's replay rewrote the chunk
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
             if f.startswith((".", "_")):
                 continue
@@ -161,3 +168,26 @@ def parquet_rows_bytes(dir_path: str) -> tuple[int, int]:
     with ThreadPoolExecutor(max_workers=16) as pool:
         rows = sum(pool.map(_rows, paths))
     return rows, nbytes
+
+
+def replace_dir(live: str, write_fn) -> None:
+    """Write via ``write_fn(tmp_path)`` then swap into ``live`` with an
+    atomic aside+rename pair: readers never observe a missing or
+    half-written directory, and a crash between the two renames is
+    repaired by ``restore_aside`` on the next run (plain
+    mode('overwrite') to the live path had both failure modes)."""
+    tmp, aside = live + ".swap-tmp", live + ".swap-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    shutil.rmtree(aside, ignore_errors=True)
+    if os.path.exists(live):
+        os.replace(live, aside)
+    os.replace(tmp, live)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def restore_aside(live: str) -> None:
+    """Undo a replace_dir crash window: live missing, aside present."""
+    aside = live + ".swap-old"
+    if not os.path.exists(live) and os.path.exists(aside):
+        os.replace(aside, live)

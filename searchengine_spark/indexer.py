@@ -301,12 +301,22 @@ def build_docstats_stage(
             "doc_id", "url", F.coalesce("doc_len", F.lit(0)).alias("doc_len")
         )
         out = catalog.path(root, catalog.DOCSTATS)
-        stats_df.write.mode("overwrite").parquet(out)
+        st_out = catalog.path(root, catalog.STATS)
+        # aside+swap, not overwrite-in-place: a concurrent reader (or a
+        # crash mid-write) must never observe a missing/half docstats or
+        # stats dir — the same window merge._docstats_from_tokens closes
+        catalog.restore_aside(out)
+        catalog.restore_aside(st_out)
+        catalog.replace_dir(
+            out, lambda t: stats_df.write.mode("overwrite").parquet(t)
+        )
         written = spark.read.parquet(out)
         agg = written.agg(
             F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
         )
-        agg.write.mode("overwrite").parquet(catalog.path(root, catalog.STATS))
+        catalog.replace_dir(
+            st_out, lambda t: agg.write.mode("overwrite").parquet(t)
+        )
         n, nbytes = catalog.parquet_rows_bytes(out)
         return out, n, nbytes
 
@@ -435,6 +445,15 @@ def build_postings_stage(
             "cf",
             F.ceil(F.col("df") / F.lit(target_postings)).cast("int").alias("n_salts"),
         )
+        # dictionary FIRST, then broadcast the re-read: the segments job
+        # and the dictionary otherwise each materialize the same token
+        # scan + (bucket, term) aggregation — one redundant full pass
+        # over the group's tokens per group (merge.py already plans this
+        # way for a different reason: its downstream must never re-run a
+        # lineage that points at pre-swap segment files)
+        dict_out = os.path.join(dict_root, f"group={g}")
+        salt_plan.write.mode("overwrite").parquet(dict_out)
+        salt_plan = spark.read.parquet(dict_out)
         salted = toks.join(
             F.broadcast(salt_plan.select("term", "n_salts")), "term"
         ).withColumn("salt", salt_expr(F.col("n_salts")))
@@ -443,9 +462,6 @@ def build_postings_stage(
         )
         out = os.path.join(postings_root, f"group={g}")
         segments.write.mode("overwrite").partitionBy("bucket").parquet(out)
-        salt_plan.write.mode("overwrite").parquet(
-            os.path.join(dict_root, f"group={g}")
-        )
         n, nbytes = catalog.parquet_rows_bytes(out)
         return out, n, nbytes
 

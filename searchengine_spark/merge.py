@@ -151,6 +151,27 @@ def merge_tokens_stage(
     if not delta:
         return {"delta_files": 0, "merged_buckets": [],
                 "skipped_buckets": n_buckets}
+    # stale-manifest guard: a build_postings_stage that completed (or
+    # partially completed) over EXACTLY these tokens but died before its
+    # final write_meta leaves meta.tokens_manifest behind the lineage.
+    # Merging then would re-union postings the segments already contain
+    # — duplicating df/cf/idf with nothing downstream to notice.
+    n_groups = max((n_buckets + group_size - 1) // group_size, 1)
+    cur_fp = postings_fingerprint(
+        root, n_buckets, target, group_size, manifest=current
+    )
+    done_cur = checkpoint.completed_partitions(root, "postings", cur_fp)
+    if len(done_cur) >= n_groups:
+        catalog.write_meta(root, tokens_manifest=[list(x) for x in current])
+        return {"delta_files": 0, "merged_buckets": [],
+                "skipped_buckets": n_buckets}
+    if done_cur:
+        raise RuntimeError(
+            f"{len(done_cur)}/{n_groups} postings groups are already built "
+            "over the current token set (a partial build_postings_stage "
+            "run) — resume build_postings_stage instead of merging, or "
+            "the rebuilt groups would absorb the delta twice"
+        )
     import hashlib
     import json as _json
 
@@ -356,10 +377,7 @@ def merge_tokens_stage(
     # build_postings_stage resumes as a no-op (unaffected buckets are
     # identical to a rebuild by construction; affected ones were just
     # rebuilt from merged tokens)
-    new_fp = postings_fingerprint(
-        root, n_buckets, target, group_size, manifest=current
-    )
-    n_groups = max((n_buckets + group_size - 1) // group_size, 1)
+    new_fp = cur_fp
     done = checkpoint.completed_partitions(root, "postings", new_fp)
     for g in range(n_groups):
         if g not in done:
@@ -428,26 +446,14 @@ def _docstats_from_tokens(
     st_path = catalog.path(root, catalog.STATS)
     # crash recovery: a previous run may have died between the two
     # renames below, leaving the live dir missing and the aside present
-    for live in (ds_path, st_path):
-        aside = live + ".merge-old"
-        if not os.path.exists(live) and os.path.exists(aside):
-            os.replace(aside, live)
+    catalog.restore_aside(ds_path)
+    catalog.restore_aside(st_path)
     old = spark.read.parquet(ds_path)
     merged = old.unionByName(
         new_docs.join(old.select("doc_id"), "doc_id", "left_anti")
     )
 
-    def _swap(live: str, write_fn) -> None:
-        """tmp-write then aside+swap: there is never a moment with no
-        live dir (rmtree-then-replace had a crash window that left the
-        index unreadable and resume unable to proceed)."""
-        tmp, aside = live + ".merge-tmp", live + ".merge-old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        write_fn(tmp)
-        shutil.rmtree(aside, ignore_errors=True)
-        os.replace(live, aside)
-        os.replace(tmp, live)
-        shutil.rmtree(aside, ignore_errors=True)
+    _swap = catalog.replace_dir  # tmp-write then aside+swap (crash-safe)
 
     _swap(ds_path, lambda t: merged.write.mode("overwrite").parquet(t))
     written = spark.read.parquet(ds_path)

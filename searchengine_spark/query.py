@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from . import catalog
 from .bm25 import B, K1, W_PAGERANK, W_RELEVANCE, W_TITLE
-from .compress import varbyte_decode, to_signed
+from .compress import decode_postings, to_signed, varbyte_decode
 from .indexer import term_buckets
 from .porter import porter_stem
 from .textprep import java_tokens
@@ -88,12 +88,15 @@ def _n_buckets(root: str) -> int:
     omits empty buckets, so a directory count can undercount and send
     every query term to the wrong bucket."""
     meta = catalog.read_meta(root)
-    if "n_buckets" in meta:
-        return int(meta["n_buckets"])
-    # pre-metadata index fallback: count distinct bucket dirs
-    postings_root = catalog.path(root, catalog.POSTINGS)
-    dirs = catalog.glob_dirs(os.path.join(postings_root, "group=*", "bucket=*"))
-    return max(1, len({os.path.basename(d) for d in dirs}))
+    if "n_buckets" not in meta:
+        # NO directory-count fallback: partitionBy omits empty buckets,
+        # so a count can undercount and silently send every query term
+        # to the wrong bucket (_meta.json is the source of truth)
+        raise RuntimeError(
+            f"{root}/_meta.json has no n_buckets — rebuild the postings "
+            "stage (build_postings_stage writes it) before querying"
+        )
+    return int(meta["n_buckets"])
 
 
 def decode_segments(segments: DataFrame) -> DataFrame:
@@ -112,8 +115,7 @@ def decode_segments(segments: DataFrame) -> DataFrame:
             for term, doc_blob, tf_blob, dl_blob in zip(
                 pdf["term"], pdf["doc_blob"], pdf["tf_blob"], pdf["dl_blob"]
             ):
-                d = to_signed(np.cumsum(varbyte_decode(bytes(doc_blob)), dtype=np.uint64))
-                t = varbyte_decode(bytes(tf_blob)).astype(np.int64)
+                d, t = decode_postings(bytes(doc_blob), bytes(tf_blob))
                 l = varbyte_decode(bytes(dl_blob)).astype(np.int64)
                 terms.append(np.full(len(d), term, dtype=object))
                 docs.append(d)
@@ -195,28 +197,34 @@ def phrase_match(spark: SparkSession, root: str, phrase: list[str]) -> DataFrame
     stemmed = [porter_stem(t) for t in phrase]
     if not stemmed:
         return spark.createDataFrame([], "doc_id long, n_hits int")
+    # ONE decode pass: the previous per-term join chain re-ran the
+    # bucket-pruned segment scan and the Python position decode once per
+    # phrase term. Each (term, slot) of the phrase is a row of a tiny
+    # broadcast table (a repeated term gets one row per slot), the
+    # decoded postings fan out to their slots in a single map-side join,
+    # and a phrase occurrence = one position present in EVERY slot's
+    # shifted set — an order-insensitive array-intersection fold, so the
+    # collect_list ordering cannot affect n_hits.
+    slots = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(stemmed)], "term string, slot int"
+    )
     pos = decode_positions(load_segments(spark, root, stemmed))
-    parts = []
-    for i, t in enumerate(stemmed):
-        parts.append(
-            pos.filter(F.col("term") == t).select(
-                "doc_id",
-                # normalize: shift each term's positions back by its
-                # phrase offset; a phrase occurrence = one position
-                # present in every term's shifted set
-                F.transform(
-                    "positions", lambda p, _i=i: p - F.lit(_i)
-                ).alias(f"p{i}"),
-            )
-        )
-    joined = parts[0]
-    for i in range(1, len(parts)):
-        joined = joined.join(parts[i], "doc_id")
-    inter = F.col("p0")
-    for i in range(1, len(stemmed)):
-        inter = F.array_intersect(inter, F.col(f"p{i}"))
+    shifted = pos.join(F.broadcast(slots), "term").select(
+        "doc_id",
+        F.transform("positions", lambda pp: pp - F.col("slot")).alias("sp"),
+    )
+    per_doc = shifted.groupBy("doc_id").agg(
+        F.count("*").alias("n_slots"),
+        F.collect_list("sp").alias("sets"),
+    )
+    inter = F.aggregate(
+        F.slice("sets", 2, len(stemmed)),
+        F.element_at("sets", 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
     return (
-        joined.select("doc_id", F.size(inter).alias("n_hits"))
+        per_doc.filter(F.col("n_slots") == len(stemmed))
+        .select("doc_id", F.size(inter).alias("n_hits"))
         .filter(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
@@ -241,6 +249,11 @@ def _query_terms_df(
     the AND n_terms count but carry no postings."""
     rows = []
     for q in queries:
+        mode = str(q.get("mode", "OR")).upper()
+        if mode not in ("OR", "AND"):
+            # the two physical strategies default opposite ways on junk
+            # values (exhaustive -> AND, WAND -> OR); fail loudly instead
+            raise ValueError(f"query mode must be OR or AND, got {q.get('mode')!r}")
         terms = parse_query(q["query"])
         for t in terms:
             rows.append(
@@ -249,7 +262,7 @@ def _query_terms_df(
                     t,
                     float(idfs.get(t, 0.0)),
                     len(terms),
-                    q.get("mode", "OR"),
+                    mode,
                     int(q.get("k", 15)),
                 )
             )
