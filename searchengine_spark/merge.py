@@ -235,14 +235,18 @@ def merge_tokens_stage(
         # freshly-swapped salt plan with stale df/n_salts
         dict_dir = os.path.join(catalog.path(root, "dictionary"), f"group={g}")
         with _dict_locks[g]:
+            # a prior crash between replace_dir's two renames leaves the
+            # live dir missing with the aside present — repair before
+            # reading (same aside+restore discipline as docstats/stats;
+            # the old rmtree+replace pair here had a window that lost the
+            # whole group dictionary)
+            catalog.restore_aside(dict_dir)
             old_dict = spark.read.parquet(dict_dir).filter(F.col("bucket") != b)
-            dict_stage = dict_dir + f".merge-tmp-b{b}"
-            shutil.rmtree(dict_stage, ignore_errors=True)
-            old_dict.unionByName(salt_plan).write.mode("overwrite").parquet(
-                dict_stage
+            merged_dict = old_dict.unionByName(salt_plan)
+            catalog.replace_dir(
+                dict_dir,
+                lambda t: merged_dict.write.mode("overwrite").parquet(t),
             )
-            shutil.rmtree(dict_dir, ignore_errors=True)
-            os.replace(dict_stage, dict_dir)
         rows, nbytes = catalog.parquet_rows_bytes(bucket_dir)
         checkpoint.record(
             root, build_id, "merge", b, merge_fp,
@@ -263,19 +267,48 @@ def merge_tokens_stage(
         old_dir = os.path.join(group_dir, f".merge-old-b{b}")
         plan_tmp = os.path.join(postings_root, f"_salt_plan_b{b}.merge-tmp")
         marker = os.path.join(bucket_dir, "_merge_fp")
-        # ---- crash recovery (no lineage row exists for this bucket) ----
+        # ---- crash recovery (no lineage row exists for this bucket
+        # under the CURRENT merge_fp) ----
         if not os.path.exists(bucket_dir) and os.path.exists(old_dir):
             # died between the aside and the swap-in: restore, re-merge
             os.replace(old_dir, bucket_dir)
-        if os.path.exists(marker) and os.path.exists(plan_tmp):
+        if os.path.exists(marker):
             with open(marker) as fh:
-                if fh.read() == merge_fp:
-                    # died after the segment swap but before the lineage
-                    # record: the delta is already IN these segments —
-                    # re-merging would duplicate every streamed posting.
-                    # Finish the dictionary + lineage tail only.
-                    _finish_bucket(b, g, bucket_dir, plan_tmp, old_dir, t0)
-                    return
+                marker_fp = fh.read()
+            recorded = checkpoint.completed_partitions(
+                root, "merge", marker_fp
+            )
+            if b in recorded:
+                pass  # marker is a completed PREVIOUS merge — normal path
+            elif marker_fp == merge_fp and os.path.exists(plan_tmp):
+                # died after the segment swap but before the lineage
+                # record: the delta is already IN these segments —
+                # re-merging would duplicate every streamed posting.
+                # Finish the dictionary + lineage tail only.
+                _finish_bucket(b, g, bucket_dir, plan_tmp, old_dir, t0)
+                return
+            else:
+                # died in the same swap/record gap, but the delta has
+                # since CHANGED (new stream token files arrived before
+                # the resume → different merge_fp, or the persisted salt
+                # plan is gone): these segments already absorbed the
+                # crashed merge's delta, so re-merging the full current
+                # delta into them would duplicate those postings and
+                # inflate df/cf/idf with nothing downstream to notice.
+                # old_dir still holds the pristine pre-merge segments in
+                # exactly this window — restore it and merge from there.
+                if os.path.exists(old_dir):
+                    shutil.rmtree(bucket_dir)
+                    os.replace(old_dir, bucket_dir)
+                else:
+                    raise RuntimeError(
+                        f"bucket={b} carries an unrecorded merge marker "
+                        f"({marker_fp[:12]}…) that does not match the "
+                        f"current delta ({merge_fp[:12]}…) and its "
+                        "pre-merge aside is gone — the segments hold an "
+                        "unknown delta subset; rebuild with "
+                        "build_postings_stage instead of merging"
+                    )
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(old_dir, ignore_errors=True)
         # ---- normal path ----
@@ -397,10 +430,30 @@ def merge_tokens_stage(
 def pending_delta_files(root: str) -> list[str]:
     """Token files (rel paths) not yet folded into the postings — the
     same (path, size) identity merge_tokens_stage uses."""
+    return [rel for rel, _size in _pending_with_sizes(root)]
+
+
+def _pending_with_sizes(root: str) -> list[tuple[str, int]]:
     meta = catalog.read_meta(root)
     incorporated = {tuple(x[:2]) for x in meta.get("tokens_manifest", [])}
     current = catalog.tree_manifest(catalog.path(root, catalog.TOKENS))
-    return [rel for rel, size, *_ in current if (rel, size) not in incorporated]
+    return [
+        (rel, int(size))
+        for rel, size, *_ in current
+        if (rel, size) not in incorporated
+    ]
+
+
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for dp, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(dp, f))
+                except OSError:
+                    pass
+    return total
 
 
 def maybe_merge(
@@ -424,6 +477,49 @@ def maybe_merge(
                 "skipped_buckets": None, "deferred": True}
     report = merge_tokens_stage(spark, root, build_id, pages_path=pages_path)
     report["deferred"] = False
+    return report
+
+
+def maybe_merge_tiered(
+    spark: SparkSession,
+    root: str,
+    ratio: float = 0.25,
+    min_delta_bytes: int = 64 << 20,
+    max_delta_files: int = 256,
+    build_id: str = "merge-tiered",
+    pages_path: str | None = None,
+) -> dict:
+    """Size-tiered compaction policy — the trigger a NEVER-ENDING
+    streaming ingest should call after every micro-batch (the plain
+    ``maybe_merge`` file-count knob needs hand-tuning as segments grow).
+
+    Merge fires when EITHER
+    * ``delta_bytes >= max(min_delta_bytes, ratio * segment_bytes)`` —
+      the LSM size-tier rule: each merge rewrites the affected buckets,
+      so requiring the delta to be a fixed FRACTION of the segment bytes
+      bounds per-byte write amplification at ~1/ratio however long the
+      ingest runs (segment bytes grow => the threshold grows with them);
+      ``min_delta_bytes`` stops thrashing while segments are still tiny;
+    * ``delta_files >= max_delta_files`` — a freshness/file-count
+      backstop so metadata (manifest diffing, query-side listing) stays
+      bounded even when batches are small.
+
+    Below both thresholds it is a metadata-only no-op, so calling it
+    every batch is safe and the segment-file population stays bounded:
+    tokens accumulate only up to the threshold, then fold into the
+    per-bucket segments (whose count is fixed by n_buckets/group layout).
+    """
+    pend = _pending_with_sizes(root)
+    d_bytes = sum(s for _r, s in pend)
+    seg_bytes = _tree_bytes(catalog.path(root, catalog.POSTINGS))
+    threshold = max(int(min_delta_bytes), int(ratio * seg_bytes))
+    if not pend or (d_bytes < threshold and len(pend) < max_delta_files):
+        return {"delta_files": len(pend), "delta_bytes": d_bytes,
+                "threshold_bytes": threshold, "merged_buckets": [],
+                "skipped_buckets": None, "deferred": True}
+    report = merge_tokens_stage(spark, root, build_id, pages_path=pages_path)
+    report.update(deferred=False, delta_bytes=d_bytes,
+                  threshold_bytes=threshold)
     return report
 
 

@@ -113,11 +113,42 @@ def q15_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exhaustive-twin size guard: q16/q18/q19 are O(n²) all-pairs by design
+# (they exist to oracle-check their bucketed siblings). Nothing at the
+# plan level stops a caller pointing one at a 100 TB corpus, so the
+# intent is enforced mechanically: above ``max_docs`` rows they refuse
+# and point at the scale path. ``max_docs=None`` forces through.
+# --------------------------------------------------------------------------
+
+EXHAUSTIVE_MAX_DOCS = 50_000  # ~1.25e9 candidate pairs — already absurd
+
+
+def _guard_exhaustive(
+    n: int, name: str, sibling: str, max_docs: int | None
+) -> None:
+    if max_docs is not None and n > max_docs:
+        raise ValueError(
+            f"{name} is the O(n^2) exhaustive oracle twin — refusing "
+            f"{n:,} input rows (> {max_docs:,}). Use {sibling} (the "
+            "banded/bucketed scale path) for production corpora, or pass "
+            "max_docs=None to force the all-pairs run."
+        )
+
+
+# --------------------------------------------------------------------------
 # q16: exhaustive n-gram (token-set) Jaccard near-dup — the oracle twin
 # of the LSH path. O(n²); at scale use q17.
 # --------------------------------------------------------------------------
 
-def q16_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = EXHAUSTIVE_MAX_DOCS,
+) -> DataFrame:
+    _guard_exhaustive(
+        load_docs(spark, sf_dir).count(),
+        "q16_ngram_jaccard", "q17_minhash_lsh", max_docs,
+    )
     s = doc_token_sets(spark, sf_dir)
     a = s.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
@@ -295,7 +326,15 @@ def q32_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_simhash(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = EXHAUSTIVE_MAX_DOCS,
+) -> DataFrame:
+    _guard_exhaustive(
+        load_docs(spark, sf_dir).count(),
+        "q18_simhash", "q32_simhash_banded", max_docs,
+    )
     sh = simhash_docs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
@@ -328,7 +367,15 @@ def embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_embedding_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = EXHAUSTIVE_MAX_DOCS,
+) -> DataFrame:
+    _guard_exhaustive(
+        embeddings_double(spark, sf_dir).count(),
+        "q19_embedding_neardup", "q33_embedding_neardup_ivf", max_docs,
+    )
     e = embeddings_double(spark, sf_dir).withColumn("nrm", _dot(F.col("v"), F.col("v")))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

@@ -35,8 +35,16 @@ from ..compress import encode_postings, varbyte_decode, to_signed
 from ..porter import porter_stem
 
 def _scratch_tag(sf_dir: str) -> str:
-    """One scratch subtree per SF dir for the side-effect queries."""
-    return re.sub(r"[^a-z0-9]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    """One scratch subtree per SF dir for the side-effect queries.
+    Lowercased basename plus a short hash of the FULL path: basenames
+    that differ only in case/punctuation ('SF0.1' vs 'sf0_1') or that
+    repeat under different parents must not collide on scratch subtrees
+    or the b_orders_<tag>/b_customer_<tag> saveAsTable names."""
+    import hashlib
+
+    full = os.path.abspath(os.path.normpath(sf_dir))
+    base = re.sub(r"[^a-z0-9]+", "_", os.path.basename(full).lower())
+    return f"{base}_{hashlib.md5(full.encode()).hexdigest()[:8]}"
 
 
 def _scratch_root(env_key: str, leaf: str) -> str:

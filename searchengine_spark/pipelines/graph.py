@@ -329,20 +329,26 @@ ORDER BY node
 def _hits_round_sql(hp: str, an: str, hn: str) -> str:
     """One HITS round: authorities from hubs table ``hp``, then hubs
     from those authorities; same quantize-sum-normalize as the engine."""
+    # L1 mass rides a 1-row CROSS JOIN (same shape as the engine's
+    # broadcast scalar); MATERIALIZED stops DuckDB from inlining and
+    # re-evaluating the whole chain per reference (5.4s -> 0.1s at
+    # sf0.01 — a scalar subquery here re-planned the CTE per use).
     return f"""
-{an}r AS (
+{an}r AS MATERIALIZED (
   SELECT auth, sum(round(p.h, 12)::DECIMAL(28,12)) AS ar
   FROM e JOIN {hp} p USING (hub) GROUP BY auth
 ),
+{an}s AS (SELECT sum(ar) AS sa FROM {an}r),
 {an} AS (
-  SELECT auth, ar::DOUBLE / (SELECT sum(ar) FROM {an}r)::DOUBLE AS a FROM {an}r
+  SELECT auth, ar::DOUBLE / sa::DOUBLE AS a FROM {an}r CROSS JOIN {an}s
 ),
-{hn}r AS (
+{hn}r AS MATERIALIZED (
   SELECT hub, sum(round(p.a, 12)::DECIMAL(28,12)) AS hr
   FROM e JOIN {an} p USING (auth) GROUP BY hub
 ),
+{hn}s AS (SELECT sum(hr) AS sh FROM {hn}r),
 {hn} AS (
-  SELECT hub, hr::DOUBLE / (SELECT sum(hr) FROM {hn}r)::DOUBLE AS h FROM {hn}r
+  SELECT hub, hr::DOUBLE / sh::DOUBLE AS h FROM {hn}r CROSS JOIN {hn}s
 )"""
 
 
@@ -351,7 +357,7 @@ _HITS_CTES = ",".join(
 )
 
 ORACLE["q59_hits"] = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT l_suppkey::BIGINT AS hub, l_partkey::BIGINT AS auth
   FROM lineitem
 ),

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -40,11 +40,14 @@ MEDIA_SCHEMA = T.StructType(
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decoder — requires an image library not present in this
-    container. The Spark plumbing around it is real; swap this body for
-    PIL/libvips on a cluster with the deps installed."""
+    container. The Spark plumbing around it is real; on a cluster with
+    the deps installed, pass a PIL/libvips-backed callable as the
+    ``decoder`` argument of :func:`extract_features` (zero engine-code
+    change) or swap this body."""
     raise NotImplementedError(
-        "image decode requires an imaging library; use fake_features() "
-        "for the deterministic test path"
+        "image decode requires an imaging library; inject decoder= on "
+        "extract_features, or use fake_features() for the deterministic "
+        "test path"
     )
 
 
@@ -60,9 +63,20 @@ def fake_features(payload: bytes) -> list[float]:
     return buckets
 
 
-def extract_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    decoder: "Callable[[bytes], object] | None" = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over a binary column. Partition-
-    agnostic: one output row per input row, no shuffle."""
+    agnostic: one output row per input row, no shuffle.
+
+    ``decoder`` is the injection point for a REAL media decoder
+    (``bytes -> array-like of floats``, e.g. PIL decode + embedding):
+    it is cloudpickled to the executors, so a cluster with imaging libs
+    installed plugs one in with zero engine-code change. Default is the
+    deterministic byte-histogram stub (the oracle-checked path)."""
+    feat = decoder if decoder is not None else fake_features
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,7 +86,10 @@ def extract_features(media: DataFrame, payload_col: str = "payload") -> DataFram
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": pd.Series([len(p) for p in payloads], dtype="int32"),
                     "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "features": [fake_features(p) for p in payloads],
+                    "features": [
+                        [float(x) for x in np.asarray(feat(p)).ravel()]
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -146,9 +163,19 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+def sample_frames(
+    media: DataFrame,
+    payload_col: str = "payload",
+    frame_feature: "Callable[[np.ndarray], int] | None" = None,
+) -> DataFrame:
     """Arrow-batched frame sampler over a binary column: one output row
-    per KEPT frame (indices 0, FRAME_STRIDE, 2·FRAME_STRIDE, …)."""
+    per KEPT frame (indices 0, FRAME_STRIDE, 2·FRAME_STRIDE, …).
+    ``frame_feature`` (uint8 frame array -> int) is the injection point
+    for a real per-frame featurizer; default is the deterministic
+    byte-sum stub the oracle reproduces."""
+    feat = frame_feature if frame_feature is not None else (
+        lambda frame: int(frame.sum()) % 997
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,7 +190,7 @@ def sample_frames(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                     frame = arr[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
                     ids.append(int(doc_id))
                     idxs.append(k)
-                    feats.append(int(frame.sum()) % 997)
+                    feats.append(int(feat(frame)))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

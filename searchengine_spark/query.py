@@ -279,7 +279,10 @@ def all_query_terms(queries: list[dict]) -> list[str]:
 
 
 def score_exhaustive(
-    spark: SparkSession, root: str, queries: list[dict]
+    spark: SparkSession,
+    root: str,
+    queries: list[dict],
+    restrict: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, bm25, blended, rank) for every query, top-k.
 
@@ -287,6 +290,12 @@ def score_exhaustive(
     idf * (k1+1) * tf / (tf + k1*(1-b+b*dl/avgdl)).
     blended  = 0.3*pagerank + 0.5*title_hit + 0.2*bm25.
     Tie-break: score DESC, doc_id ASC (total order).
+
+    ``restrict`` — optional (query_id, doc_id) candidate allow-list,
+    applied BEFORE the top-k window (so k fills from the restricted
+    set, not post-cut). The phrase serving mode passes the positional
+    phrase matches here; the restriction must cover every query_id in
+    ``queries`` or the uncovered queries return no rows.
     """
     from .indexer import read_stats
 
@@ -359,6 +368,14 @@ def score_exhaustive(
         (F.col("n_hit") > 0)
         & ((F.col("mode") == "OR") | (F.col("n_hit") == F.col("n_terms")))
     )
+    if restrict is not None:
+        # phrase serving: the allow-list is k-to-hundreds of rows —
+        # broadcast semi-join, the candidate side never shuffles for it
+        candidates = candidates.join(
+            F.broadcast(restrict.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+            "left_semi",
+        )
 
     # blend: pagerank
     pr_path = catalog.path(root, catalog.PAGERANKS)

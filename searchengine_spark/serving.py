@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .query import score_exhaustive
+from .query import phrase_match, score_exhaustive
 from .textprep import _RE_P, _RE_TITLE, java_tokens
 
 SNIPPET_WORDS = 50
@@ -72,9 +72,28 @@ def search(
     offset: int = 0,
 ) -> DataFrame:
     """(rank, url, title, snippet, bm25, blended) for one query —
-    the full reference serving pipeline, paginated."""
+    the full reference serving pipeline, paginated.
+
+    ``mode``: ``OR`` (disjunctive blend, the reference default), ``AND``
+    (conjunctive), or ``PHRASE`` — candidates restricted to docs where
+    the stemmed terms occur at consecutive positions (positional index),
+    scored with the same blended formula so ranks stay comparable."""
+    mode = str(mode).upper()
+    restrict = None
+    if mode == "PHRASE":
+        # keep token order and duplicates — parse_query dedups, which is
+        # right for bag-of-words scoring but wrong for a phrase
+        toks = java_tokens(query.lower())
+        restrict = phrase_match(spark, root, toks).select(
+            F.lit(0).alias("query_id"), "doc_id"
+        )
+        # a phrase match contains every term, so AND == OR over the
+        # restricted candidates; AND is declared for plan clarity
+        mode = "AND"
     qs = [{"query_id": 0, "query": query, "mode": mode, "k": offset + k}]
-    topk = score_exhaustive(spark, root, qs).filter(F.col("rank") > offset)
+    topk = score_exhaustive(spark, root, qs, restrict=restrict).filter(
+        F.col("rank") > offset
+    )
 
     from . import catalog
 

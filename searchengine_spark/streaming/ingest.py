@@ -5,10 +5,15 @@ Arrow-vectorized kernel the batch build uses and appended to the
 bucket-partitioned tokens table. The stream checkpoint replaces the
 batch build's chunk lineage: the file source never re-reads an ingested
 file across restarts, and each micro-batch lands in its own
-``chunk=stream-<batch_id>`` directory written with overwrite — a
-replayed batch (crash between the write and the checkpoint commit)
-overwrites its own output instead of appending duplicates, making the
-token table effectively exactly-once. Downstream, ``merge.
+``chunk=stream-<ckpt-hash>-<batch_id>`` directory written with
+overwrite — a replayed batch (crash between the write and the
+checkpoint commit) overwrites its own output instead of appending
+duplicates, making the token table effectively exactly-once. The chunk
+name embeds a hash of the checkpoint location because batch ids are
+only unique WITHIN one checkpoint: a second ingest run with a fresh
+checkpoint (new source dir, recreated checkpoint) restarts at batch 0,
+and a bare ``stream-<batch_id>`` name would silently overwrite —
+i.e. destroy — the first ingest's batch-0 tokens. Downstream, ``merge.
 merge_tokens_stage`` folds the new chunk directories into the
 compressed postings without rebuilding untouched buckets — the classic
 incremental-index pattern (streaming tokenize, periodic compaction).
@@ -67,14 +72,22 @@ def stream_tokenize(
         .parquet(pages_dir)
     )
 
+    import hashlib
+
+    ck_tag = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = docs_with_scoring_text(_ingest_filter(batch_df))
         toks = tokenize(docs).withColumn("bucket", _bucket("term", n_buckets))
-        # one overwritten directory per micro-batch: replaying the batch
-        # after a crash rewrites the same files (idempotent), and the
-        # chunk= layout matches the batch build's, so read_tokens and
-        # merge_tokens_stage see stream chunks like any other chunk
-        out = os.path.join(tokens_out, f"chunk=stream-{batch_id:08d}")
+        # one overwritten directory per (checkpoint, micro-batch):
+        # replaying the batch after a crash rewrites the same files
+        # (idempotent), a DIFFERENT checkpoint's batch 0 lands in its own
+        # directory (no cross-run clobber), and the chunk= layout matches
+        # the batch build's, so read_tokens and merge_tokens_stage see
+        # stream chunks like any other chunk
+        out = os.path.join(tokens_out, f"chunk=stream-{ck_tag}-{batch_id:08d}")
         (
             toks.write.mode("overwrite")
             .partitionBy("bucket")

@@ -22,6 +22,11 @@ Reference parity (routes, params, bodies):
 * ``GET /api/search?query=&offset=&limit=&mode=`` -> the same rows as
   JSON (rank/url/title/snippet/bm25/blended) — a machine-readable
   addition the reference lacks; same engine path.
+* ``mode`` (both search routes): ``OR`` (default, the reference's
+  disjunctive blend), ``AND`` (conjunctive WAND-equivalent semantics),
+  ``PHRASE`` (positional exact-phrase candidates, same blended
+  scoring); unknown values fall back to ``OR`` like the reference's
+  lenient param handling.
 
 Deliberate deviations: title/snippet are HTML-escaped on output (the
 reference interpolates raw page text — an XSS hole, not a semantic);
@@ -120,7 +125,7 @@ class SearchHandler(BaseHTTPRequestHandler):
             self.index_root,
             self.pages_path,
             query,
-            mode=mode if mode in ("AND", "OR") else "OR",
+            mode=mode if mode in ("AND", "OR", "PHRASE") else "OR",
             k=offset + limit,
             offset=0,
         ).collect()

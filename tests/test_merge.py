@@ -10,7 +10,7 @@ import pytest
 
 from searchengine_spark import catalog, checkpoint, corpus
 from searchengine_spark.indexer import build_index, build_postings_stage
-from searchengine_spark.merge import merge_tokens_stage
+from searchengine_spark.merge import merge_tokens_stage, pending_delta_files
 from searchengine_spark.wand import score_wand
 
 MERGEDIR = "/tmp/se_spark_fixtures/merge"
@@ -279,6 +279,151 @@ def test_merge_crash_between_swap_and_record_recovers(spark):
     b = {(r["query_id"], r["rank"], r["doc_id"])
          for r in score_wand(spark, root2, qs).collect()}
     assert a == b, "recovered merge diverged from a from-scratch rebuild"
+
+
+def test_tiered_compaction_unattended_ingest(spark):
+    """Size-tiered policy: N ingest batches with maybe_merge_tiered
+    after each — merges must fire WITHOUT manual triggering, pending
+    delta files must stay bounded by the thresholds, and the end state
+    must be rank-identical to a from-scratch rebuild."""
+    from searchengine_spark.merge import (
+        _pending_with_sizes,
+        maybe_merge_tiered,
+    )
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    base = os.path.join(MERGEDIR, "tiered")
+    shutil.rmtree(base, ignore_errors=True)
+    full_dir = os.path.join(base, "pages_full")
+    corpus.write_pages_parquet(full_dir, N_PAGES, batch_rows=25)
+    files = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    n_stream = 4
+    initial_dir = os.path.join(base, "pages_initial")
+    os.makedirs(initial_dir)
+    for f in files[:-n_stream]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
+    root = os.path.join(base, "index")
+    build_index(spark, initial_dir, root, n_chunks=2, n_buckets=N_BUCKETS)
+
+    saw_merge = saw_defer = False
+    for i, f in enumerate(files[-n_stream:]):
+        sdir = os.path.join(base, f"stream{i}")
+        os.makedirs(sdir)
+        shutil.copy(os.path.join(full_dir, f), os.path.join(sdir, f))
+        q = stream_tokenize(
+            spark, sdir, catalog.path(root, catalog.TOKENS),
+            os.path.join(base, f"ckpt{i}"), n_buckets=N_BUCKETS,
+        )
+        q.awaitTermination()
+        # tiny min_delta_bytes so the size tier (not the file backstop)
+        # drives merging at fixture scale; high ratio defers sometimes
+        rep = maybe_merge_tiered(
+            spark, root, ratio=0.05, min_delta_bytes=1,
+            max_delta_files=10_000, pages_path=full_dir,
+        )
+        saw_merge |= not rep["deferred"]
+        saw_defer |= rep["deferred"]
+        # bounded pending: never more than one batch's files outstanding
+        assert len(_pending_with_sizes(root)) <= N_BUCKETS * 4
+    assert saw_merge, "size tier never fired across the whole ingest"
+    # drain any deferred tail so the comparison is apples-to-apples
+    maybe_merge_tiered(spark, root, ratio=0.0, min_delta_bytes=1,
+                       pages_path=full_dir)
+    root2 = os.path.join(base, "index_rebuilt")
+    build_index(spark, full_dir, root2, n_chunks=2, n_buckets=N_BUCKETS)
+    assert _topk(spark, root) == _topk(
+        spark, root2
+    ), "tiered-compacted index diverged from a from-scratch rebuild"
+
+
+def test_merge_crash_then_grown_delta_restores_pristine(spark):
+    """Crash in the swap/record gap, then MORE stream token files arrive
+    before the resume: the grown delta yields a different merge_fp, so
+    the marker-match recovery cannot fire. The resume must restore the
+    pre-merge aside (not re-union the full delta into segments that
+    already absorbed the old delta — that would duplicate postings and
+    inflate df/cf/idf) and end rank-identical to a full rebuild. If the
+    aside is gone too, it must refuse to merge."""
+    import searchengine_spark.merge as merge_mod
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    base = os.path.join(MERGEDIR, "growndelta")
+    shutil.rmtree(base, ignore_errors=True)
+    full_dir = os.path.join(base, "pages_full")
+    corpus.write_pages_parquet(full_dir, N_PAGES, batch_rows=40)
+    files = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    initial_dir = os.path.join(base, "pages_initial")
+    stream1_dir = os.path.join(base, "pages_stream1")
+    stream2_dir = os.path.join(base, "pages_stream2")
+    for d in (initial_dir, stream1_dir, stream2_dir):
+        os.makedirs(d)
+    for f in files[:-4]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
+    for f in files[-4:-2]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(stream1_dir, f))
+    for f in files[-2:]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(stream2_dir, f))
+    root = os.path.join(base, "index")
+    build_index(spark, initial_dir, root, n_chunks=2, n_buckets=N_BUCKETS)
+
+    def ingest(src, ckpt):
+        q = stream_tokenize(
+            spark, src, catalog.path(root, catalog.TOKENS),
+            os.path.join(base, ckpt), n_buckets=N_BUCKETS,
+        )
+        q.awaitTermination()
+
+    ingest(stream1_dir, "ckpt1")
+
+    real_record = checkpoint.record
+    state = {"merges": 0}
+
+    def dying_record(root_, build_id, stage, *a, **kw):
+        if stage == "merge":
+            state["merges"] += 1
+            if state["merges"] == 1:
+                raise KeyboardInterrupt("simulated crash before the record")
+        return real_record(root_, build_id, stage, *a, **kw)
+
+    merge_mod.checkpoint.record = dying_record
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            merge_tokens_stage(spark, root, pages_path=full_dir, kill_after=99)
+    finally:
+        merge_mod.checkpoint.record = real_record
+
+    # the delta GROWS before the resume — merge_fp changes
+    ingest(stream2_dir, "ckpt2")
+    report = merge_tokens_stage(spark, root, pages_path=full_dir)
+    assert report["delta_files"] > 0
+
+    root2 = os.path.join(base, "index_rebuilt")
+    build_index(spark, full_dir, root2, n_chunks=2, n_buckets=N_BUCKETS)
+    assert _topk(spark, root) == _topk(
+        spark, root2
+    ), "grown-delta recovery diverged from a from-scratch rebuild"
+
+    # aside-gone variant: unrecorded foreign marker + no .merge-old aside
+    # must refuse (re-merging would silently duplicate an unknown subset)
+    postings_root = catalog.path(root, catalog.POSTINGS)
+    merged_b = report["merged_buckets"][0]
+    g = merged_b // catalog.BUCKET_GROUP_SIZE
+    bdir = os.path.join(postings_root, f"group={g}", f"bucket={merged_b}")
+    with open(os.path.join(bdir, "_merge_fp"), "w") as fh:
+        fh.write("fp-of-a-merge-nobody-recorded")
+    shutil.copy(
+        os.path.join(full_dir, files[0]),
+        os.path.join(stream2_dir, "dup-trigger.parquet"),
+    )
+    ingest(stream2_dir, "ckpt4")
+    assert merged_b in {
+        int(p.split("=", 1)[1])
+        for rel in pending_delta_files(root)
+        for p in rel.split(os.sep)
+        if p.startswith("bucket=")
+    }, "trigger delta missed the marked bucket; widen the trigger corpus"
+    with pytest.raises(RuntimeError, match="rebuild"):
+        merge_tokens_stage(spark, root, pages_path=full_dir)
 
 
 def test_wand_and_mode_empty_term_empties_conjunction():

