@@ -503,29 +503,33 @@ def q38_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbl_lbl = labels.select(
             F.col("doc_id").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        new_labels = (
+        # the convergence flag rides the SAME materialization as the
+        # labels (old lbl is already on the row) — a separate
+        # new-vs-old join + count action per round roughly doubled the
+        # per-round wall at sf0.01
+        new_full = (
             labels.join(
                 nbr_min.withColumnRenamed("u", "doc_id"), "doc_id", "left"
             )
             .join(lbl_lbl, "lbl", "left")
-            .select(
-                "doc_id",
+            .withColumn(
+                "nlbl",
                 F.least(
                     F.col("lbl"),
                     F.coalesce("nmin", F.col("lbl")),
                     F.coalesce("lbl2", F.col("lbl")),
-                ).alias("lbl"),
+                ),
+            )
+            .select(
+                "doc_id",
+                F.col("nlbl").alias("new_lbl"),
+                (F.col("nlbl") != F.col("lbl")).cast("int").alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_full.agg(F.sum("chg")).first()[0]
+        labels = new_full.select("doc_id", F.col("new_lbl").alias("lbl"))
+        if not changed:
             break
     comp = labels.withColumnRenamed("lbl", "cluster_id")
     sizes = comp.groupBy("cluster_id").agg(
@@ -939,29 +943,31 @@ ORDER BY vec_a, vec_b
     # pairs (UNION dedups, so it terminates), min per node = component id.
     "q38_dup_clusters": f"""
 WITH RECURSIVE {_TOKSETS_CTE},
-terms AS (
+terms AS MATERIALIZED (
   SELECT doc_id, {_H} % 2147483647 AS h
   FROM (SELECT doc_id, unnest(toks) AS term FROM toksets)
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT doc_id, {_SIG_EXPRS}
   FROM terms GROUP BY doc_id
 ),
-banded AS (
+banded AS MATERIALIZED (
 {_BAND_SELECTS}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b
   FROM cand JOIN tsn a ON a.doc_id = doc_a JOIN tsn b ON b.doc_id = doc_b
   WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
         >= (a.n + b.n - len(list_intersect(a.toks, b.toks))) * {JACCARD_THRESHOLD[0]}
 ),
-edges AS (
+-- MATERIALIZED throughout: DuckDB inlines single-reference CTEs, and
+-- re-planning this chain per reference cost 18.6s vs 2.3s at sf0.01
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b, doc_a FROM pairs
