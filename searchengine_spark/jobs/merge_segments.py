@@ -23,16 +23,34 @@ def main() -> None:
                          "(urls for streamed docs); omit to derive doc "
                          "lengths from the delta tokens")
     ap.add_argument("--build-id", default="merge-1")
+    ap.add_argument("--tiered", action="store_true",
+                    help="size-tiered trigger: merge only once the delta "
+                         "is a fraction of the segment bytes (bounded "
+                         "write amplification for periodic/cron runs)")
+    ap.add_argument("--ratio", type=float, default=0.25,
+                    help="delta/segment byte fraction that fires a "
+                         "tiered merge (default 0.25 => ~4x write amp)")
+    ap.add_argument("--min-delta-bytes", type=int, default=64 << 20)
+    ap.add_argument("--max-delta-files", type=int, default=256)
     args = ap.parse_args()
 
-    from searchengine_spark.merge import merge_tokens_stage
+    from searchengine_spark.merge import maybe_merge_tiered, merge_tokens_stage
     from searchengine_spark.session import get_spark
 
     spark = get_spark("se-merge-segments")
     try:
-        report = merge_tokens_stage(
-            spark, args.root, build_id=args.build_id, pages_path=args.pages
-        )
+        if args.tiered:
+            report = maybe_merge_tiered(
+                spark, args.root, ratio=args.ratio,
+                min_delta_bytes=args.min_delta_bytes,
+                max_delta_files=args.max_delta_files,
+                build_id=args.build_id, pages_path=args.pages,
+            )
+        else:
+            report = merge_tokens_stage(
+                spark, args.root, build_id=args.build_id,
+                pages_path=args.pages,
+            )
         print(report)
     finally:
         spark.stop()

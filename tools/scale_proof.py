@@ -23,6 +23,8 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_PAGES = int(os.environ.get("SCALE_PROOF_PAGES", "2000000"))
 TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/dev/shm/se_bench")
 
@@ -50,6 +52,14 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8))
     # n_buckets/chunks scaled with the corpus (bench sf0.1 uses 8/2)
     n_buckets, n_chunks = 16, 4
+    # untimed warm-up build, same reasoning as bench.py: cold JIT +
+    # python-worker spin-up tax the first build of a session ~40%
+    warm_pages = os.path.join(TMP, "pages_warm_sp.parquet")
+    if not os.path.exists(warm_pages + ".ok"):
+        corpus.write_pages_parquet(warm_pages, 2000)
+        open(warm_pages + ".ok", "w").write("ok")
+    shutil.rmtree(root, ignore_errors=True)
+    build_index(spark, warm_pages, root, n_chunks=2, n_buckets=n_buckets)
     shutil.rmtree(root, ignore_errors=True)
     t0 = time.time()
     build_index(spark, pages, root, n_chunks=n_chunks, n_buckets=n_buckets)
