@@ -298,19 +298,29 @@ def main() -> None:
         score_exhaustive(spark, warm_idx, qs).count()
         _sw(spark, warm_idx, qs).count()
 
-        t0 = time.time()
-        n_topk = score_exhaustive(spark, os.path.join(BENCH_TMP, "idx"), qs).count()
-        timings["topk_refset"] = round(time.time() - t0, 3)
+        # best-of-2 on each serving path, same estimator as the build
+        # legs: host noise is additive and minutes-long (BENCH_r02
+        # recorded topk_refset 19.8 s where quiet-host runs of the same
+        # binary read 9.1 s), so min-over-reps is the honest reading
         from searchengine_spark.wand import score_wand
 
-        t0 = time.time()
-        score_wand(spark, os.path.join(BENCH_TMP, "idx"), qs).count()
-        timings["topk_wand"] = round(time.time() - t0, 3)
+        def _best2(fn) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            return round(best, 3)
 
+        idx_root = os.path.join(BENCH_TMP, "idx")
+        n_topk = score_exhaustive(spark, idx_root, qs).count()
+        timings["topk_refset"] = _best2(
+            lambda: score_exhaustive(spark, idx_root, qs).count())
+        timings["topk_wand"] = _best2(
+            lambda: score_wand(spark, idx_root, qs).count())
         # bounded-memory serving plan: doc-space range-parallel WAND
-        t0 = time.time()
-        score_wand(spark, os.path.join(BENCH_TMP, "idx"), qs, n_ranges=8).count()
-        timings["topk_wand_ranged"] = round(time.time() - t0, 3)
+        timings["topk_wand_ranged"] = _best2(
+            lambda: score_wand(spark, idx_root, qs, n_ranges=8).count())
 
         registry = all_queries()
         for name in BENCH_QUERIES:

@@ -21,21 +21,27 @@ def test_conf_shape_is_importable_without_jars():
 
 
 @pytest.fixture(scope="module")
-def ice_spark():
+def ice_spark(spark):
     """A session WITH the catalog configured; skip everything if the
-    runtime jar is absent (config keys alone are inert)."""
-    shutil.rmtree(ICE_DIR, ignore_errors=True)
-    from searchengine_spark.session import get_spark
+    runtime jar is absent (config keys alone are inert).
 
-    spark = get_spark(
-        "iceberg-test", master="local[4]", shuffle_partitions=4,
-        extra_conf=iceberg.iceberg_conf(ICE_DIR),
-    )
+    Built as ``newSession()`` over the shared suite session, NEVER a
+    fresh ``get_spark`` + ``stop()``: ``getOrCreate`` hands back the
+    process-shared session, so stopping "our" session here stops the
+    one SparkContext of the whole pytest process and every later Spark
+    test dies with a closed-context py4j error (this happened —
+    139 cascade failures). The probe runs on the shared session (same
+    JVM classpath); the catalog keys are runtime-settable per session,
+    so no dedicated context is needed.
+    """
     if not iceberg.iceberg_available(spark):
-        spark.stop()
         pytest.skip("Iceberg Spark runtime jar not on classpath")
-    yield spark
-    spark.stop()
+    shutil.rmtree(ICE_DIR, ignore_errors=True)
+    s = spark.newSession()
+    for k, v in iceberg.iceberg_conf(ICE_DIR).items():
+        if k != "spark.sql.extensions":  # static conf; writeTo needs none
+            s.conf.set(k, v)
+    yield s
 
 
 def test_availability_probe_is_honest(spark):
