@@ -12,8 +12,10 @@ from . import (
     curation,
     dedup,
     engine_ops,
+    frontier,
     fulltext,
     graph,
+    lexical,
     multimodal,
     relational,
     similarity,
@@ -30,6 +32,8 @@ _MODULES = [
     multimodal,
     graph,
     engine_ops,
+    lexical,
+    frontier,
 ]
 
 
@@ -38,6 +42,9 @@ _MODULES = [
 # budget-limited sample covers the never-checked tail before re-checking
 # entries that are already green on the scoreboard.
 _CHECK_FIRST = [
+    "q77_prefix_autocomplete",  # new in r3 — never sampled
+    "q78_spell_correct",  # new in r3 — never sampled
+    "q79_crawl_frontier",  # new in r3 — never sampled
     "q35_source_quota_sample",
     "q36_repetition_filter",
     "q37_pii_redact",

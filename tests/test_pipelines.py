@@ -78,6 +78,9 @@ ORACLE_CHECKED = [
     "q74_multimodal_features",
     "q75_frame_sample",
     "q76_retention_cohorts",
+    "q77_prefix_autocomplete",
+    "q78_spell_correct",
+    "q79_crawl_frontier",
 ]
 
 
@@ -782,3 +785,70 @@ def test_pmi_planted(spark):
     r = rows[0]
     assert (r["w1"], r["w2"], r["c_ab"]) == ("alpha", "beta", 5)
     assert r["pmi"] == round(math.log(5 * 15 * 15 / (10 * 5 * 5)), 9)
+
+
+def test_spell_del1_banding_is_lossless(spark):
+    """q78 core: every vocab pair within levenshtein<=1 of a query must
+    survive the delete-1 key join (banding is exact for ED<=1; false
+    positives are allowed pre-verify, misses never are)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.pipelines.lexical import del1_keys
+
+    vocab = ["stone", "stones", "atone", "stole", "phone", "xylem", "st"]
+    queries = ["stone", "tone", "sxone", "stonee", "zzzzz"]
+    vdf = spark.createDataFrame([(v,) for v in vocab], "term string")
+    qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+
+    banded = {
+        (r["query"], r["term"])
+        for r in (
+            vdf.select("term", F.explode(del1_keys(F.col("term"))).alias("k"))
+            .join(
+                qdf.select(
+                    "query", F.explode(del1_keys(F.col("query"))).alias("k")
+                ),
+                "k",
+            )
+            .select("query", "term")
+            .distinct()
+            .filter(F.levenshtein("query", "term") <= 1)
+            .collect()
+        )
+    }
+    brute = {
+        (r["query"], r["term"])
+        for r in (
+            qdf.crossJoin(vdf)
+            .filter(F.levenshtein("query", "term") <= 1)
+            .collect()
+        )
+    }
+    assert banded == brute
+    assert ("tone", "stone") in brute  # insertion
+    assert ("sxone", "stone") in brute  # substitution
+    assert ("stonee", "stones") in brute  # substitution at tail
+    assert all(q != "zzzzz" for q, _ in brute)  # no ED<=1 candidate
+
+
+def test_crawl_frontier_politeness(spark):
+    """q79 invariants at sf0.001: per-host schedule spacing is exactly
+    the crawl delay, ranks start at 1 and are contiguous, and the cap
+    holds."""
+    from searchengine_spark.pipelines.frontier import (
+        FRONTIER_CAP,
+        FRONTIER_DELAY_MS,
+        q79_crawl_frontier,
+    )
+
+    rows = q79_crawl_frontier(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= FRONTIER_CAP
+    by_host: dict[int, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host_id"], []).append(r)
+    for host, hs in by_host.items():
+        hs.sort(key=lambda r: r["host_rank"])
+        assert [r["host_rank"] for r in hs] == list(range(1, len(hs) + 1))
+        for r in hs:
+            assert r["sched_ms"] == (r["host_rank"] - 1) * FRONTIER_DELAY_MS
+            assert f"https://h{host}.example.com/doc/" in r["url"]
