@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     "q77_prefix_autocomplete",  # new in r3 — never sampled
     "q78_spell_correct",  # new in r3 — never sampled
     "q79_crawl_frontier",  # new in r3 — never sampled
+    "q80_kwic_snippets",  # new in r3 — never sampled
     "q35_source_quota_sample",
     "q36_repetition_filter",
     "q37_pii_redact",

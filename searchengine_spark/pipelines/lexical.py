@@ -132,9 +132,42 @@ def q78_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KWIC_TERMS = ["spark", "merge", "filter"]
+KWIC_WINDOW = 3  # tokens of context on each side of the hit
+
+
+def q80_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets: for each query term, the +/-
+    {KWIC_WINDOW}-token window around its FIRST occurrence per doc —
+    the hit-centered twin of ``serving.extract_snippet`` (which serves
+    the leading page words); map-only, one scan for all terms."""
+    docs = load_docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "term", F.explode(F.array(*[F.lit(t) for t in KWIC_TERMS]))
+    )
+    pos = F.array_position("toks", F.col("term"))
+    start = F.greatest(F.lit(1).cast("long"), pos - KWIC_WINDOW)
+    end = F.least(F.size("toks").cast("long"), pos + KWIC_WINDOW)
+    return (
+        d.withColumn("pos", pos)
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            "term",
+            "pos",
+            F.array_join(
+                F.slice("toks", start, end - start + 1), " "
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
 QUERIES = {
     "q77_prefix_autocomplete": q77_prefix_autocomplete,
     "q78_spell_correct": q78_spell_correct,
+    "q80_kwic_snippets": q80_kwic_snippets,
 }
 
 _CF_CTE = """
@@ -185,5 +218,26 @@ best AS (
 SELECT query, intended, term AS corrected, cf AS corrected_cf, dist
 FROM best WHERE rn = 1
 ORDER BY query, intended
+""",
+    "q80_kwic_snippets": f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, term, toks,
+         list_position(toks, term)::BIGINT AS pos
+  FROM d CROSS JOIN (
+    SELECT unnest([{", ".join(repr(t) for t in KWIC_TERMS)}]) AS term)
+  WHERE list_position(toks, term) > 0
+)
+SELECT doc_id, term, pos,
+       array_to_string(
+         list_slice(toks,
+                    greatest(1, pos - {KWIC_WINDOW}),
+                    least(len(toks), pos + {KWIC_WINDOW})), ' ') AS snippet
+FROM hits
+ORDER BY doc_id, term
 """,
 }

@@ -81,6 +81,7 @@ ORACLE_CHECKED = [
     "q77_prefix_autocomplete",
     "q78_spell_correct",
     "q79_crawl_frontier",
+    "q80_kwic_snippets",
 ]
 
 
