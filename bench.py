@@ -247,9 +247,15 @@ def main() -> None:
     # same-day spread on the identical local[2] build: 102-244 s),
     # so each retry must give the episode a chance to miss the pair —
     # hence the escalating pause before each retry. Bounded at 5 retries.
+    # retry floor is 0.80, not the 0.75 band edge: clean back-to-back
+    # pairs measure 0.81-0.97, so a 0.75-0.80 reading means one side
+    # (usually the short 4N leg) caught a mild episode — per-side minima
+    # converge to the true floors either way, the stricter criterion
+    # only spends budget converging (a genuinely sub-0.8 build would
+    # still read sub-0.8 after all 5 retries)
     for attempt in range(5):
         eff = t_low / (4.0 * t_high)
-        if 0.75 <= eff <= 1.05:
+        if 0.80 <= eff <= 1.05:
             break
         # escalating pause: one observed episode outlasted 3 retries at a
         # flat 20 s (it held local[8] at ~1.4x for >10 min while leaving
