@@ -63,6 +63,17 @@ def parse_query(query: str) -> list[str]:
     return list(seen)
 
 
+def parse_exclusions(q: dict) -> list[str]:
+    """Stemmed exclusion (NOT) terms from a query dict's optional
+    ``exclude`` field — a raw string parsed exactly like the query, or a
+    list of raw terms. A doc containing ANY of them is dropped from the
+    candidate set BEFORE top-k (k fills from survivors)."""
+    raw = q.get("exclude") or ""
+    if isinstance(raw, (list, tuple)):
+        raw = " ".join(raw)
+    return parse_query(raw)
+
+
 def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame:
     """Bucket-pruned read of posting segments for the given terms.
     Layout: postings/group=<g>/bucket=<b>/ (group = build resume unit,
@@ -375,6 +386,24 @@ def score_exhaustive(
             F.broadcast(restrict.select("query_id", "doc_id")),
             ["query_id", "doc_id"],
             "left_semi",
+        )
+
+    # NOT semantics: drop docs containing any excluded term BEFORE the
+    # top-k window. The deny side can be head-term-sized, so this is a
+    # plain shuffled anti-join on (query_id, doc_id), never a broadcast.
+    ex_by_q = {int(q["query_id"]): parse_exclusions(q) for q in queries}
+    ex_rows = [(qid, t) for qid, ts in ex_by_q.items() for t in ts]
+    if ex_rows:
+        ex_terms = sorted({t for _, t in ex_rows})
+        eqt = spark.createDataFrame(ex_rows, "query_id int, term string")
+        deny = (
+            decode_segments(load_segments(spark, root, ex_terms))
+            .join(F.broadcast(eqt), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        candidates = candidates.join(
+            deny, ["query_id", "doc_id"], "left_anti"
         )
 
     # blend: pagerank

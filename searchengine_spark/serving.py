@@ -62,6 +62,21 @@ def snippet_udf(html: pd.Series) -> pd.Series:
     )
 
 
+def split_exclusions(query: str) -> tuple[str, str]:
+    """Split web-search exclusion syntax: whitespace tokens starting
+    with ``-`` (and longer than the bare dash) become the exclusion
+    string; the rest recombine as the positive query. Runs BEFORE
+    tokenization because ``java_tokens`` strips punctuation."""
+    pos: list[str] = []
+    neg: list[str] = []
+    for tok in (query or "").split():
+        if tok.startswith("-") and len(tok) > 1:
+            neg.append(tok[1:])
+        else:
+            pos.append(tok)
+    return " ".join(pos), " ".join(neg)
+
+
 def search(
     spark: SparkSession,
     root: str,
@@ -77,8 +92,14 @@ def search(
     ``mode``: ``OR`` (disjunctive blend, the reference default), ``AND``
     (conjunctive), or ``PHRASE`` — candidates restricted to docs where
     the stemmed terms occur at consecutive positions (positional index),
-    scored with the same blended formula so ranks stay comparable."""
+    scored with the same blended formula so ranks stay comparable.
+
+    ``-term`` tokens in the query string are EXCLUSIONS (NOT): docs
+    containing any of them are dropped before the top-k, so k fills
+    from survivors. Exclusions compose with every mode (in PHRASE they
+    apply on top of the positional restriction)."""
     mode = str(mode).upper()
+    query, exclude = split_exclusions(query)
     restrict = None
     if mode == "PHRASE":
         # keep token order and duplicates — parse_query dedups, which is
@@ -90,7 +111,8 @@ def search(
         # a phrase match contains every term, so AND == OR over the
         # restricted candidates; AND is declared for plan clarity
         mode = "AND"
-    qs = [{"query_id": 0, "query": query, "mode": mode, "k": offset + k}]
+    qs = [{"query_id": 0, "query": query, "mode": mode, "k": offset + k,
+           "exclude": exclude}]
     topk = score_exhaustive(spark, root, qs, restrict=restrict).filter(
         F.col("rank") > offset
     )

@@ -50,7 +50,13 @@ from pyspark.sql import types as T
 
 from .bm25 import B, K1
 from .compress import decode_block, to_signed, varbyte_decode
-from .query import all_query_terms, load_segments, parse_query, term_idfs
+from .query import (
+    all_query_terms,
+    load_segments,
+    parse_exclusions,
+    parse_query,
+    term_idfs,
+)
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -294,17 +300,36 @@ def _full_score(terms: list[_TermList], doc: int) -> float:
     return s
 
 
-def wand_topk(terms: list, k: int, mode: str = "OR") -> list[tuple[int, float]]:
+def _is_excluded(excluded: list, doc: int) -> bool:
+    """Deny-list membership via the same monotone cursors the scorer
+    uses: each deny list advances only forward, so the total exclusion
+    cost over a query is one galloping pass per deny list — the lazy
+    backing decodes only blocks the scored candidates actually land in."""
+    for t in excluded:
+        t.advance_to(doc)
+        if t.cur_doc() == doc:
+            return True
+    return False
+
+
+def wand_topk(
+    terms: list, k: int, mode: str = "OR", excluded: list | None = None
+) -> list[tuple[int, float]]:
     """Block-max WAND (OR) / pruned intersection (AND) top-k over any
     cursor implementation (_TermList or _LazyTermList).
+    ``excluded``: deny-list cursors — a doc present in ANY of them is
+    skipped before scoring (NOT semantics; k fills from survivors).
+    Exclusion never loosens the pruning bounds: it only removes
+    candidates, so block-max skips remain valid.
     Returns [(doc_id, score)] sorted score DESC, doc_id ASC."""
     if mode == "AND" and any(not t.n_postings for t in terms):
         return []  # a term with no postings empties the conjunction
     terms = [t for t in terms if t.n_postings]
+    excluded = [t for t in (excluded or []) if t.n_postings]
     if not terms or k <= 0:
         return []
     if mode == "AND":
-        return _and_topk(terms, k)
+        return _and_topk(terms, k, excluded)
 
     # heap of (score, -doc_id) so the worst kept entry is heap[0]
     heap: list[tuple[float, int]] = []
@@ -353,6 +378,11 @@ def wand_topk(terms: list, k: int, mode: str = "OR") -> list[tuple[int, float]]:
                 for t in live[: pivot_i + 1]:
                     t.advance_to(next_doc)
                 continue
+            if excluded and _is_excluded(excluded, pivot_doc):
+                for t in live:
+                    if t.cur_doc() == pivot_doc:
+                        t.advance_to(pivot_doc + 1)
+                continue
             s = _full_score(live, pivot_doc)
             entry = (s, -pivot_doc)
             if len(heap) < k:
@@ -373,11 +403,14 @@ def wand_topk(terms: list, k: int, mode: str = "OR") -> list[tuple[int, float]]:
     return [(-nd, s) for s, nd in out]
 
 
-def _and_topk(terms: list, k: int) -> list[tuple[int, float]]:
+def _and_topk(
+    terms: list, k: int, excluded: list | None = None
+) -> list[tuple[int, float]]:
     """Posting-list intersection (rarest list drives; every list —
     including the driver — advances by galloping, so lazily-backed lists
     decode only the blocks the intersection actually lands in), then
-    exact scoring of intersected docs."""
+    exact scoring of intersected docs. ``excluded`` deny-lists drop an
+    intersected doc before scoring (NOT semantics)."""
     terms = sorted(terms, key=lambda t: t.n_postings)
     driver, rest = terms[0], terms[1:]
     heap: list[tuple[float, int]] = []
@@ -396,6 +429,9 @@ def _and_topk(terms: list, k: int) -> list[tuple[int, float]]:
                     return _heap_sorted(heap)
                 blocker = c  # no intersection below this doc
                 break
+        if ok and excluded and _is_excluded(excluded, doc):
+            driver.advance_to(doc + 1)
+            continue
         if ok:
             s = _full_score(terms, doc)
             entry = (s, -doc)
@@ -457,6 +493,7 @@ def score_wand(
             {
                 "query_id": int(q["query_id"]),
                 "terms": qterms,
+                "exclude": parse_exclusions(q),
                 "mode": q.get("mode", "OR"),
                 "k": int(q.get("k", 15)),
             }
@@ -464,9 +501,16 @@ def score_wand(
     qmeta_b = spark.sparkContext.broadcast(qmeta)
     idfs_b = spark.sparkContext.broadcast(idfs)
 
-    segs = load_segments(spark, root, terms).select(*_SEG_COLS, "n_salts")
+    # deny-list segments ride the same bucket-pruned scan + per-query
+    # routing as the scoring terms; the kernel splits them back apart
+    ex_terms = sorted({t for qm in qmeta for t in qm["exclude"]})
+    segs = load_segments(
+        spark, root, sorted(set(terms) | set(ex_terms))
+    ).select(*_SEG_COLS, "n_salts")
     qt_rows = [
-        (qm["query_id"], t) for qm in qmeta for t in qm["terms"]
+        (qm["query_id"], t)
+        for qm in qmeta
+        for t in dict.fromkeys(qm["terms"] + qm["exclude"])
     ]
     if not qt_rows:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -513,13 +557,23 @@ def score_wand(
                         lo_doc=lo_doc, hi_doc=hi_doc, field_order=order,
                     )
                 )
+        deny = [
+            merge_salted(
+                by_term[t], 0.0, avgdl,
+                lo_doc=lo_doc, hi_doc=hi_doc,
+            )
+            for t in sorted(set(qm["exclude"]))
+            if t in by_term
+        ]
         # an absent term empties a conjunction — but only GLOBALLY
         # absent terms count: in a range task a term may simply have no
         # blob overlapping this slice, which is fine for AND because
         # the intersection within the slice is then empty anyway
-        if qm["mode"] == "AND" and len(by_term) != len(set(qm["terms"])):
+        if qm["mode"] == "AND" and any(
+            t not in by_term for t in set(qm["terms"])
+        ):
             tls = []
-        hits = wand_topk(tls, qm["k"], qm["mode"])
+        hits = wand_topk(tls, qm["k"], qm["mode"], excluded=deny)
         return pd.DataFrame(
             {
                 "query_id": pd.Series([qid] * len(hits), dtype="int32"),

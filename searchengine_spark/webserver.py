@@ -27,6 +27,9 @@ Reference parity (routes, params, bodies):
   ``PHRASE`` (positional exact-phrase candidates, same blended
   scoring); unknown values fall back to ``OR`` like the reference's
   lenient param handling.
+* ``-term`` tokens inside ``query`` are exclusions (NOT): docs
+  containing any such term are dropped before the top-k
+  (``serving.split_exclusions``); composes with every mode.
 
 Deliberate deviations: title/snippet are HTML-escaped on output (the
 reference interpolates raw page text — an XSS hole, not a semantic);

@@ -286,3 +286,105 @@ def test_score_wand_ranged_equals_single(spark, tiny_index):
     }
     assert one == four
     assert len(one) > 100
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_wand_excluded_randomized(mode):
+    """NOT semantics at the kernel level: wand_topk with a deny cursor
+    equals brute-force full ranking minus the deny list's docs, for both
+    OR and AND."""
+    import copy
+
+    rng = np.random.default_rng(4321)
+    n_bit = 0
+    for trial in range(12):
+        n_terms = int(rng.integers(1, 5))
+        n_docs = int(rng.integers(50, 800))
+        k = int(rng.integers(1, 25))
+        tls = _random_termlists(rng, n_terms + 1, n_docs)
+        deny = [tls.pop()]  # the extra list becomes the deny list
+        deny_docs = {int(d) for d in deny[0].docs}
+        want_all = _brute(copy.deepcopy(tls), 10**9, mode)
+        want = [(d, s) for d, s in want_all if d not in deny_docs][:k]
+        n_bit += want != want_all[:k]
+        got = wand_topk(tls, k, mode, excluded=deny)
+        assert len(got) == len(want), f"trial {trial}"
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd, f"trial {trial} mode {mode}"
+            assert abs(gs - ws) < 1e-12
+    assert n_bit > 3  # exclusion actually changed results, not vacuous
+
+
+def test_score_wand_exclusions(spark, tiny_index):
+    """Distributed NOT: score_wand with exclude == unexcluded full
+    ranking minus the excluded term's posting docs, identical for
+    n_ranges=1 and n_ranges=4; exclusion-only and junk-exclusion edge
+    cases stay sane."""
+    from searchengine_spark.corpus import VOCAB
+
+    q, ex = f"{VOCAB[0]} {VOCAB[1]}", VOCAB[2]
+    big = 10**6
+    base = score_wand(
+        spark, tiny_index, [{"query_id": 0, "query": q, "k": big}]
+    ).collect()
+    deny_docs = {
+        r["doc_id"]
+        for r in score_wand(
+            spark, tiny_index, [{"query_id": 0, "query": ex, "k": big}]
+        ).collect()
+    }
+    want = [r for r in base if r["doc_id"] not in deny_docs][:15]
+    assert want != base[:15]  # head words co-occur: non-vacuous
+    for n_ranges in (1, 4):
+        got = score_wand(
+            spark, tiny_index,
+            [{"query_id": 0, "query": q, "k": 15, "exclude": ex}],
+            n_ranges=n_ranges,
+        ).collect()
+        assert [(r["doc_id"], r["bm25"]) for r in got] == [
+            (r["doc_id"], r["bm25"]) for r in want
+        ], f"n_ranges={n_ranges}"
+    # excluding a junk term is a no-op; a query that is ONLY an
+    # exclusion returns nothing (no positive terms to score)
+    noop = score_wand(
+        spark, tiny_index,
+        [{"query_id": 0, "query": q, "k": 15, "exclude": "zzznotaterm"}],
+    ).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in noop] == [
+        (r["doc_id"], r["bm25"]) for r in base[:15]
+    ]
+    assert (
+        score_wand(
+            spark, tiny_index,
+            [{"query_id": 0, "query": "", "k": 15, "exclude": ex}],
+        ).collect()
+        == []
+    )
+
+
+def test_score_exhaustive_exclusions(spark, tiny_index):
+    """The blended exhaustive path honors the same NOT semantics: the
+    excluded docs vanish and k fills from survivors, ranks re-numbered."""
+    from searchengine_spark.corpus import VOCAB
+    from searchengine_spark.query import score_exhaustive
+
+    q, ex = f"{VOCAB[0]} {VOCAB[1]}", VOCAB[2]
+    base = score_exhaustive(
+        spark, tiny_index, [{"query_id": 0, "query": q, "k": 10**6}]
+    ).orderBy("rank").collect()
+    deny_docs = {
+        r["doc_id"]
+        for r in score_wand(
+            spark, tiny_index, [{"query_id": 0, "query": ex, "k": 10**6}]
+        ).collect()
+    }
+    want = [r for r in base if r["doc_id"] not in deny_docs][:15]
+    assert want != base[:15]
+    got = score_exhaustive(
+        spark, tiny_index,
+        [{"query_id": 0, "query": q, "k": 15, "exclude": ex}],
+    ).orderBy("rank").collect()
+    assert [(r["doc_id"], r["blended"]) for r in got] == [
+        (r["doc_id"], r["blended"]) for r in want
+    ]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))

@@ -144,3 +144,51 @@ def test_json_api_pagination(server_url, spark, tiny_index, tiny_pages_path):
     for g, e in zip(got, expected):
         assert g["blended"] == pytest.approx(e["blended"], abs=1e-12)
         assert g["title"] == e["title"] and g["snippet"] == e["snippet"]
+
+
+def test_exclusion_syntax_route_matches_library(server_url, spark,
+                                                tiny_index, tiny_pages_path):
+    """`-term` in the query param drops docs containing the term, and
+    the route returns exactly the library's excluded results."""
+    from searchengine_spark.serving import search, split_exclusions
+
+    assert split_exclusions("a -b c -d") == ("a c", "b d")
+    assert split_exclusions("-only") == ("", "only")
+    assert split_exclusions("a - b") == ("a - b", "")  # bare dash kept
+
+    q = f"{VOCAB[0]} {VOCAB[1]} -{VOCAB[2]}"
+    status, body = _get(
+        f"{server_url}/api/search?query={quote(q)}&limit=10")
+    assert status == 200
+    got = json.loads(body)["results"]
+    want = [
+        r.asDict()
+        for r in search(spark, tiny_index, tiny_pages_path, q, k=10)
+        .collect()
+    ]
+    assert [g["url"] for g in got] == [w["url"] for w in want]
+    # exclusion was non-vacuous: the plain query differs
+    plain = json.loads(_get(
+        f"{server_url}/api/search?query="
+        f"{quote(f'{VOCAB[0]} {VOCAB[1]}')}&limit=10")[1])["results"]
+    assert [g["url"] for g in got] != [p["url"] for p in plain]
+    # no doc in the result contains the excluded stem
+    from searchengine_spark.query import parse_query
+    from searchengine_spark.wand import score_wand
+
+    deny_docs = {
+        r["doc_id"]
+        for r in score_wand(
+            spark, tiny_index,
+            [{"query_id": 0, "query": VOCAB[2], "k": 10**6}],
+        ).collect()
+    }
+    from searchengine_spark import catalog
+
+    url_to_doc = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(
+            catalog.path(tiny_index, catalog.DOCSTATS)
+        ).select("doc_id", "url").collect()
+    }
+    assert all(url_to_doc[g["url"]] not in deny_docs for g in got)
