@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "q78_spell_correct",  # new in r3 — never sampled
     "q79_crawl_frontier",  # new in r3 — never sampled
     "q80_kwic_snippets",  # new in r3 — never sampled
+    "q81_host_collapse",  # new in r3 — never sampled
     "q35_source_quota_sample",
     "q36_repetition_filter",
     "q37_pii_redact",

@@ -79,9 +79,10 @@ def q12_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjunctive BM25 top-15 per query term set {spark,query,table},
-    each term treated as its own single-term query (query_id = term)."""
+def bm25_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, score) BM25 hits for BM25_QUERY_TERMS — the
+    scored candidate set both q13 (plain top-k) and q81 (host-collapsed
+    top-k) rank."""
     toks = tokens(spark, sf_dir)
     n_docs = load_docs(spark, sf_dir).count()
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -90,7 +91,7 @@ def q13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = float(stats["avgdl"])
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
 
-    hits = (
+    return (
         tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
         .join(dl, "doc_id")
         .join(F.broadcast(df_t), "term")
@@ -109,11 +110,57 @@ def q13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25 top-15 per query term set {spark,query,table},
+    each term treated as its own single-term query (query_id = term)."""
+    hits = bm25_hits(spark, sf_dir)
     w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 15)
         .select("term", "rank", "doc_id", F.round("score", 9).alias("bm25"))
+        .orderBy("term", "rank")
+    )
+
+
+DIVERSIFY_NUM_HOSTS = 13
+DIVERSIFY_PER_HOST = 2
+DIVERSIFY_K = 10
+
+
+def q81_host_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result diversification: collapse each host to its best
+    {DIVERSIFY_PER_HOST} hits before the final top-{DIVERSIFY_K} —
+    the classic serving guard against one site filling the page.
+    Two stacked windows: the per-(term,host) one partitions on a
+    bounded key (hosts × query terms), the per-term one ranks only the
+    collapsed survivors (≤ hosts × per_host rows per term), so neither
+    is a global sort. Host = abs(doc_id) % n_hosts, the same synthetic
+    host model as q79 (the driver tables carry no URL column)."""
+    hits = bm25_hits(spark, sf_dir).withColumn(
+        "host_id", F.abs(F.col("doc_id")) % DIVERSIFY_NUM_HOSTS
+    )
+    w_host = Window.partitionBy("term", "host_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_term = Window.partitionBy("term").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= DIVERSIFY_PER_HOST)
+        .withColumn("rank", F.row_number().over(w_term))
+        .filter(F.col("rank") <= DIVERSIFY_K)
+        .select(
+            "term",
+            "rank",
+            "doc_id",
+            "host_id",
+            "host_rank",
+            F.round("score", 9).alias("bm25"),
+        )
         .orderBy("term", "rank")
     )
 
@@ -150,6 +197,7 @@ QUERIES = {
     "q12_tfidf": q12_tfidf,
     "q13_bm25_topk": q13_bm25_topk,
     "q14_phrase_match": q14_phrase_match,
+    "q81_host_collapse": q81_host_collapse,
 }
 
 _TOKENS_CTE = """
@@ -217,6 +265,37 @@ FROM (
   FROM hits
 )
 WHERE rank <= 15
+ORDER BY term, rank
+""",
+    "q81_host_collapse": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT tf.term, tf.doc_id,
+         abs(tf.doc_id) % {DIVERSIFY_NUM_HOSTS} AS host_id,
+         ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (1.2 + 1.0) * tf.tf
+           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / ad.avgdl)) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+  CROSS JOIN n CROSS JOIN ad
+  WHERE tf.term IN ('spark', 'query', 'table')
+),
+collapsed AS (
+  SELECT *, row_number() OVER (PARTITION BY term, host_id
+                               ORDER BY score DESC, doc_id ASC) AS host_rank
+  FROM hits
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM collapsed WHERE host_rank <= {DIVERSIFY_PER_HOST}
+)
+SELECT term, rank, doc_id, host_id, host_rank, round(score, 9) AS bm25
+FROM ranked WHERE rank <= {DIVERSIFY_K}
 ORDER BY term, rank
 """,
 }

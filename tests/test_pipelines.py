@@ -82,6 +82,7 @@ ORACLE_CHECKED = [
     "q78_spell_correct",
     "q79_crawl_frontier",
     "q80_kwic_snippets",
+    "q81_host_collapse",
 ]
 
 
