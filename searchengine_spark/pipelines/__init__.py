@@ -47,6 +47,9 @@ _CHECK_FIRST = [
     "q79_crawl_frontier",  # new in r3 — never sampled
     "q80_kwic_snippets",  # new in r3 — never sampled
     "q81_host_collapse",  # new in r3 — never sampled
+    "q82_proximity_rank",  # new in r3 — never sampled
+    "q83_shingle_containment",  # new in r3 — never sampled
+    "q84_query_expansion",  # new in r3 — never sampled
     "q35_source_quota_sample",
     "q36_repetition_filter",
     "q37_pii_redact",

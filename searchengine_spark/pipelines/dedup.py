@@ -740,6 +740,94 @@ def q55_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans(load_docs(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# q83: asymmetric shingle CONTAINMENT — catches "doc A is a chunk of
+# doc B" pairs that symmetric Jaccard (q16/q17) misses when |B| >> |A|
+# (the union term drowns the overlap). c = |S(A) ∩ S(B)| / min(|S(A)|,
+# |S(B)|) over distinct W-token shingle hashes (Broder's containment).
+#
+# Scale shape: candidate generation is the q54 inverted-index
+# equi-self-join on the 8-byte shingle hash — one hash shuffle, no O(n²)
+# product. Shingles above CONTAIN_MAX_DF docs are boilerplate
+# (navigation chrome, licence blocks) and would square the bucket
+# fan-out, so they are dropped from BOTH the intersection and the set
+# sizes (the capped universe is the metric's universe — consistent in
+# engine and oracle). The threshold compares in integers
+# (inter*den >= min_n*num), immune to float-divide rounding.
+# --------------------------------------------------------------------------
+
+CONTAIN_W = 3  # word-shingle width
+CONTAIN_THRESHOLD = (4, 5)  # containment >= 4/5, compared in integers
+CONTAIN_MAX_DF = 200  # stop-shingle cap (boilerplate cutoff)
+
+
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) one row per DISTINCT W-token shingle hash per doc —
+    hashed inside one JVM array expression (q55's trick), deduped
+    in-row before the explode."""
+    w = CONTAIN_W
+    base = span_doc_base(docs)
+    sh_arr = F.when(
+        F.col("n_toks") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_toks") - w + 1),
+            lambda i: portable_hash(F.concat_ws(" ", F.slice("toks", i, w))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(sh_arr)).alias("sh")
+    )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    threshold: tuple[int, int] = CONTAIN_THRESHOLD,
+    max_df: int = CONTAIN_MAX_DF,
+) -> DataFrame:
+    occ = doc_shingle_sets(docs)
+    df_sh = occ.groupBy("sh").agg(F.count("*").alias("sdf"))
+    capped = occ.join(df_sh.filter(F.col("sdf") <= max_df), "sh").select(
+        "doc_id", "sh", "sdf"
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # df==1 shingles stay in the denominators (dropping them would
+    # inflate containment) but can't intersect — prune them from the
+    # join inputs only.
+    joinable = capped.filter(F.col("sdf") >= 2).select("doc_id", "sh")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    num, den = threshold
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter") * den >= F.least(F.col("na"), F.col("nb")) * num
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "na",
+            "nb",
+            (F.col("inter").cast("double") / F.col("na")).alias("cont_a"),
+            (F.col("inter").cast("double") / F.col("nb")).alias("cont_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q83_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_containment_pairs(load_docs(spark, sf_dir))
+
+
 QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
     "q16_ngram_jaccard": q16_ngram_jaccard,
@@ -751,6 +839,7 @@ QUERIES = {
     "q38_dup_clusters": q38_dup_clusters,
     "q54_sparse_cosine": q54_sparse_cosine,
     "q55_dup_spans": q55_dup_spans,
+    "q83_shingle_containment": q83_shingle_containment,
 }
 
 _TOKSETS_CTE = """
@@ -1071,5 +1160,42 @@ FROM base b
 LEFT JOIN ndup n USING (doc_id)
 LEFT JOIN cover c USING (doc_id)
 ORDER BY doc_id
+""",
+    # q83: distinct shingle hashes via SELECT DISTINCT over the same
+    # 1-based windows as q55; integer threshold compare, unrounded
+    # integer-input divisions (bit-identical across engines).
+    "q83_shingle_containment": f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, len(toks) AS n_toks, toks FROM t),
+occ AS (
+  SELECT DISTINCT doc_id,
+         {PORTABLE_HASH_SQL.format(
+             c=f"array_to_string(toks[i:i+{CONTAIN_W - 1}], ' ')")} AS sh
+  FROM base, unnest(range(1, greatest(n_toks - {CONTAIN_W - 1}, 0) + 1)) AS u(i)
+),
+dfsh AS (SELECT sh, count(*) AS sdf FROM occ GROUP BY sh),
+capped AS (
+  SELECT occ.doc_id, occ.sh, dfsh.sdf
+  FROM occ JOIN dfsh USING (sh) WHERE sdf <= {CONTAIN_MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.sdf >= 2
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       CAST(inter AS DOUBLE) / sa.n AS cont_a,
+       CAST(inter AS DOUBLE) / sb.n AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE inter * {CONTAIN_THRESHOLD[1]}
+      >= least(sa.n, sb.n) * {CONTAIN_THRESHOLD[0]}
+ORDER BY doc_a, doc_b
 """,
 }

@@ -165,6 +165,114 @@ def q81_host_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROX_PAIR = ("spark", "query")
+PROX_WINDOW = 5
+
+
+def q82_proximity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity ranking for the pair {PROX_PAIR}: per doc
+    containing BOTH terms, the minimum token distance between any
+    occurrence of the two, the count of co-occurrence pairs within
+    PROX_WINDOW tokens, and prox = 1/(1+min_dist) — the relaxed-phrase
+    ranking signal between q14's exact adjacency and q13's bag-of-words
+    BM25 (index-side twin: the positional pos_blob path, query.py).
+
+    Scale shape: one posexplode map pass; the position join touches only
+    docs containing both terms and its per-doc product is
+    occ(t1)×occ(t2) — bounded by per-doc term frequency, never
+    corpus-sized. prox is an integer-input IEEE division, emitted
+    unrounded (bit-identity beats round-at-half-ulp, CLAUDE.md)."""
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+    t1, t2 = PROX_PAIR
+    p1 = toks.filter(F.col("term") == t1).select("doc_id", F.col("pos").alias("p1"))
+    p2 = toks.filter(F.col("term") == t2).select("doc_id", F.col("pos").alias("p2"))
+    pairs = p1.join(p2, "doc_id").withColumn(
+        "dist", F.abs(F.col("p1") - F.col("p2"))
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.min("dist").alias("min_dist"),
+            F.count(F.when(F.col("dist") <= PROX_WINDOW, F.lit(1))).alias(
+                "n_near_pairs"
+            ),
+        )
+        .select(
+            "doc_id",
+            "min_dist",
+            "n_near_pairs",
+            (F.lit(1.0) / (F.lit(1.0) + F.col("min_dist").cast("double"))).alias(
+                "prox"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PRF_SEED = "spark"
+PRF_DOCS = 10  # pseudo-relevant doc pool
+PRF_TERMS = 20  # expansion terms returned
+PRF_MIN_DF = 5  # drop hapax-ish noise from the expansion pool
+
+
+def q84_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion: take the BM25 top
+    {PRF_DOCS} docs for the seed term, then rank the terms of that doc
+    pool by pooled weight = (sum of tf across the pool) * ln(N/df) and
+    return the top {PRF_TERMS} (seed excluded, df >= PRF_MIN_DF) — the
+    classic Rocchio/RM1-style expansion a search frontend runs between
+    retrieval rounds.
+
+    Scale shape: stage 1 is q13's top-k (window over one term's
+    postings); stage 2 semi-joins the token stream against a broadcast
+    10-row doc list, so the expensive side is one pruned scan. The
+    pooled tf is an exact integer sum (no float fold-order hazard); the
+    single float multiply happens once per candidate term. The final
+    ranking window orders only the pool vocabulary (bounded by
+    PRF_DOCS docs' distinct terms), not the corpus vocabulary."""
+    hits = bm25_hits(spark, sf_dir).filter(F.col("term") == PRF_SEED)
+    w_seed = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    pool = (
+        hits.withColumn("r", F.row_number().over(w_seed))
+        .filter(F.col("r") <= PRF_DOCS)
+        .select("doc_id")
+    )
+    toks = tokens(spark, sf_dir)
+    n_docs = load_docs(spark, sf_dir).count()
+    df_t = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= PRF_MIN_DF)
+    )
+    pool_tf = (
+        toks.join(F.broadcast(pool), "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("pool_tf"))
+        .filter(F.col("term") != PRF_SEED)
+    )
+    scored = pool_tf.join(F.broadcast(df_t), "term").select(
+        "term",
+        "pool_tf",
+        "df",
+        F.round(
+            F.col("pool_tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("weight"),
+    )
+    w_rank = Window.orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= PRF_TERMS)
+        .select("rank", "term", "pool_tf", "df", "weight")
+        .orderBy("rank")
+    )
+
+
 PHRASE = ("spark", "query")
 
 
@@ -198,6 +306,8 @@ QUERIES = {
     "q13_bm25_topk": q13_bm25_topk,
     "q14_phrase_match": q14_phrase_match,
     "q81_host_collapse": q81_host_collapse,
+    "q82_proximity_rank": q82_proximity_rank,
+    "q84_query_expansion": q84_query_expansion,
 }
 
 _TOKENS_CTE = """
@@ -297,5 +407,70 @@ ranked AS (
 SELECT term, rank, doc_id, host_id, host_rank, round(score, 9) AS bm25
 FROM ranked WHERE rank <= {DIVERSIFY_K}
 ORDER BY term, rank
+""",
+    "q82_proximity_rank": f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM d
+),
+tt AS (SELECT doc_id, pos, toks[pos] AS term FROM tp),
+p1 AS (SELECT doc_id, pos AS p1 FROM tt WHERE term = '{PROX_PAIR[0]}'),
+p2 AS (SELECT doc_id, pos AS p2 FROM tt WHERE term = '{PROX_PAIR[1]}'),
+pairs AS (
+  SELECT p1.doc_id, abs(p1.p1 - p2.p2) AS dist
+  FROM p1 JOIN p2 USING (doc_id)
+)
+SELECT doc_id, min(dist) AS min_dist,
+       count(CASE WHEN dist <= {PROX_WINDOW} THEN 1 END) AS n_near_pairs,
+       1.0::DOUBLE / (1.0::DOUBLE + min(dist)) AS prox
+FROM pairs GROUP BY doc_id ORDER BY doc_id
+""",
+    "q84_query_expansion": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (1.2 + 1.0) * tf.tf
+           / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / ad.avgdl)) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+  CROSS JOIN n CROSS JOIN ad
+  WHERE tf.term = '{PRF_SEED}'
+),
+pool AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM hits
+  ) WHERE r <= {PRF_DOCS}
+),
+pool_tf AS (
+  SELECT term, count(*) AS pool_tf
+  FROM toks JOIN pool USING (doc_id)
+  WHERE term <> '{PRF_SEED}'
+  GROUP BY term
+),
+dfx AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+  HAVING count(DISTINCT doc_id) >= {PRF_MIN_DF}
+),
+scored AS (
+  SELECT term, pool_tf, df,
+         round(pool_tf * ln(CAST(n.n_docs AS DOUBLE) / df), 9) AS weight
+  FROM pool_tf JOIN dfx USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY weight DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT rank, term, pool_tf, df, weight FROM ranked
+WHERE rank <= {PRF_TERMS} ORDER BY rank
 """,
 }

@@ -83,6 +83,9 @@ ORACLE_CHECKED = [
     "q79_crawl_frontier",
     "q80_kwic_snippets",
     "q81_host_collapse",
+    "q82_proximity_rank",
+    "q83_shingle_containment",
+    "q84_query_expansion",
 ]
 
 
