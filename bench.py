@@ -80,6 +80,17 @@ BENCH_QUERIES = [
     "q74_multimodal_features",
     "q75_frame_sample",
     "q76_retention_cohorts",
+    "q77_prefix_autocomplete",
+    "q78_spell_correct",
+    "q79_crawl_frontier",
+    "q80_kwic_snippets",
+    "q81_host_collapse",
+    "q82_proximity_rank",
+    # q83's stop-shingle cap (CONTAIN_MAX_DF) bounds its inverted-index
+    # buckets even on the dense fixture vocabulary — unlike q16/q54 it
+    # stays a meaningful throughput probe at sf0.1 (measured ~9 s).
+    "q83_shingle_containment",
+    "q84_query_expansion",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)
