@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     # stays a meaningful throughput probe at sf0.1 (measured ~9 s).
     "q83_shingle_containment",
     "q84_query_expansion",
+    # q85_dup_source_matrix rides on q17's pair set, degenerate at
+    # sf0.1 (see q17's note above) — gated at sf0.01 only.
+    "q86_burst_detect",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

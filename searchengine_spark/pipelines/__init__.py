@@ -50,6 +50,8 @@ _CHECK_FIRST = [
     "q82_proximity_rank",  # new in r3 — never sampled
     "q83_shingle_containment",  # new in r3 — never sampled
     "q84_query_expansion",  # new in r3 — never sampled
+    "q85_dup_source_matrix",  # new in r3 — never sampled
+    "q86_burst_detect",  # new in r3 — never sampled
     "q35_source_quota_sample",
     "q36_repetition_filter",
     "q37_pii_redact",

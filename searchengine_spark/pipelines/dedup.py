@@ -828,6 +828,57 @@ def q83_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_containment_pairs(load_docs(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# q85: cross-source duplicate-leakage matrix — the q17 LSH near-dup
+# pair set labelled with each side's `source` and aggregated to
+# (source_a, source_b) counts: the diagnostic a training-data pipeline
+# runs to find which feeds copy which (within-source boilerplate vs
+# cross-source scrape leakage drive different curation responses).
+# Source pair is normalised lexicographically (least/greatest), so the
+# matrix is its symmetric upper triangle. Scale shape: q17's banded
+# join produces the pairs (no O(n²)); the label join is doc-keyed
+# against a 2-column projection of documents; the final agg is
+# |sources|² rows. `share` = n_pairs/total is an integer-input IEEE
+# division off a 1-row broadcast total.
+# --------------------------------------------------------------------------
+
+def q85_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q17_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_docs(spark, sf_dir).select("doc_id", "source")
+    lab = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    tot = lab.agg(F.count("*").alias("n_total"))
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("n_pairs").cast("double") / F.col("n_total")).alias("share"),
+            (F.col("source_a") == F.col("source_b")).cast("int").alias("within"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
     "q16_ngram_jaccard": q16_ngram_jaccard,
@@ -840,6 +891,7 @@ QUERIES = {
     "q54_sparse_cosine": q54_sparse_cosine,
     "q55_dup_spans": q55_dup_spans,
     "q83_shingle_containment": q83_shingle_containment,
+    "q85_dup_source_matrix": q85_dup_source_matrix,
 }
 
 _TOKSETS_CTE = """
@@ -1197,5 +1249,47 @@ JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE inter * {CONTAIN_THRESHOLD[1]}
       >= least(sa.n, sb.n) * {CONTAIN_THRESHOLD[0]}
 ORDER BY doc_a, doc_b
+""",
+    # q85: q17's CTE chain (same banding, same integer-verify) feeding a
+    # source-labelled pair aggregation.
+    "q85_dup_source_matrix": f"""
+WITH {_TOKSETS_CTE},
+terms AS (
+  SELECT doc_id, {_H} % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toksets)
+),
+sigs AS (
+  SELECT doc_id, {_SIG_EXPRS}
+  FROM terms GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN tsn a ON a.doc_id = doc_a JOIN tsn b ON b.doc_id = doc_b
+  WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
+        >= (a.n + b.n - len(list_intersect(a.toks, b.toks)))
+           * {JACCARD_THRESHOLD[0]}
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.doc_a
+  JOIN documents db ON db.doc_id = pairs.doc_b
+),
+tot AS (SELECT count(*) AS n_total FROM lab)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       CAST(count(*) AS DOUBLE) / tot.n_total AS share,
+       CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS within
+FROM lab CROSS JOIN tot
+GROUP BY source_a, source_b, tot.n_total
+ORDER BY source_a, source_b
 """,
 }

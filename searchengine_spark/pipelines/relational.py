@@ -879,6 +879,62 @@ def q76_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q86: event-rate burst detection — per event_type, hourly counts vs a
+# trailing 24-bucket baseline (RANGE frame over the integer hour
+# bucket, so gaps in the series shrink the window rather than shifting
+# it). Burst = count >= BURST_FACTOR x the trailing per-bucket average,
+# compared in integers (cnt * BURST_TRAIL >= factor * trailing_sum) so
+# no float threshold can drift between engines; the reported ratio is
+# an integer-input IEEE division, NULL (both engines, explicitly) when
+# there is no baseline yet. Scale shape: one hash agg to hourly counts
+# (bounded by types x hours, tiny vs the event stream), then windows
+# over that reduced frame partitioned by event_type.
+# --------------------------------------------------------------------------
+
+BURST_BUCKET_S = 3600
+BURST_TRAIL = 24  # trailing buckets forming the baseline
+BURST_FACTOR = 3  # burst at >= 3x trailing average
+
+
+def q86_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_timestamp(ts) div {BURST_BUCKET_S}").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rangeBetween(-BURST_TRAIL, -1)
+    )
+    trail = F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("long"))
+    out = cnt.withColumn("trailing_sum", trail)
+    ratio = (F.col("cnt") * BURST_TRAIL).cast("double") / F.col(
+        "trailing_sum"
+    )
+    return out.select(
+        "event_type",
+        "b",
+        "cnt",
+        "trailing_sum",
+        F.when(F.col("trailing_sum") > 0, ratio).alias("ratio"),
+        (
+            (F.col("trailing_sum") > 0)
+            & (
+                F.col("cnt") * BURST_TRAIL
+                >= F.lit(BURST_FACTOR) * F.col("trailing_sum")
+            )
+        )
+        .cast("int")
+        .alias("is_burst"),
+    ).orderBy("event_type", "b")
+
+
 QUERIES = {
     "q01_fold_agg": q01_fold_agg,
     "q30_cube": q30_cube,
@@ -904,6 +960,7 @@ QUERIES = {
     "q68_incremental_merge": q68_incremental_merge,
     "q69_rolling_window": q69_rolling_window,
     "q76_retention_cohorts": q76_retention_cohorts,
+    "q86_burst_detect": q86_burst_detect,
 }
 
 ORACLE = {
@@ -1333,4 +1390,34 @@ SELECT cohort_day, (day - cohort_day) AS day_offset,
 FROM active a JOIN first USING (user_id)
 GROUP BY cohort_day, (day - cohort_day)
 ORDER BY cohort_day, day_offset
+"""
+
+# q86 oracle: same floor-epoch integer bucket as q56's (epoch() is a
+# DOUBLE; floor before the integer div), the same RANGE frame over the
+# integer bucket, the same integer burst compare; ratio guarded to NULL
+# when there is no baseline (Spark and DuckDB disagree on x/0 doubles).
+ORACLE["q86_burst_detect"] = f"""
+WITH cnt AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT // {BURST_BUCKET_S} AS b,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, b, cnt,
+         -- DuckDB sum(BIGINT) widens to HUGEINT; pin back to BIGINT
+         coalesce(sum(cnt) OVER (
+           PARTITION BY event_type ORDER BY b
+           RANGE BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS trailing_sum
+  FROM cnt
+)
+SELECT event_type, b, cnt, trailing_sum,
+       CASE WHEN trailing_sum > 0
+            THEN CAST(cnt * {BURST_TRAIL} AS DOUBLE) / trailing_sum
+       END AS ratio,
+       CASE WHEN trailing_sum > 0
+                 AND cnt * {BURST_TRAIL} >= {BURST_FACTOR} * trailing_sum
+            THEN 1 ELSE 0 END AS is_burst
+FROM w
+ORDER BY event_type, b
 """

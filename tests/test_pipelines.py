@@ -86,6 +86,8 @@ ORACLE_CHECKED = [
     "q82_proximity_rank",
     "q83_shingle_containment",
     "q84_query_expansion",
+    "q85_dup_source_matrix",
+    "q86_burst_detect",
 ]
 
 
