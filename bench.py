@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     # q85_dup_source_matrix rides on q17's pair set, degenerate at
     # sf0.1 (see q17's note above) — gated at sf0.01 only.
     "q86_burst_detect",
+    "q87_semdedup",
+    "q88_source_quality",
+    "q90_keywords",
+    # q89_canonical_rep rides q17's pair set like q85 — degenerate at
+    # sf0.1, gated at sf0.01 only.
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

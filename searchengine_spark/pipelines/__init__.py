@@ -52,6 +52,10 @@ _CHECK_FIRST = [
     "q84_query_expansion",  # new in r3 — never sampled
     "q85_dup_source_matrix",  # new in r3 — never sampled
     "q86_burst_detect",  # new in r3 — never sampled
+    "q87_semdedup",  # new in r3 — never sampled
+    "q88_source_quality",  # new in r3 — never sampled
+    "q89_canonical_rep",  # new in r3 — never sampled
+    "q90_keywords",  # new in r3 — never sampled
     "q35_source_quota_sample",
     "q36_repetition_filter",
     "q37_pii_redact",

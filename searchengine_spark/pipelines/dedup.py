@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import IVF_CENTROID_MOD
@@ -879,6 +879,48 @@ def q85_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q89: canonical-representative selection — the keep/drop decision that
+# completes the dedup pipeline: q38's connected components tell WHICH
+# docs form a duplicate cluster; this picks WHICH ONE survives, by
+# quality (q23's score), not by arbitrary id — a boilerplate-heavy
+# scrape of a good page must not outrank the original. Output is one
+# row per multi-doc cluster (singletons need no decision). Scale shape:
+# q38's CC labels (int64 rows) join doc-keyed against the map-only
+# quality projection, then one row_number window partitioned by
+# cluster_id over clusters only — the window input is |dup docs|, not
+# |corpus|. Tie-break: quality DESC (9dp-rounded, bit-identical both
+# engines), then doc_id ASC — total order.
+# --------------------------------------------------------------------------
+
+
+def q89_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import doc_quality
+
+    comp = (
+        q38_dup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_size") >= 2)
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+    qual = doc_quality(load_docs(spark, sf_dir))
+    j = comp.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality").alias("canonical_quality"),
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_pruned"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
     "q16_ngram_jaccard": q16_ngram_jaccard,
@@ -892,6 +934,7 @@ QUERIES = {
     "q55_dup_spans": q55_dup_spans,
     "q83_shingle_containment": q83_shingle_containment,
     "q85_dup_source_matrix": q85_dup_source_matrix,
+    "q89_canonical_rep": q89_canonical_rep,
 }
 
 _TOKSETS_CTE = """
@@ -915,6 +958,47 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {bi} AS band, sig{2*bi} * 2147483647 + sig{2*bi+1} AS band_key FROM sigs"
     for bi in range(N_BANDS)
 )
+
+# Shared connected-components chain (q17 banded LSH pairs -> symmetric
+# edges -> recursive min-label walk -> comp/sizes), reused by q38 and
+# q89.
+_CC_CTES = f"""{_TOKSETS_CTE},
+terms AS MATERIALIZED (
+  SELECT doc_id, {_H} % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toksets)
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, {_SIG_EXPRS}
+  FROM terms GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+{_BAND_SELECTS}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM cand JOIN tsn a ON a.doc_id = doc_a JOIN tsn b ON b.doc_id = doc_b
+  WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
+        >= (a.n + b.n - len(list_intersect(a.toks, b.toks))) * {JACCARD_THRESHOLD[0]}
+),
+-- MATERIALIZED throughout: DuckDB inlines single-reference CTEs, and
+-- re-planning this chain per reference cost 18.6s vs 2.3s at sf0.01
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(u, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+),
+comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)"""
 
 ORACLE = {
     "q15_dedup_exact": """
@@ -1083,43 +1167,7 @@ ORDER BY vec_a, vec_b
     # recursive min-label walk — `walk` enumerates (node, reachable label)
     # pairs (UNION dedups, so it terminates), min per node = component id.
     "q38_dup_clusters": f"""
-WITH RECURSIVE {_TOKSETS_CTE},
-terms AS MATERIALIZED (
-  SELECT doc_id, {_H} % 2147483647 AS h
-  FROM (SELECT doc_id, unnest(toks) AS term FROM toksets)
-),
-sigs AS MATERIALIZED (
-  SELECT doc_id, {_SIG_EXPRS}
-  FROM terms GROUP BY doc_id
-),
-banded AS MATERIALIZED (
-{_BAND_SELECTS}
-),
-cand AS MATERIALIZED (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM banded l JOIN banded r
-    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-),
-pairs AS MATERIALIZED (
-  SELECT doc_a, doc_b
-  FROM cand JOIN tsn a ON a.doc_id = doc_a JOIN tsn b ON b.doc_id = doc_b
-  WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
-        >= (a.n + b.n - len(list_intersect(a.toks, b.toks))) * {JACCARD_THRESHOLD[0]}
-),
--- MATERIALIZED throughout: DuckDB inlines single-reference CTEs, and
--- re-planning this chain per reference cost 18.6s vs 2.3s at sf0.01
-edges AS MATERIALIZED (
-  SELECT doc_a AS u, doc_b AS v FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-walk(u, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
-),
-comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
-sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+WITH RECURSIVE {_CC_CTES}
 SELECT doc_id, cluster_id, cluster_size,
        CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS keep
 FROM comp JOIN sizes USING (cluster_id)
@@ -1293,3 +1341,27 @@ GROUP BY source_a, source_b, tot.n_total
 ORDER BY source_a, source_b
 """,
 }
+# q89: the shared CC chain + q23's quality chain; window over multi-doc
+# clusters only.
+def _q89_oracle() -> str:
+    from .textstats import QUALITY_CTES_SQL, STOPWORDS, _sql_list
+
+    qual = QUALITY_CTES_SQL.format(stops=_sql_list(STOPWORDS)).strip()
+    return f"""
+WITH RECURSIVE {_CC_CTES},
+{qual},
+j AS (
+  SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size, qual.quality
+  FROM comp JOIN sizes USING (cluster_id)
+  JOIN qual ON qual.doc_id = comp.doc_id
+  WHERE sizes.cluster_size >= 2
+)
+SELECT cluster_id, doc_id AS canonical_doc, quality AS canonical_quality,
+       cluster_size, cluster_size - 1 AS n_pruned
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        ORDER BY quality DESC, doc_id ASC) AS r FROM j)
+WHERE r = 1 ORDER BY cluster_id
+"""
+
+
+ORACLE["q89_canonical_rep"] = _q89_oracle()

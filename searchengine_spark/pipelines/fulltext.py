@@ -300,6 +300,48 @@ def q14_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q90: per-document keyword extraction — top-KW_TOP_K terms per doc by
+# q12's augmented tf-idf. The doc-summarization primitive (tag clouds,
+# related-doc features, index-pruning hints) a search stack derives
+# from the same statistics the ranker already maintains. Scale shape:
+# identical to q12 (two hash aggs + one broadcast df join — vocab-sized,
+# Zipf-bounded) plus ONE row_number window partitioned by doc_id over
+# the per-doc term lists. Tie-break: tfidf DESC (9dp-rounded) then term
+# ASC — total order.
+# --------------------------------------------------------------------------
+
+KW_TOP_K = 5
+
+
+def q90_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    n_docs = load_docs(spark, sf_dir).count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    max_tf = tf.groupBy("doc_id").agg(F.max("tf").alias("max_tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(max_tf, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (0.4 + 0.6 * F.col("tf") / F.col("max_tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KW_TOP_K)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES = {
     "q11_wordcount": q11_wordcount,
     "q12_tfidf": q12_tfidf,
@@ -308,6 +350,7 @@ QUERIES = {
     "q81_host_collapse": q81_host_collapse,
     "q82_proximity_rank": q82_proximity_rank,
     "q84_query_expansion": q84_query_expansion,
+    "q90_keywords": q90_keywords,
 }
 
 _TOKENS_CTE = """
@@ -474,3 +517,24 @@ SELECT rank, term, pool_tf, df, weight FROM ranked
 WHERE rank <= {PRF_TERMS} ORDER BY rank
 """,
 }
+# q90: q12's CTE chain + row_number per doc.
+ORACLE["q90_keywords"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((0.4 + 0.6 * tf.tf / mx.max_tf)
+               * ln(CAST(n.n_docs AS DOUBLE) / dft.df), 9) AS tfidf
+  FROM tf JOIN mx USING (doc_id) JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tfidf
+FROM (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= {KW_TOP_K}
+ORDER BY doc_id, rank
+"""

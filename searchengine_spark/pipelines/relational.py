@@ -897,16 +897,25 @@ BURST_TRAIL = 24  # trailing buckets forming the baseline
 BURST_FACTOR = 3  # burst at >= 3x trailing average
 
 
-def q86_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cnt = (
-        load(spark, sf_dir, "events")
-        .select(
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """(event_type, b, cnt) hourly buckets — the reduced series the
+    burst analytic runs over. Shared with the streaming twin
+    (``streaming/burst.py``), which maintains exactly this table
+    incrementally and derives :func:`burst_flags` per micro-batch."""
+    return (
+        events.select(
             "event_type",
             F.expr(f"unix_timestamp(ts) div {BURST_BUCKET_S}").alias("b"),
         )
         .groupBy("event_type", "b")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def burst_flags(cnt: DataFrame) -> DataFrame:
+    """q86's trailing-baseline analytic over an (event_type, b, cnt)
+    series — tiny (types × hours), so recomputing it per streaming
+    micro-batch is O(series), not O(events)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("b")
@@ -933,6 +942,10 @@ def q86_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_burst"),
     ).orderBy("event_type", "b")
+
+
+def q86_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return burst_flags(hourly_counts(load(spark, sf_dir, "events")))
 
 
 QUERIES = {

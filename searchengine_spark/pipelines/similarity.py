@@ -347,6 +347,147 @@ ORDER BY query_id, rank"""
 
 
 # --------------------------------------------------------------------------
+# q87: SemDeDup — semantic deduplication via k-means clustering + intra-
+# cluster cosine pruning (Abbas et al. 2023, arXiv:2303.09540): cluster
+# the corpus embeddings with q43's Lloyd rounds, then compare pairs ONLY
+# within a cluster and mark every vector that has a more-senior (lower
+# vec_id) cluster-mate above SEMDEDUP_COS as a prunable semantic dup.
+# This is the scale story of the paper verbatim: all-pairs cosine is
+# O(n²), but with k ∝ n/target_cluster_size the intra-cluster pair
+# volume is O(n × cluster_size) — each cluster's pairs materialize from
+# an equi-join on cent_id, never a cross join. The threshold is looser
+# than q19's near-dup 0.4 on purpose: SemDeDup prunes semantic
+# redundancy, not just near-identical payloads.
+#
+# Determinism: assignment ties break cent_id ASC (same as q43/q45);
+# pair cosine is the 9dp-rounded left-to-right double fold both engines
+# share; dup_of = MIN qualifying senior id (integer, order-free);
+# max_cos = MAX over identically-rounded doubles (order-free).
+# --------------------------------------------------------------------------
+
+SEMDEDUP_COS = 0.30
+
+
+def q87_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_emb(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "v"
+    )
+    _, cents = _lloyd(e)
+    cn = cents.select(
+        "cent_id",
+        F.col("cv").alias("centv"),
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("centn"),
+    )
+    cand = e.select(
+        "vec_id",
+        F.col("v").alias("cv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        cand.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "sim",
+            _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn")),
+        )
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cv", "cn", "cent_id")
+        # referenced on both sides of the self-join below — materialize
+        # once or the whole Lloyd chain runs twice
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("cv").alias("va"),
+        F.col("cn").alias("na"),
+    )
+    b = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("cv").alias("vb"),
+        F.col("cn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(SEMDEDUP_COS))
+    )
+    dup = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of"), F.max("cos").alias("max_cos")
+    )
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+            "max_cos",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_oracle() -> str:
+    """Lloyd chain + q45's assignment CTE, then intra-cluster pairs and
+    the per-vector senior-dup aggregation."""
+    k = KMEANS_ITER
+    parts = _lloyd_ctes()
+    parts.append(
+        f"""cn AS (
+  SELECT cent_id, cv AS centv,
+         sqrt({_DOT_AB.format(a='cv', b='cv')}) AS centn
+  FROM c{k})"""
+    )
+    parts.append(
+        f"""asgn AS MATERIALIZED (
+  SELECT vec_id, cv, cn, cent_id FROM (
+    SELECT e.vec_id, e.v AS cv,
+           sqrt({_DOT_AB.format(a='e.v', b='e.v')}) AS cn,
+           c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DOT_AB.format(a='e.v', b='c.centv')} /
+                      (sqrt({_DOT_AB.format(a='e.v', b='e.v')}) * c.centn)
+                      DESC, c.cent_id ASC) AS r
+    FROM e CROSS JOIN cn c) WHERE r = 1)"""
+    )
+    parts.append(
+        f"""sd_pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_DOT_AB.format(a='a.cv', b='b.cv')} / (a.cn * b.cn), 9)
+           AS cos
+  FROM asgn a JOIN asgn b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round({_DOT_AB.format(a='a.cv', b='b.cv')} / (a.cn * b.cn), 9)
+        >= {SEMDEDUP_COS}::DOUBLE)"""
+    )
+    parts.append(
+        """sd_dup AS (
+  SELECT vec_b AS vec_id, min(vec_a) AS dup_of, max(cos) AS max_cos
+  FROM sd_pairs GROUP BY vec_b)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT asgn.vec_id, asgn.cent_id,
+       CASE WHEN sd_dup.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       sd_dup.dup_of, sd_dup.max_cos
+FROM asgn LEFT JOIN sd_dup ON sd_dup.vec_id = asgn.vec_id
+ORDER BY asgn.vec_id"""
+    )
+
+
+# --------------------------------------------------------------------------
 # q61: scalar-quantized (int8) ANN with exact re-rank — the MEMORY
 # scale path. At 100 TB the embedding table itself is the bottleneck
 # (64 dims × f32 = 256 B/vec); per-dim affine int8 codes cut that 4–8×
@@ -591,6 +732,7 @@ QUERIES = {
     "q45_ann_ivf_trained": q45_ann_ivf_trained,
     "q61_ann_sq": q61_ann_sq,
     "q62_ann_pq": q62_ann_pq,
+    "q87_semdedup": q87_semdedup,
 }
 
 _EN = """
@@ -669,6 +811,7 @@ ORDER BY query_id, rank
 
 ORACLE["q43_kmeans_train"] = _kmeans_oracle()
 ORACLE["q45_ann_ivf_trained"] = _ivf_trained_oracle()
+ORACLE["q87_semdedup"] = _semdedup_oracle()
 
 # q61 oracle: same affine floor-code dequantization, spelled with the
 # identical clamp/decode expression shape (floor, not round — Spark

@@ -586,6 +586,65 @@ def q70_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_counts(load_docs(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# q88: per-source quality rollup + blocklist flag — the host/feed-level
+# curation decision a training pipeline makes AFTER q23's per-doc
+# scores: a source whose share of low-quality docs crosses a threshold
+# is dropped wholesale (doc-level filters miss systematically bad feeds
+# whose individual docs hover near the cutoff). Scale shape: one
+# map-only quality pass (q23's expressions, no shuffle) then one hash
+# agg keyed by source — output is |sources| rows.
+#
+# Determinism: avg_quality sums the 9dp-rounded per-doc quality (bit-
+# identical cross-engine via the q23 gate) in DECIMAL(28,12) so the
+# partial/final aggregation order cannot move a bit, casts to double
+# once (Spark decimal→double = BigDecimal.doubleValue; DuckDB routed
+# via VARCHAR = strtod, same correctly-rounded result past 2^53
+# unscaled), divides once. The blocklist compare is pure-integer
+# (n_low * 100 >= LOWQ_PCT * n_docs).
+# --------------------------------------------------------------------------
+
+LOWQ_T = 0.5      # a doc below this quality counts as low-quality
+LOWQ_PCT = 45     # flag the source when >= 45% of its docs are low
+
+
+def doc_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, quality) over a raw documents DF — q23's score only."""
+    return docs.withColumn("toks", _tok_arr()).select(
+        "doc_id", quality_col().alias("quality")
+    )
+
+
+def q88_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    per_doc = docs.select("source", quality_col().alias("quality"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("quality").cast("decimal(28,12)")).alias("qsum"),
+            F.sum(
+                (F.col("quality") < F.lit(LOWQ_T)).cast("long")
+            ).alias("n_low"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("qsum").cast("double") / F.col("n_docs"), 9
+            ).alias("avg_quality"),
+            "n_low",
+            (F.col("n_low").cast("double") / F.col("n_docs")).alias(
+                "low_share"
+            ),
+            (F.col("n_low") * 100 >= F.lit(LOWQ_PCT) * F.col("n_docs"))
+            .cast("int")
+            .alias("blocked"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
@@ -597,7 +656,37 @@ QUERIES = {
     "q52_hist_quantiles": q52_hist_quantiles,
     "q60_pmi_collocations": q60_pmi_collocations,
     "q70_ngram_lm": q70_ngram_lm,
+    "q88_source_quality": q88_source_quality,
 }
+
+# Reusable (doc_id, quality) CTE chain — q23's expressions verbatim (the
+# q23 gate proves them bit-identical to the Spark side).
+QUALITY_CTES_SQL = """
+qd AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+qb AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         len(toks) AS n_toks,
+         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_alnum,
+         len(list_filter(toks, x -> x IN ({stops}))) AS n_stop,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(toks, x -> length(x)::BIGINT)),
+           (acc, x) -> acc + x) / CAST(len(toks) AS DOUBLE) AS mean_tok_len
+  FROM qd
+),
+qual AS (
+  SELECT doc_id, source,
+         round(0.4 * least(n_toks / 100.0, 1.0)
+             + 0.3 * (1.0 - (n_chars - n_alnum) / CAST(n_chars AS DOUBLE))
+             + 0.2 * (n_stop / CAST(n_toks AS DOUBLE))
+             + 0.1 * least(mean_tok_len / 8.0, 1.0), 9) AS quality
+  FROM qb
+)
+"""
 
 
 def _sql_list(words: list[str]) -> str:
@@ -877,4 +966,25 @@ SELECT w1, w2, w3, c3::BIGINT AS c3,
 FROM tri JOIN ctx USING (w1, w2), vocab
 ORDER BY c3 DESC, w1, w2, w3
 LIMIT {LM_TOP_N}
+"""
+
+# q88: qual chain verbatim, one GROUP BY source. DECIMAL(28,12) sum of
+# the 9dp-rounded doubles; decimal→double via the VARCHAR route (strtod
+# = Java BigDecimal.doubleValue — DuckDB's direct cast double-rounds
+# past 2^53 unscaled); integer blocklist compare.
+ORACLE["q88_source_quality"] = f"""
+WITH {QUALITY_CTES_SQL.format(stops=_sql_list(STOPWORDS))},
+g AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CAST(quality AS DECIMAL(28,12))) AS qsum,
+         sum(CASE WHEN quality < {LOWQ_T}::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+           AS n_low
+  FROM qual GROUP BY source
+)
+SELECT source, n_docs,
+       round(CAST(qsum::VARCHAR AS DOUBLE) / n_docs, 9) AS avg_quality,
+       n_low,
+       CAST(n_low AS DOUBLE) / n_docs AS low_share,
+       CASE WHEN n_low * 100 >= {LOWQ_PCT} * n_docs THEN 1 ELSE 0 END AS blocked
+FROM g ORDER BY source
 """

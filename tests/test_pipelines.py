@@ -88,6 +88,10 @@ ORACLE_CHECKED = [
     "q84_query_expansion",
     "q85_dup_source_matrix",
     "q86_burst_detect",
+    "q87_semdedup",
+    "q88_source_quality",
+    "q89_canonical_rep",
+    "q90_keywords",
 ]
 
 

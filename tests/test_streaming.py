@@ -463,3 +463,59 @@ def test_stream_dup_spans_matches_batch(spark):
     stream_span_occurrences(spark, docs_dir, spans_dir, ckpt).awaitTermination()
     again = [tuple(r) for r in read_dup_spans(spark, spans_dir).collect()]
     assert again == streamed
+
+
+def test_stream_burst_matches_batch(spark):
+    """Two-arrival-batch drill for the streaming burst twin: the stream
+    maintains q86's hourly-count series incrementally (complete-mode
+    state restored across a query restart); the derived burst view over
+    the final series equals batch q86 on the union of all events."""
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.pipelines.relational import q86_burst_detect
+    from searchengine_spark.streaming.burst import (
+        burst_view,
+        streaming_hourly_counts,
+    )
+
+    root = os.path.join(STREAMDIR, "burst")
+    shutil.rmtree(root, ignore_errors=True)
+    events_in = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(events_in)
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(events_in, "b0.parquet"))
+
+    streaming_hourly_counts(
+        spark, events_in, ckpt, out_table="sb_counts"
+    ).awaitTermination()
+    n_first = spark.table("sb_counts").count()
+    assert n_first > 0
+
+    # second arrival batch + query restart: state restored from the
+    # checkpoint, complete output covers BOTH halves
+    pq.write_table(t.slice(half), os.path.join(events_in, "b1.parquet"))
+    streaming_hourly_counts(
+        spark, events_in, ckpt, out_table="sb_counts"
+    ).awaitTermination()
+
+    got = {
+        (r["event_type"], r["b"]): (
+            r["cnt"],
+            r["trailing_sum"],
+            r["is_burst"],
+        )
+        for r in burst_view(spark, "sb_counts").collect()
+    }
+    want = {
+        (r["event_type"], r["b"]): (
+            r["cnt"],
+            r["trailing_sum"],
+            r["is_burst"],
+        )
+        for r in q86_burst_detect(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
