@@ -539,6 +539,16 @@ def build_index(
 ) -> None:
     """Full resumable index build. Re-running after a kill recomputes only
     partitions absent from the lineage table."""
+    if catalog.read_meta(root).get("tokens_vacuumed"):
+        # the tokens substrate was reclaimed (merge.vacuum_tokens): the
+        # docstats stage would silently recompute doc_lens from the
+        # emptied tree (doc_len=0 everywhere, avgdl=0 — ranking
+        # destroyed with nothing downstream to notice). A vacuumed index
+        # keeps serving/ingest/merge; a REBUILD needs a fresh root.
+        raise RuntimeError(
+            f"{root} is a vacuumed index root (tokens reclaimed) — "
+            "rebuild into a fresh root from the pages source instead"
+        )
     build_tokens_stage(spark, pages_path, root, build_id, n_chunks, n_buckets)
     build_docstats_stage(spark, pages_path, root, build_id)
     build_postings_stage(spark, root, build_id, n_buckets, target_postings)

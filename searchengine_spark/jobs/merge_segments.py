@@ -32,6 +32,11 @@ def main() -> None:
                          "tiered merge (default 0.25 => ~4x write amp)")
     ap.add_argument("--min-delta-bytes", type=int, default=64 << 20)
     ap.add_argument("--max-delta-files", type=int, default=256)
+    ap.add_argument("--vacuum", action="store_true",
+                    help="after a clean merge, reclaim the token files "
+                         "already folded into the segments (the index "
+                         "keeps serving and absorbing new deltas; a "
+                         "full REBUILD then needs a fresh root)")
     args = ap.parse_args()
 
     from searchengine_spark.merge import maybe_merge_tiered, merge_tokens_stage
@@ -52,6 +57,10 @@ def main() -> None:
                 pages_path=args.pages,
             )
         print(report)
+        if args.vacuum:
+            from searchengine_spark.merge import vacuum_tokens
+
+            print(vacuum_tokens(args.root, build_id=args.build_id))
     finally:
         spark.stop()
 

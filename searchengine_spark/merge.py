@@ -139,15 +139,25 @@ def merge_tokens_stage(
     # in-place content edits are instead caught by the mtime-bearing
     # stage fingerprints (catalog.tree_manifest) at the next full build.
     incorporated = {tuple(x[:2]) for x in meta.get("tokens_manifest", [])}
+    # vacuumed identities stay excluded FOREVER (append-only list): a
+    # crashed ingest restarted long after a vacuum replays its
+    # micro-batch into the same-named chunk dir, and without this a
+    # replayed already-merged file would re-enter as a fresh delta and
+    # duplicate its postings.
+    vacuumed = {tuple(x[:2]) for x in meta.get("tokens_vacuumed", [])}
     current = catalog.tree_manifest(tokens_root)
     current_ps = [(rel, size) for rel, size, *_ in current]
-    missing = incorporated - set(current_ps)
+    missing = incorporated - set(current_ps) - vacuumed
     if missing:
         raise RuntimeError(
             f"{len(missing)} incorporated token files vanished — the index "
             "needs a full build_postings_stage rebuild, not a merge"
         )
-    delta = [rel for rel, size in current_ps if (rel, size) not in incorporated]
+    delta = [
+        rel
+        for rel, size in current_ps
+        if (rel, size) not in incorporated and (rel, size) not in vacuumed
+    ]
     if not delta:
         return {"delta_files": 0, "merged_buckets": [],
                 "skipped_buckets": n_buckets}
@@ -185,9 +195,16 @@ def merge_tokens_stage(
     )
 
     # 1. docstats/stats first — idf and norms of the merged segments
-    # must reflect the post-append corpus
-    if pages_path is not None:
+    # must reflect the post-append corpus. On a VACUUMED root the full
+    # recompute is forbidden even when pages are at hand: it derives
+    # doc_lens from the whole tokens tree, which the vacuum emptied
+    # (doc_len=0 for every pre-vacuum doc, silently) — the incremental
+    # delta-only upsert is exact for doc_len/avgdl (stream doc ids are
+    # new url hashes, disjoint from the existing docstats rows).
+    if pages_path is not None and not vacuumed:
         build_docstats_stage(spark, pages_path, root, build_id)
+    elif pages_path is not None:
+        _docstats_incremental(spark, pages_path, root, delta)
     else:
         _docstats_from_tokens(spark, root, delta)
     _, avgdl = read_stats(spark, root)
@@ -436,12 +453,116 @@ def pending_delta_files(root: str) -> list[str]:
 def _pending_with_sizes(root: str) -> list[tuple[str, int]]:
     meta = catalog.read_meta(root)
     incorporated = {tuple(x[:2]) for x in meta.get("tokens_manifest", [])}
+    incorporated |= {tuple(x[:2]) for x in meta.get("tokens_vacuumed", [])}
     current = catalog.tree_manifest(catalog.path(root, catalog.TOKENS))
     return [
         (rel, int(size))
         for rel, size, *_ in current
         if (rel, size) not in incorporated
     ]
+
+
+def vacuum_tokens(root: str, build_id: str = "vacuum") -> dict:
+    """Reclaim token files already folded into the postings segments.
+
+    The tokens tree is the MERGE SUBSTRATE, not the query path (queries
+    read postings/dictionary/docstats/title_index only), but it is also
+    ~40% of the index tree at bench scale — at 10^12 docs that is real
+    money. After every live token file is incorporated and the postings
+    lineage is complete, the files can go; what must SURVIVE is their
+    (path, size) identity, because a crashed ingest restarted after the
+    vacuum replays its micro-batch into the same-named chunk dir and the
+    replayed files must stay excluded from the delta exactly as they
+    were before the vacuum. Hence ``tokens_vacuumed`` in ``_meta.json``:
+    append-only, consulted by both the pending-delta computation and the
+    vanished-files guard.
+
+    What a vacuumed root gives up: rebuild-from-tokens (``pages`` is the
+    true source; a full rebuild needs them). What it keeps: serving,
+    NEW stream deltas, tiered merges, fsck-green lineage (the postings
+    groups are re-recorded under the post-vacuum tree fingerprint, the
+    same rebase the merge tail performs).
+
+    Idempotent and crash-resumable: meta is updated FIRST (a crash
+    mid-delete leaves live files whose identities are already excluded),
+    deletion second, lineage re-record last; a re-run completes any
+    unfinished step. Refuses while deltas are pending (merge first) or
+    while the postings lineage is incomplete (mid-build index)."""
+    from .indexer import postings_fingerprint
+
+    meta = catalog.read_meta(root)
+    n_buckets = int(meta["n_buckets"])
+    target = int(meta.get("target_postings", catalog.TARGET_POSTINGS))
+    group_size = int(meta.get("group_size", catalog.BUCKET_GROUP_SIZE))
+    n_groups = max((n_buckets + group_size - 1) // group_size, 1)
+    tokens_root = catalog.path(root, catalog.TOKENS)
+
+    pend = _pending_with_sizes(root)
+    if pend:
+        raise RuntimeError(
+            f"{len(pend)} token files are pending (un-merged) — run "
+            "merge_tokens_stage/maybe_merge_tiered before vacuuming"
+        )
+    manifest = [tuple(x[:2]) for x in meta.get("tokens_manifest", [])]
+    if manifest:  # first run (not a resume): require a quiescent index
+        cur_fp = postings_fingerprint(root, n_buckets, target, group_size)
+        done = checkpoint.completed_partitions(root, "postings", cur_fp)
+        if len(done) < n_groups:
+            raise RuntimeError(
+                f"postings lineage incomplete ({len(done)}/{n_groups} "
+                "groups) — finish the build/merge before vacuuming"
+            )
+    vacuumed = {tuple(x[:2]) for x in meta.get("tokens_vacuumed", [])}
+    live = [
+        (rel, int(size))
+        for rel, size, *_ in catalog.tree_manifest(tokens_root)
+    ]
+    # 1. meta first: every live identity becomes excluded before any
+    # byte is deleted
+    vacuumed |= set(live)
+    catalog.write_meta(
+        root,
+        tokens_manifest=[],
+        tokens_vacuumed=sorted([list(x) for x in vacuumed]),
+    )
+    # 2. delete
+    reclaimed = 0
+    for rel, size in live:
+        p = os.path.join(tokens_root, rel)
+        try:
+            reclaimed += os.path.getsize(p)
+            os.remove(p)
+        except OSError:
+            pass
+    for dp, dirs, files in os.walk(tokens_root, topdown=False):
+        # bookkeeping files (_SUCCESS, .crc) are not in the manifest;
+        # drop them when they are all that's left so the dir can go
+        if all(f.startswith(("_", ".")) for f in files):
+            for f in files:
+                try:
+                    os.remove(os.path.join(dp, f))
+                except OSError:
+                    pass
+        if dp != tokens_root:
+            try:
+                os.rmdir(dp)
+            except OSError:
+                pass  # still holds live (pendingless, future) content
+    # 3. re-record the postings groups under the post-vacuum tree
+    # fingerprint (fsck freshness + build_postings_stage resume), the
+    # same rebase merge_tokens_stage's tail performs
+    new_fp = postings_fingerprint(root, n_buckets, target, group_size)
+    done = checkpoint.completed_partitions(root, "postings", new_fp)
+    postings_root = catalog.path(root, catalog.POSTINGS)
+    for g in range(n_groups):
+        if g not in done:
+            gdir = os.path.join(postings_root, f"group={g}")
+            rows, nbytes = catalog.parquet_rows_bytes(gdir)
+            checkpoint.record(
+                root, build_id, "postings", g, new_fp, gdir, rows, nbytes, 0
+            )
+    return {"files_removed": len(live), "bytes_reclaimed": reclaimed,
+            "vacuumed_total": len(vacuumed)}
 
 
 def _tree_bytes(path: str) -> int:
@@ -521,6 +642,56 @@ def maybe_merge_tiered(
     report.update(deferred=False, delta_bytes=d_bytes,
                   threshold_bytes=threshold)
     return report
+
+
+def _docstats_incremental(
+    spark: SparkSession, pages_path: str, root: str, delta_rels: list[str]
+) -> None:
+    """EXACT docstats refresh for a vacuumed root: the full recompute
+    (build_docstats_stage) is unavailable because pre-vacuum doc_lens
+    only exist in the current docstats, not in tokens — so fold pages ⟕
+    existing docstats ⟕ delta doc_lens. Ingest-filtered pages (no token
+    rows anywhere) keep doc_len=0 exactly as the full recompute would
+    assign, which is what keeps n_docs/avgdl — and therefore idf and
+    BM25 norms — bit-identical to a from-scratch rebuild."""
+    from .indexer import ingest
+
+    tokens_root = catalog.path(root, catalog.TOKENS)
+    paths = [os.path.join(tokens_root, r) for r in delta_rels]
+    new_docs = (
+        spark.read.parquet(*paths)
+        .groupBy("doc_id")
+        .agg(F.max("doc_len").alias("new_len"))
+    )
+    docs = ingest(spark, pages_path).select(
+        F.xxhash64("url").alias("doc_id"), "url"
+    )
+    ds_path = catalog.path(root, catalog.DOCSTATS)
+    st_path = catalog.path(root, catalog.STATS)
+    catalog.restore_aside(ds_path)
+    catalog.restore_aside(st_path)
+    old = spark.read.parquet(ds_path).select(
+        "doc_id", F.col("doc_len").alias("old_len")
+    )
+    merged = (
+        docs.join(old, "doc_id", "left")
+        .join(new_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            F.greatest(
+                F.coalesce("old_len", F.lit(0)),
+                F.coalesce("new_len", F.lit(0)),
+            ).alias("doc_len"),
+        )
+    )
+    _swap = catalog.replace_dir
+    _swap(ds_path, lambda t: merged.write.mode("overwrite").parquet(t))
+    written = spark.read.parquet(ds_path)
+    agg = written.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    _swap(st_path, lambda t: agg.write.mode("overwrite").parquet(t))
 
 
 def _docstats_from_tokens(

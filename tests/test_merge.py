@@ -445,3 +445,96 @@ def test_wand_and_mode_empty_term_empties_conjunction():
     )
     assert wand_topk([full], 5, mode="AND")
     assert wand_topk([full, empty], 5, mode="AND") == []
+
+
+def test_vacuum_tokens_lifecycle(spark):
+    """vacuum_tokens reclaims the merged token substrate while keeping
+    serving, fsck health, future stream deltas + merges, and the
+    replayed-micro-batch exclusion; it refuses with pending deltas and a
+    vacuumed root refuses build_index."""
+    from searchengine_spark.fsck import fsck
+    from searchengine_spark.merge import (
+        _pending_with_sizes,
+        maybe_merge_tiered,
+        vacuum_tokens,
+    )
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    base = os.path.join(MERGEDIR, "vacuum")
+    shutil.rmtree(base, ignore_errors=True)
+    full_dir = os.path.join(base, "pages_full")
+    corpus.write_pages_parquet(full_dir, N_PAGES, batch_rows=40)
+    files = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    initial_dir = os.path.join(base, "pages_initial")
+    os.makedirs(initial_dir)
+    for f in files[:-2]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
+    root = os.path.join(base, "index")
+    build_index(spark, initial_dir, root, n_chunks=2, n_buckets=N_BUCKETS)
+    tokens_root = catalog.path(root, catalog.TOKENS)
+
+    # stream one batch in and merge it, so the vacuum covers BOTH build
+    # chunks and stream chunks
+    s0 = os.path.join(base, "stream0")
+    os.makedirs(s0)
+    shutil.copy(os.path.join(full_dir, files[-2]), os.path.join(s0, files[-2]))
+    stream_tokenize(spark, s0, tokens_root, os.path.join(base, "ckpt0"),
+                    n_buckets=N_BUCKETS).awaitTermination()
+
+    # refused while the delta is pending
+    with pytest.raises(RuntimeError, match="pending"):
+        vacuum_tokens(root)
+
+    merge_tokens_stage(spark, root, pages_path=full_dir)
+    before = _topk(spark, root)
+
+    # keep one already-merged stream chunk aside to simulate a replayed
+    # micro-batch landing AFTER the vacuum (same path, same bytes)
+    chunk_dirs = [d for d in os.listdir(tokens_root) if "stream" in d]
+    assert chunk_dirs
+    replay_src = os.path.join(tokens_root, chunk_dirs[0])
+    replay_aside = os.path.join(base, "replay_aside")
+    shutil.copytree(replay_src, replay_aside)
+
+    rep = vacuum_tokens(root)
+    assert rep["files_removed"] > 0 and rep["bytes_reclaimed"] > 0
+    leftover = [
+        f for _dp, _dirs, fs in os.walk(tokens_root) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert leftover == [], leftover
+    # idempotent re-run
+    rep2 = vacuum_tokens(root)
+    assert rep2["files_removed"] == 0
+
+    # serving unchanged, fsck healthy (lineage recorded under the
+    # post-vacuum tree fingerprint)
+    assert _topk(spark, root) == before
+    findings = fsck(spark, root).collect()
+    assert findings == [], findings
+
+    # a replayed already-merged micro-batch must NOT re-enter as delta
+    shutil.copytree(replay_aside, replay_src)
+    assert _pending_with_sizes(root) == []
+    rep3 = maybe_merge_tiered(spark, root, ratio=0.0, min_delta_bytes=1,
+                              pages_path=full_dir)
+    assert rep3["deferred"] or rep3["delta_files"] == 0
+    assert _topk(spark, root) == before
+
+    # a NEW stream batch after the vacuum still merges; end state is
+    # rank-identical to a from-scratch rebuild over the full corpus
+    s1 = os.path.join(base, "stream1")
+    os.makedirs(s1)
+    shutil.copy(os.path.join(full_dir, files[-1]), os.path.join(s1, files[-1]))
+    stream_tokenize(spark, s1, tokens_root, os.path.join(base, "ckpt1"),
+                    n_buckets=N_BUCKETS).awaitTermination()
+    rep4 = merge_tokens_stage(spark, root, pages_path=full_dir)
+    assert rep4["delta_files"] > 0
+    root2 = os.path.join(base, "index_rebuilt")
+    build_index(spark, full_dir, root2, n_chunks=2, n_buckets=N_BUCKETS)
+    assert _topk(spark, root) == _topk(spark, root2)
+
+    # a vacuumed root refuses a rebuild (docstats would silently rebuild
+    # from the emptied tokens tree)
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        build_index(spark, full_dir, root, n_chunks=2, n_buckets=N_BUCKETS)

@@ -147,6 +147,21 @@ def main() -> None:
           f"(segment bytes rewritten / delta bytes folded; the size tier "
           f"bounds it near 1/ratio = {1 / 0.10:.0f}x however long the "
           f"ingest runs)")
+
+    from searchengine_spark.merge import vacuum_tokens
+
+    tok_b = _tree_bytes(catalog.path(root, catalog.TOKENS))
+    seg_b = _tree_bytes(catalog.path(root, catalog.POSTINGS))
+    t0 = time.time()
+    vrep = vacuum_tokens(root)
+    t0 = time.time() - t0
+    n_after = score_wand(spark, root, qs, n_ranges=8).count()
+    assert n_after == n_rows_after, "vacuum changed serving results"
+    print(f"vacuum: reclaimed {vrep['bytes_reclaimed'] >> 20} MiB of "
+          f"merged token substrate in {t0:.1f}s "
+          f"({tok_b >> 20} MiB tokens vs {seg_b >> 20} MiB postings — "
+          f"{100 * tok_b // max(tok_b + seg_b, 1)}% of the index tree); "
+          f"serving unchanged")
     spark.stop()
 
 
