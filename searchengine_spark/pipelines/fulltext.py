@@ -342,6 +342,166 @@ def q90_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q91: more-like-this — top-MLT_K similar docs per seed doc by tf-idf
+# cosine, the serving-side "related documents" feature (the reference
+# frontend has no MLT, but every production search stack grows one; the
+# per-query sibling of q54's corpus-wide pair materialization).
+#
+# Scale shape: the seed side is MLT_N_SEEDS normalized vectors —
+# broadcast; the corpus side is ONE inverted-index equi-join on term
+# against that broadcast (touches only postings of terms the seeds
+# contain), then a hash agg on (seed_id, doc_id). No self-join, no
+# all-pairs: cost = Σ df(seed terms), the classic MLT bound. Dot
+# products sum DECIMAL(28,12) partials (order-insensitive, CLAUDE.md);
+# the ranking window orders only each seed's candidate list.
+# --------------------------------------------------------------------------
+
+MLT_N_SEEDS = 5  # seeds = the MLT_N_SEEDS lowest doc_ids (deterministic)
+MLT_K = 10
+MLT_MIN_DF = 5  # hapax terms carry no similarity signal and bloat vectors
+
+
+def q91_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    docs = load_docs(spark, sf_dir)
+    n_docs = docs.count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= MLT_MIN_DF
+    )
+    w = tf.join(F.broadcast(df_t), "term").withColumn(
+        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    norms = (
+        w.groupBy("doc_id")
+        .agg(F.sum((F.col("w") * F.col("w")).cast("decimal(28,12)")).alias("ss"))
+        .select("doc_id", F.sqrt(F.col("ss").cast("double")).alias("nrm"))
+    )
+    inv = w.join(norms, "doc_id").select(
+        "term", "doc_id", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    seeds = docs.select("doc_id").orderBy("doc_id").limit(MLT_N_SEEDS)
+    seed_vecs = inv.join(seeds, "doc_id").select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("seed_id"),
+        F.col("wn").alias("ws"),
+    )
+    cand = (
+        inv.join(F.broadcast(seed_vecs), inv["term"] == seed_vecs["t"])
+        .filter(F.col("doc_id") != F.col("seed_id"))
+        .groupBy("seed_id", "doc_id")
+        .agg(
+            F.sum((F.col("ws") * F.col("wn")).cast("decimal(28,12)")).alias(
+                "dot"
+            )
+        )
+        .select("seed_id", "doc_id", F.col("dot").cast("double").alias("cosine"))
+    )
+    w_rank = Window.partitionBy("seed_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= MLT_K)
+        .select(
+            "seed_id", "rank", "doc_id", F.round("cosine", 9).alias("cosine")
+        )
+        .orderBy("seed_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q92: reciprocal-rank fusion — fuse the BM25 ranking and the augmented
+# tf-idf ranking for the seed term with RRF(d) = Σ_r 1/(RRF_C + rank_r(d))
+# (Cormack/Clarke/Buettcher 2009), the standard way a serving tier blends
+# retrievers with incomparable score scales (the general form of the
+# reference's fixed 0.3/0.5/0.2 blend, Mainpage.java).
+#
+# Scale shape: each input pool is a distributed TakeOrderedAndProject
+# (per-partition top-RRF_POOL + driver merge — never shuffles the
+# term's full posting list to one task); the fusion is a full outer
+# join of two ≤RRF_POOL-row lists. The RRF sum is a 2-term
+# add in a fixed coalesce order — no float fold hazard. Both input
+# rankings order by the 9dp-ROUNDED score (tie-break doc_id ASC): the
+# rounded values are proven cross-engine identical (q13/q12 gates),
+# so rank positions — the only thing RRF consumes — can't drift on a
+# sub-9dp ulp difference deep in the 50-row pool.
+# --------------------------------------------------------------------------
+
+RRF_TERM = "spark"
+RRF_C = 60  # the paper's k constant
+RRF_POOL = 50  # per-retriever candidate depth
+RRF_K = 15  # fused results returned
+
+
+def q92_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm25 = (
+        bm25_hits(spark, sf_dir)
+        .filter(F.col("term") == RRF_TERM)
+        .withColumn("score_r", F.round("score", 9))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-50 + driver merge) — the unpartitioned ranking window then
+    # only ever sees RRF_POOL rows, never the term's full posting list.
+    w_b = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    r_bm25 = (
+        bm25.select("doc_id", "score_r")
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .withColumn("rank_bm25", F.row_number().over(w_b))
+        .select("doc_id", "rank_bm25")
+    )
+    toks = tokens(spark, sf_dir)
+    n_docs = load_docs(spark, sf_dir).count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    max_tf = tf.groupBy("doc_id").agg(F.max("tf").alias("max_tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfidf = (
+        tf.filter(F.col("term") == RRF_TERM)
+        .join(max_tf, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .select(
+            "doc_id",
+            F.round(
+                (0.4 + 0.6 * F.col("tf") / F.col("max_tf"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w_t = Window.orderBy(F.desc("tfidf"), F.asc("doc_id"))
+    r_tfidf = (
+        tfidf.orderBy(F.desc("tfidf"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+        .withColumn("rank_tfidf", F.row_number().over(w_t))
+        .select("doc_id", "rank_tfidf")
+    )
+    fused = r_bm25.join(r_tfidf, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_tfidf",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_bm25")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_tfidf")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= RRF_K)
+        .select(
+            "rank", "doc_id", "rank_bm25", "rank_tfidf",
+            F.round("rrf", 9).alias("rrf"),
+        )
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "q11_wordcount": q11_wordcount,
     "q12_tfidf": q12_tfidf,
@@ -351,6 +511,8 @@ QUERIES = {
     "q82_proximity_rank": q82_proximity_rank,
     "q84_query_expansion": q84_query_expansion,
     "q90_keywords": q90_keywords,
+    "q91_more_like_this": q91_more_like_this,
+    "q92_rank_fusion": q92_rank_fusion,
 }
 
 _TOKENS_CTE = """
@@ -537,4 +699,98 @@ FROM (SELECT doc_id, term, tfidf,
       FROM scored)
 WHERE rank <= {KW_TOP_K}
 ORDER BY doc_id, rank
+"""
+# q91: q54's DECIMAL(28,12)-partial norm/dot fold (order-insensitive,
+# exact) restricted to the MLT_N_SEEDS broadcast seed vectors; ranking
+# keys (unrounded cosines) are decimal-exact in both engines.
+ORACLE["q91_more_like_this"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf
+        GROUP BY term HAVING count(*) >= {MLT_MIN_DF}),
+w AS (
+  SELECT doc_id, term, tf * ln((SELECT n_docs FROM n) / df) AS w
+  FROM tf JOIN dft USING (term)
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(CAST(w * w AS DECIMAL(28,12)))::DOUBLE) AS nrm
+  FROM w GROUP BY doc_id
+),
+inv AS (SELECT term, doc_id, w / nrm AS wn FROM w JOIN norms USING (doc_id)),
+seeds AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {MLT_N_SEEDS}),
+sv AS (
+  SELECT i.term, i.doc_id AS seed_id, i.wn AS ws
+  FROM inv i JOIN seeds s ON i.doc_id = s.doc_id
+),
+cand AS (
+  SELECT sv.seed_id, i.doc_id,
+         sum(CAST(sv.ws * i.wn AS DECIMAL(28,12)))::DOUBLE AS cosine
+  FROM inv i JOIN sv ON i.term = sv.term
+  WHERE i.doc_id <> sv.seed_id
+  GROUP BY 1, 2
+)
+SELECT seed_id, rank, doc_id, round(cosine, 9) AS cosine
+FROM (SELECT seed_id, doc_id, cosine,
+             row_number() OVER (PARTITION BY seed_id
+               ORDER BY cosine DESC, doc_id ASC) AS rank
+      FROM cand)
+WHERE rank <= {MLT_K}
+ORDER BY seed_id, rank
+"""
+# q92: q13's BM25 CTE + q12's tf-idf CTE, each ranked on its
+# 9dp-rounded score (identical keys cross-engine); the RRF terms use
+# ::DOUBLE literals (DuckDB parses bare 1.0 as DECIMAL — CLAUDE.md).
+ORACLE["q92_rank_fusion"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (1.2 + 1.0) * tf.tf
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / ad.avgdl)),
+               9) AS score_r
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+  CROSS JOIN n CROSS JOIN ad
+  WHERE tf.term = '{RRF_TERM}'
+),
+r_b AS (
+  SELECT doc_id, rank_bm25 FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id ASC)
+             AS rank_bm25
+    FROM bm25)
+  WHERE rank_bm25 <= {RRF_POOL}
+),
+mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY doc_id),
+ti AS (
+  SELECT tf.doc_id,
+         round((0.4 + 0.6 * tf.tf / mx.max_tf)
+               * ln(CAST(n.n_docs AS DOUBLE) / dft.df), 9) AS tfidf
+  FROM tf JOIN mx USING (doc_id) JOIN dft USING (term) CROSS JOIN n
+  WHERE tf.term = '{RRF_TERM}'
+),
+r_t AS (
+  SELECT doc_id, rank_tfidf FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY tfidf DESC, doc_id ASC)
+             AS rank_tfidf
+    FROM ti)
+  WHERE rank_tfidf <= {RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(r_b.doc_id, r_t.doc_id) AS doc_id, rank_bm25, rank_tfidf,
+         coalesce(1.0::DOUBLE / ({RRF_C} + rank_bm25), 0.0::DOUBLE)
+           + coalesce(1.0::DOUBLE / ({RRF_C} + rank_tfidf), 0.0::DOUBLE)
+           AS rrf
+  FROM r_b FULL OUTER JOIN r_t ON r_b.doc_id = r_t.doc_id
+)
+SELECT rank, doc_id, rank_bm25, rank_tfidf, round(rrf, 9) AS rrf
+FROM (SELECT doc_id, rank_bm25, rank_tfidf, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= {RRF_K}
+ORDER BY rank
 """

@@ -92,6 +92,8 @@ ORACLE_CHECKED = [
     "q88_source_quality",
     "q89_canonical_rep",
     "q90_keywords",
+    "q91_more_like_this",
+    "q92_rank_fusion",
 ]
 
 
