@@ -99,6 +99,13 @@ BENCH_QUERIES = [
     "q90_keywords",
     # q89_canonical_rep rides q17's pair set like q85 — degenerate at
     # sf0.1, gated at sf0.01 only.
+    # q91's candidate set is 5 seeds × n docs (the dense fixture vocab
+    # makes every doc a candidate) — still linear, a fair probe.
+    "q91_more_like_this",
+    "q92_rank_fusion",
+    "q93_lm_dirichlet",
+    "q94_bpe_pairs",
+    "q95_zipf_fit",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -42,6 +42,11 @@ _MODULES = [
 # budget-limited sample covers the never-checked tail before re-checking
 # entries that are already green on the scoreboard.
 _CHECK_FIRST = [
+    "q91_more_like_this",  # new in r3 — never sampled
+    "q92_rank_fusion",  # new in r3 — never sampled
+    "q93_lm_dirichlet",  # new in r3 — never sampled
+    "q94_bpe_pairs",  # new in r3 — never sampled
+    "q95_zipf_fit",  # new in r3 — never sampled
     "q77_prefix_autocomplete",  # new in r3 — never sampled
     "q78_spell_correct",  # new in r3 — never sampled
     "q79_crawl_frontier",  # new in r3 — never sampled

@@ -502,6 +502,61 @@ def q92_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q93: Dirichlet-smoothed query-likelihood ranking (Ponte/Croft 1998,
+# Zhai/Lafferty 2001) — the LM retriever family, the third scoring model
+# next to BM25 (q13) and augmented tf-idf (q12):
+#   score(q,d) = Σ_t ln( (tf(t,d) + μ·cf(t)/|C|) / (|d| + μ) )
+#
+# Scale shape: only docs containing ≥1 query term are scored (docs with
+# none share a constant background score and can never enter the top-k
+# above a candidate — the standard LM-WAND candidate cut), so the grid
+# is |candidates| × |q| rows built from one posting-list union and a
+# broadcast 3-row cf table; the final top-k is a distributed
+# TakeOrderedAndProject. Per-term log scores sum as DECIMAL(28,12)
+# partials (order-insensitive — CLAUDE.md float-fold discipline).
+# --------------------------------------------------------------------------
+
+QL_MU = 2000.0
+QL_K = 15
+
+
+def q93_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    total = toks.count()  # exact |C| in tokens
+    tf_q = tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
+    cf = tf_q.groupBy("term").agg(F.sum("tf").alias("cf"))
+    cand = tf_q.select("doc_id").distinct()
+    grid = cand.join(dl, "doc_id").crossJoin(F.broadcast(cf))
+    scored = (
+        grid.join(tf_q, ["doc_id", "term"], "left")
+        .withColumn("tf0", F.coalesce(F.col("tf"), F.lit(0)))
+        .withColumn(
+            "score_t",
+            F.log(
+                (
+                    F.col("tf0")
+                    + F.lit(QL_MU) * F.col("cf") / F.lit(float(total))
+                )
+                / (F.col("dl") + F.lit(QL_MU))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("score_t").cast("decimal(28,12)")).alias("s"))
+        .select("doc_id", F.col("s").cast("double").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(QL_K)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", F.round("score", 9).alias("ql"))
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "q11_wordcount": q11_wordcount,
     "q12_tfidf": q12_tfidf,
@@ -513,6 +568,7 @@ QUERIES = {
     "q90_keywords": q90_keywords,
     "q91_more_like_this": q91_more_like_this,
     "q92_rank_fusion": q92_rank_fusion,
+    "q93_lm_dirichlet": q93_lm_dirichlet,
 }
 
 _TOKENS_CTE = """
@@ -792,5 +848,37 @@ FROM (SELECT doc_id, rank_bm25, rank_tfidf, rrf,
              row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
       FROM fused)
 WHERE rank <= {RRF_K}
+ORDER BY rank
+"""
+# q93: candidate grid = (docs with >=1 query term) × 3 terms; per-term
+# Dirichlet log scores fold as DECIMAL(28,12) partials exactly like the
+# Spark side (float constants embedded ::DOUBLE — CLAUDE.md).
+ORACLE["q93_lm_dirichlet"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT count(*)::DOUBLE AS total FROM toks),
+tfq AS (SELECT * FROM tf
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})),
+cf AS (SELECT term, sum(tf) AS cf FROM tfq GROUP BY term),
+cand AS (SELECT DISTINCT doc_id FROM tfq),
+grid AS (
+  SELECT cand.doc_id, dl.dl, cf.term, cf.cf
+  FROM cand JOIN dl USING (doc_id) CROSS JOIN cf
+),
+scored AS (
+  SELECT g.doc_id,
+         sum(CAST(ln((coalesce(t.tf, 0)
+                      + {QL_MU}::DOUBLE * g.cf / (SELECT total FROM tot))
+                     / (g.dl + {QL_MU}::DOUBLE))
+                  AS DECIMAL(28,12)))::DOUBLE AS score
+  FROM grid g LEFT JOIN tfq t ON g.doc_id = t.doc_id AND g.term = t.term
+  GROUP BY g.doc_id
+)
+SELECT rank, doc_id, round(score, 9) AS ql
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {QL_K}
 ORDER BY rank
 """

@@ -645,6 +645,103 @@ def q88_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q94: one BPE merge round — count adjacent character-pair occurrences
+# weighted by word frequency, the inner loop of byte-pair-encoding
+# tokenizer training (Sennrich 2016). The load-bearing scale trick is
+# the same one every production BPE trainer uses: pair counting runs
+# over the VOCABULARY (distinct words × their corpus frequency), not
+# the corpus — one token-count agg collapses 100 TB of text to
+# |vocab| rows, and the pair explode + sum touch only that.
+# --------------------------------------------------------------------------
+
+BPE_TOP = 30
+
+
+def q94_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    words = (
+        docs.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    # sequence(1, len-1) is ascending only because len >= 2 (Spark
+    # flips to a DESCENDING sequence when start > stop — a length-1
+    # word would yield [1, 0], not []).
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "pair", "n")
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q95: Zipf rank-frequency fit per source — least-squares slope of
+# ln(freq) on ln(rank) over each source's term distribution. Natural
+# language sits near slope −1 (Zipf 1949); a source that drifts far is
+# boilerplate, spam, or machine junk — a standard corpus-naturalness
+# audit before training. Scale shape: one (source, term) hash agg
+# (vocab-sized output), one rank window partitioned by source, then the
+# regression reduces to five DECIMAL(28,12) partial sums per source
+# (q67's exact-moment discipline) — the slope/intercept arithmetic runs
+# once per source on exact sums, so partition order can't move a bit.
+# --------------------------------------------------------------------------
+
+
+def q95_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    tfreq = (
+        docs.select("source", F.explode("toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("term"))
+    xy = tfreq.withColumn("rnk", F.row_number().over(w)).select(
+        "source",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    d28 = "decimal(28,12)"
+    sums = xy.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d28)).alias("sx"),
+        F.sum(F.col("y").cast(d28)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d28)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d28)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "source",
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 9).alias("zipf_intercept"),
+    ).orderBy("source")
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
@@ -657,6 +754,8 @@ QUERIES = {
     "q60_pmi_collocations": q60_pmi_collocations,
     "q70_ngram_lm": q70_ngram_lm,
     "q88_source_quality": q88_source_quality,
+    "q94_bpe_pairs": q94_bpe_pairs,
+    "q95_zipf_fit": q95_zipf_fit,
 }
 
 # Reusable (doc_id, quality) CTE chain — q23's expressions verbatim (the
@@ -987,4 +1086,64 @@ SELECT source, n_docs,
        CAST(n_low AS DOUBLE) / n_docs AS low_share,
        CASE WHEN n_low * 100 >= {LOWQ_PCT} * n_docs THEN 1 ELSE 0 END AS blocked
 FROM g ORDER BY source
+"""
+# q94: pair counting over the vocabulary — range(1, length) is
+# end-exclusive in DuckDB, so it enumerates starts 1..len-1 directly.
+ORACLE["q94_bpe_pairs"] = f"""
+WITH words AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word
+        FROM documents)
+  GROUP BY word HAVING length(word) >= 2
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM words, unnest(range(1, length(word))) AS u(i)
+),
+agg AS (SELECT pair, sum(freq)::BIGINT AS n FROM pairs GROUP BY pair)
+SELECT rank, pair, n
+FROM (SELECT pair, n,
+             row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+      FROM agg)
+WHERE rank <= {BPE_TOP}
+ORDER BY rank
+"""
+# q95: the five regression sums fold as DECIMAL(28,12) partials exactly
+# like the Spark side; slope/intercept arithmetic is one double
+# expression per source over the exact sums (identical IEEE shape).
+ORACLE["q95_zipf_fit"] = """
+WITH tfreq AS (
+  SELECT source, term, count(*) AS freq
+  FROM (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS term
+        FROM documents)
+  GROUP BY source, term
+),
+xy AS (
+  SELECT source,
+         ln(CAST(row_number() OVER (PARTITION BY source
+              ORDER BY freq DESC, term ASC) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM tfreq
+),
+sums AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(x AS DECIMAL(28,12))) AS sx,
+         sum(CAST(y AS DECIMAL(28,12))) AS sy,
+         sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(28,12))) AS sxx
+  FROM xy GROUP BY source
+)
+SELECT source, n::INT AS n_terms,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 9)
+         AS zipf_slope,
+       round((sy::DOUBLE
+              - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sx::DOUBLE)
+             / n::DOUBLE, 9) AS zipf_intercept
+FROM sums ORDER BY source
 """

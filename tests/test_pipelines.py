@@ -94,6 +94,9 @@ ORACLE_CHECKED = [
     "q90_keywords",
     "q91_more_like_this",
     "q92_rank_fusion",
+    "q93_lm_dirichlet",
+    "q94_bpe_pairs",
+    "q95_zipf_fit",
 ]
 
 
