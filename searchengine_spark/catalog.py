@@ -31,6 +31,7 @@ STATS = "stats"
 POSTINGS = "postings"
 TITLE_INDEX = "title_index"
 PAGERANKS = "pageranks"
+DOCSTORE = "docstore"  # forward index for serving: doc_id-sorted (url, title, snippet)
 LINEAGE = "_lineage"
 
 # Defaults sized for the sandbox; a 1000-executor build would raise

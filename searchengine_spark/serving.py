@@ -9,11 +9,14 @@ Reference parity:
 * paginate  = sort desc -> skip(offset).limit(limit), defaults offset=0,
               limit=15 (``Mainpage.java:48-51,121-132``)
 
-Physical shape: the ranked top-k (a handful of rows) joins the pages
-corpus on url — a broadcast of the *results*, so the corpus-side lookup
-is a semi-join pruned scan, never a full-corpus shuffle. Title/snippet
-extraction runs as one Arrow-vectorized pandas UDF over the joined rows
-only (k rows, not the corpus).
+Physical shape: with a docstore built (``build_docstore``), the ranked
+top-k is looked up in a doc-id-sorted forward index via a pushed
+``In(doc_id)`` filter — O(k) row groups, the Spark analog of the
+reference's per-URL KVS point GET. Without one, the fallback joins the
+pages corpus on url — a broadcast of the *results*, so the corpus-side
+lookup is a semi-join pruned scan, never a full-corpus shuffle; title/
+snippet extraction then runs as one Arrow-vectorized pandas UDF over
+the joined rows only (k rows, not the corpus).
 """
 
 from __future__ import annotations
@@ -62,6 +65,44 @@ def snippet_udf(html: pd.Series) -> pd.Series:
     )
 
 
+DOCSTORE_FILES = 16
+
+
+def build_docstore(
+    spark: SparkSession, root: str, pages_path: str,
+    n_files: int = DOCSTORE_FILES,
+) -> None:
+    """Forward index for serving: (doc_id, url, title, snippet),
+    doc-id range-partitioned and SORTED so a top-k lookup's pushed
+    ``In(doc_id, ...)`` filter prunes to O(k) row groups — the
+    Spark-native analog of the reference frontend's per-URL KVS point
+    GET (``Mainpage.java:150-160`` fetches each result's page from
+    pt-crawl by key; it never scans the crawl table).
+
+    Title/snippet extraction — the only per-request Python cost — is
+    paid ONCE here over the corpus (Arrow-vectorized), instead of per
+    query at serve time. At 100 TB the docstore is the one corpus-sized
+    serving artifact, and it is only ever read k rows at a time."""
+    from . import catalog
+
+    docstats = spark.read.parquet(
+        catalog.path(root, catalog.DOCSTATS)
+    ).select("doc_id", "url")
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    df = pages.join(docstats, "url").select(
+        "doc_id",
+        "url",
+        title_udf("html").alias("title"),
+        snippet_udf("html").alias("snippet"),
+    )
+    (
+        df.repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(catalog.path(root, catalog.DOCSTORE))
+    )
+
+
 def split_exclusions(query: str) -> tuple[str, str]:
     """Split web-search exclusion syntax: whitespace tokens starting
     with ``-`` (and longer than the bare dash) become the exclusion
@@ -75,6 +116,105 @@ def split_exclusions(query: str) -> tuple[str, str]:
         else:
             pos.append(tok)
     return " ".join(pos), " ".join(neg)
+
+
+def _topk_df(
+    spark: SparkSession, root: str, reqs: list[dict]
+) -> DataFrame:
+    """(query_id, rank, doc_id, bm25, blended) for a list of request
+    dicts ``{query, mode, k, offset}``; query_id = list index; rank
+    spans [1, offset+k] (the caller applies the per-query offset cut).
+
+    PHRASE requests score in a separate ``score_exhaustive`` call:
+    its ``restrict`` allow-list must cover every query_id it scores
+    with, so phrase and non-phrase requests cannot share one."""
+    plain_qs: list[dict] = []
+    phrase_qs: list[dict] = []
+    restricts: list[DataFrame] = []
+    for i, r in enumerate(reqs):
+        mode = str(r.get("mode", "OR")).upper()
+        query, exclude = split_exclusions(r["query"])
+        k = int(r.get("k", DEFAULT_LIMIT))
+        offset = int(r.get("offset", 0) or 0)
+        q = {"query_id": i, "query": query, "k": offset + k,
+             "exclude": exclude}
+        if mode == "PHRASE":
+            # keep token order and duplicates — parse_query dedups,
+            # which is right for bag-of-words scoring but wrong for a
+            # phrase
+            toks = java_tokens(query.lower())
+            restricts.append(
+                phrase_match(spark, root, toks).select(
+                    F.lit(i).alias("query_id"), "doc_id"
+                )
+            )
+            # a phrase match contains every term, so AND == OR over the
+            # restricted candidates; AND is declared for plan clarity
+            q["mode"] = "AND"
+            phrase_qs.append(q)
+        else:
+            q["mode"] = mode
+            plain_qs.append(q)
+    parts: list[DataFrame] = []
+    if plain_qs:
+        parts.append(score_exhaustive(spark, root, plain_qs))
+    if phrase_qs:
+        restrict = restricts[0]
+        for extra in restricts[1:]:
+            restrict = restrict.unionAll(extra)
+        parts.append(
+            score_exhaustive(spark, root, phrase_qs, restrict=restrict)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _attach_docs(
+    spark: SparkSession, root: str, pages_path: str, topk: DataFrame
+) -> DataFrame:
+    """(query_id, rank, url, title, snippet, bm25, blended) for a
+    ranked (query_id, rank, doc_id, bm25, blended) frame."""
+    from . import catalog
+
+    if catalog.exists(root, catalog.DOCSTORE):
+        # fast path: the ranked k rows are materialized (the sanctioned
+        # k-row serving fetch), then looked up in the doc-id-sorted
+        # docstore via a pushed In(doc_id) filter — O(k) row groups
+        # decoded, no corpus scan, no re-run of the scoring job on the
+        # lookup side.
+        rows = topk.collect()
+        local = spark.createDataFrame(rows, schema=topk.schema)
+        store = spark.read.parquet(catalog.path(root, catalog.DOCSTORE))
+        if rows:
+            store = store.filter(
+                F.col("doc_id").isin(
+                    sorted({r["doc_id"] for r in rows})
+                )
+            )
+        else:
+            store = store.filter(F.lit(False))
+        return store.join(F.broadcast(local), "doc_id").select(
+            "query_id", "rank", "url", "title", "snippet", "bm25", "blended"
+        )
+
+    docstats = spark.read.parquet(catalog.path(root, catalog.DOCSTATS)).select(
+        "doc_id", "url"
+    )
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    # broadcast the k ranked rows into both lookups — the corpus and
+    # docstats sides stream, nothing big ever shuffles
+    ranked = docstats.join(F.broadcast(topk), "doc_id")
+    return pages.join(F.broadcast(ranked), "url").select(
+        "query_id",
+        "rank",
+        "url",
+        title_udf("html").alias("title"),
+        snippet_udf("html").alias("snippet"),
+        "bm25",
+        "blended",
+    )
 
 
 def search(
@@ -98,43 +238,165 @@ def search(
     containing any of them are dropped before the top-k, so k fills
     from survivors. Exclusions compose with every mode (in PHRASE they
     apply on top of the positional restriction)."""
-    mode = str(mode).upper()
-    query, exclude = split_exclusions(query)
-    restrict = None
-    if mode == "PHRASE":
-        # keep token order and duplicates — parse_query dedups, which is
-        # right for bag-of-words scoring but wrong for a phrase
-        toks = java_tokens(query.lower())
-        restrict = phrase_match(spark, root, toks).select(
-            F.lit(0).alias("query_id"), "doc_id"
-        )
-        # a phrase match contains every term, so AND == OR over the
-        # restricted candidates; AND is declared for plan clarity
-        mode = "AND"
-    qs = [{"query_id": 0, "query": query, "mode": mode, "k": offset + k,
-           "exclude": exclude}]
-    topk = score_exhaustive(spark, root, qs, restrict=restrict).filter(
-        F.col("rank") > offset
-    )
-
-    from . import catalog
-
-    docstats = spark.read.parquet(catalog.path(root, catalog.DOCSTATS)).select(
-        "doc_id", "url"
-    )
-    pages = spark.read.parquet(pages_path).select("url", "html")
-    # broadcast the k ranked rows into both lookups — the corpus and
-    # docstats sides stream, nothing big ever shuffles
-    ranked = docstats.join(F.broadcast(topk), "doc_id")
+    req = {"query": query, "mode": mode, "k": k, "offset": offset}
+    topk = _topk_df(spark, root, [req]).filter(F.col("rank") > offset)
     return (
-        pages.join(F.broadcast(ranked), "url")
-        .select(
-            "rank",
-            "url",
-            title_udf("html").alias("title"),
-            snippet_udf("html").alias("snippet"),
-            "bm25",
-            "blended",
-        )
+        _attach_docs(spark, root, pages_path, topk)
+        .select("rank", "url", "title", "snippet", "bm25", "blended")
         .orderBy("rank")
     )
+
+
+def search_many(
+    spark: SparkSession, root: str, pages_path: str, reqs: list[dict]
+) -> list[list]:
+    if not reqs:
+        return []
+    """Batched serving: one scoring job + one doc lookup for N
+    requests; returns per-request row lists (rank-ascending, ranks
+    absolute as in :func:`search`). ``reqs``: ``{query, mode, k,
+    offset}`` dicts. Results are identical to N independent
+    :func:`search` calls — the batch only amortizes the per-job cost
+    (scheduling, segment reads, python decode spin-up) across the
+    requests sharing it."""
+    offs = spark.createDataFrame(
+        [(i, int(r.get("offset", 0) or 0)) for i, r in enumerate(reqs)],
+        "query_id int, off int",
+    )
+    topk = (
+        _topk_df(spark, root, reqs)
+        .join(F.broadcast(offs), "query_id")
+        .filter(F.col("rank") > F.col("off"))
+        .drop("off")
+    )
+    rows = _attach_docs(spark, root, pages_path, topk).collect()
+    by_q: dict[int, list] = {i: [] for i in range(len(reqs))}
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+    return [by_q[i] for i in range(len(reqs))]
+
+
+class QueryBatcher:
+    """Micro-batches concurrent search requests into one Spark job.
+
+    The reference serves from a 100-thread pool over one shared backend
+    (``webserver/Server.java:17``); the Spark analog is sharing one
+    *job* — a single request pays ~2 s of fixed per-job cost (stage
+    scheduling, segment reads, python decode spin-up) while the
+    marginal cost of adding a query to a batch is ~0.2-0.35 s. The
+    batcher needs no artificial time window: the in-flight job IS the
+    window — requests arriving while a batch executes queue up and all
+    ship in the next one, so an idle server still answers a lone
+    request at single-query latency.
+
+    Thread-safe; results are identical to per-request :func:`search`
+    calls (``search_many`` is the same plan with more query_ids).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        pages_path: str,
+        max_batch: int = 64,
+    ) -> None:
+        import threading
+
+        self._spark = spark
+        self._root = root
+        self._pages_path = pages_path
+        self._max_batch = max_batch
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._queue: list[dict] = []
+        self._stopped = False
+        self.batches_run = 0  # introspection (tests assert coalescing)
+        self.requests_served = 0
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="se-query-batcher"
+        )
+        self._thread.start()
+
+    def search(
+        self,
+        query: str,
+        mode: str = "OR",
+        k: int = DEFAULT_LIMIT,
+        offset: int = 0,
+    ) -> list:
+        """Enqueue one request and block until its batch lands."""
+        import threading
+
+        pend = {
+            "req": {"query": query, "mode": mode, "k": k, "offset": offset},
+            "event": threading.Event(),
+            "rows": None,
+            "err": None,
+        }
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("QueryBatcher is stopped")
+            self._queue.append(pend)
+        self._wake.set()
+        pend["event"].wait()
+        if pend["err"] is not None:
+            raise pend["err"]
+        return pend["rows"]
+
+    def close(self) -> None:
+        with self._lock:
+            self._stopped = True
+            pending, self._queue = self._queue, []
+        for p in pending:
+            p["err"] = RuntimeError("QueryBatcher closed")
+            p["event"].set()
+        self._wake.set()
+
+    GATHER_WINDOW_S = 0.05
+
+    def _loop(self) -> None:
+        import time
+
+        while True:
+            self._wake.wait(timeout=0.5)
+            with self._lock:
+                if self._stopped:
+                    return
+                pending = len(self._queue)
+            if pending:
+                # gather window: the first arrival after an idle gap (or
+                # a just-finished batch) waits a beat so the convoy of
+                # clients released by the previous batch lands in THIS
+                # one instead of trickling into 1-request batches. 50 ms
+                # against a multi-second job is noise for a lone client
+                # and the difference between batch=1 and batch=N under
+                # load.
+                time.sleep(self.GATHER_WINDOW_S)
+            with self._lock:
+                if self._stopped:
+                    return
+                batch = self._queue[: self._max_batch]
+                del self._queue[: len(batch)]
+                if not self._queue:
+                    self._wake.clear()
+            if not batch:
+                continue
+            try:
+                results = search_many(
+                    self._spark,
+                    self._root,
+                    self._pages_path,
+                    [p["req"] for p in batch],
+                )
+                for p, rows in zip(batch, results):
+                    p["rows"] = rows
+            except Exception as e:  # propagate to every waiter
+                for p in batch:
+                    p["err"] = e
+            finally:
+                self.batches_run += 1
+                self.requests_served += len(batch)
+                for p in batch:
+                    p["event"].set()

@@ -57,7 +57,7 @@ from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
 
-from .serving import DEFAULT_LIMIT, search
+from .serving import DEFAULT_LIMIT, QueryBatcher, search
 
 _FORM_PAGE = """<!DOCTYPE html>
 <html>
@@ -99,6 +99,7 @@ class SearchHandler(BaseHTTPRequestHandler):
     spark: SparkSession = None  # type: ignore[assignment]
     index_root: str = ""
     pages_path: str = ""
+    batcher: "QueryBatcher | None" = None
 
     # quiet by default; tests flip this on via server attribute if needed
     def log_message(self, fmt, *args):  # noqa: D102
@@ -123,15 +124,24 @@ class SearchHandler(BaseHTTPRequestHandler):
         offset = int(params.get("offset", ["0"])[0])
         limit = int(params.get("limit", [str(DEFAULT_LIMIT)])[0])
         mode = (params.get("mode", ["OR"])[0] or "OR").upper()
-        rows = search(
-            self.spark,
-            self.index_root,
-            self.pages_path,
-            query,
-            mode=mode if mode in ("AND", "OR", "PHRASE") else "OR",
-            k=offset + limit,
-            offset=0,
-        ).collect()
+        mode = mode if mode in ("AND", "OR", "PHRASE") else "OR"
+        if self.batcher is not None:
+            # concurrent requests coalesce into one Spark job — the
+            # per-job fixed cost amortizes across the pool exactly like
+            # the reference's shared-backend thread pool
+            rows = self.batcher.search(
+                query, mode=mode, k=offset + limit, offset=0
+            )
+        else:
+            rows = search(
+                self.spark,
+                self.index_root,
+                self.pages_path,
+                query,
+                mode=mode,
+                k=offset + limit,
+                offset=0,
+            ).collect()
         return rows, offset, limit
 
     def do_GET(self):  # noqa: N802 (stdlib API name)
@@ -190,15 +200,29 @@ def make_server(
     pages_path: str,
     host: str = "127.0.0.1",
     port: int = 0,
+    batch: bool = True,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` binds an
-    ephemeral port (read it back from ``server.server_address``)."""
+    ephemeral port (read it back from ``server.server_address``).
+    ``batch=True`` (default) coalesces concurrent requests into shared
+    Spark jobs via :class:`searchengine_spark.serving.QueryBatcher`;
+    results are identical either way."""
+    batcher = (
+        QueryBatcher(spark, index_root, pages_path) if batch else None
+    )
     handler = type(
         "BoundSearchHandler",
         (SearchHandler,),
-        {"spark": spark, "index_root": index_root, "pages_path": pages_path},
+        {
+            "spark": spark,
+            "index_root": index_root,
+            "pages_path": pages_path,
+            "batcher": batcher,
+        },
     )
-    return ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer((host, port), handler)
+    server.batcher = batcher  # so shutdown hooks can close it
+    return server
 
 
 def start_server(
@@ -207,10 +231,11 @@ def start_server(
     pages_path: str,
     host: str = "127.0.0.1",
     port: int = 0,
+    batch: bool = True,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the server on a daemon thread; returns (server, thread).
     Stop with ``server.shutdown()``."""
-    server = make_server(spark, index_root, pages_path, host, port)
+    server = make_server(spark, index_root, pages_path, host, port, batch)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread

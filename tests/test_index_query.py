@@ -277,6 +277,103 @@ def test_serving_search(spark, tiny_index, tiny_pages_path):
     assert [r["rank"] for r in page2] == list(range(6, 6 + len(page2)))
 
 
+def test_docstore_fast_path(spark, tiny_index, tiny_pages_path):
+    """Docstore serving: identical rows to the pages-scan path, pushed
+    In(doc_id) filter on the store scan (O(k) row groups, no corpus
+    scan), and no crash on a zero-hit query."""
+    import contextlib
+    import io
+    import shutil
+
+    from searchengine_spark import catalog
+    from searchengine_spark.corpus import VOCAB
+    from searchengine_spark.serving import build_docstore, search
+
+    q = f"{VOCAB[0]} {VOCAB[1]}"
+    slow_rows = [
+        r.asDict()
+        for r in search(spark, tiny_index, tiny_pages_path, q, k=5).collect()
+    ]
+    assert slow_rows
+    build_docstore(spark, tiny_index, tiny_pages_path, n_files=4)
+    try:
+        fast = search(spark, tiny_index, tiny_pages_path, q, k=5)
+        assert [r.asDict() for r in fast.collect()] == slow_rows
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fast.explain(mode="formatted")
+        p = buf.getvalue()
+        assert "docstore" in p and "In(doc_id" in p, p
+        assert "html" not in p  # never reads the corpus html column
+        empty = search(spark, tiny_index, tiny_pages_path, "zzznotaterm", k=5)
+        assert empty.collect() == []
+    finally:
+        shutil.rmtree(
+            catalog.path(tiny_index, catalog.DOCSTORE), ignore_errors=True
+        )
+
+
+def test_search_many_matches_solo(spark, tiny_index, tiny_pages_path):
+    """Batched serving == N independent search() calls, across mixed
+    modes, exclusions, and offsets (the QueryBatcher correctness
+    contract)."""
+    from searchengine_spark.corpus import VOCAB
+    from searchengine_spark.serving import search, search_many
+
+    reqs = [
+        {"query": f"{VOCAB[0]} {VOCAB[1]}", "mode": "OR", "k": 5},
+        {"query": f"{VOCAB[0]} {VOCAB[1]}", "mode": "AND", "k": 4},
+        {"query": f"{VOCAB[0]} {VOCAB[1]}", "mode": "PHRASE", "k": 3},
+        {"query": f"{VOCAB[2]} -{VOCAB[3]}", "mode": "OR", "k": 5},
+        {"query": f"{VOCAB[0]} {VOCAB[1]}", "mode": "OR", "k": 5,
+         "offset": 5},
+        {"query": "zzznotaterm", "mode": "OR", "k": 5},
+    ]
+    got = search_many(spark, tiny_index, tiny_pages_path, reqs)
+    key = ("rank", "url", "title", "snippet", "bm25", "blended")
+    for req, rows in zip(reqs, got):
+        want = search(
+            spark, tiny_index, tiny_pages_path, req["query"],
+            mode=req["mode"], k=req["k"], offset=req.get("offset", 0),
+        ).collect()
+        assert [tuple(r[c] for c in key) for r in rows] == [
+            tuple(r[c] for c in key) for r in want
+        ], req
+
+
+def test_query_batcher_coalesces(spark, tiny_index, tiny_pages_path):
+    """Concurrent QueryBatcher.search calls share Spark jobs (fewer
+    batches than requests) and return per-request correct rows."""
+    import threading
+
+    from searchengine_spark.corpus import VOCAB
+    from searchengine_spark.serving import QueryBatcher, search
+
+    b = QueryBatcher(spark, tiny_index, tiny_pages_path)
+    try:
+        queries = [f"{VOCAB[i]} {VOCAB[i + 1]}" for i in range(6)]
+        results: dict[int, list] = {}
+
+        def run(i: int) -> None:
+            results[i] = b.search(queries[i], k=5)
+
+        threads = [
+            threading.Thread(target=run, args=(i,))
+            for i in range(len(queries))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert b.requests_served == len(queries)
+        assert b.batches_run < len(queries)  # coalescing happened
+        for i, q in enumerate(queries):
+            want = search(spark, tiny_index, tiny_pages_path, q, k=5).collect()
+            assert [r["url"] for r in results[i]] == [r["url"] for r in want]
+    finally:
+        b.close()
+
+
 def test_exhaustive_degenerate_queries(spark, tiny_index):
     """Empty / absent-term / k=0 queries return 0 rows, never raise."""
     qs = [
