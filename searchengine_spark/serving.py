@@ -103,6 +103,54 @@ def build_docstore(
     )
 
 
+def refresh_docstore(
+    spark: SparkSession, root: str, pages_path: str,
+    rows_per_file: int = 50_000,
+) -> int:
+    """Catch the docstore up after streaming ingest + merge: docs now in
+    docstats but absent from the docstore append as ADDITIONAL
+    doc-id-sorted files (no global re-sort — per-file doc ranges may
+    overlap across generations, which weakens row-group pruning slightly
+    but never correctness; rebuild with :func:`build_docstore` to
+    re-compact). Docs whose docstats url is NULL (merged without a
+    ``pages_path`` — see ``merge._docstats_from_tokens``) are skipped
+    until a docstats batch run fills their urls. Returns the number of
+    docs appended. The ingest model is append-only by doc_id
+    (= xxhash64(url)), so existing rows are never stale.
+    """
+    from . import catalog
+
+    if not catalog.exists(root, catalog.DOCSTORE):
+        build_docstore(spark, root, pages_path)
+        return -1  # full build, not an append
+    store_path = catalog.path(root, catalog.DOCSTORE)
+    docstats = (
+        spark.read.parquet(catalog.path(root, catalog.DOCSTATS))
+        .select("doc_id", "url")
+        .filter(F.col("url").isNotNull())
+    )
+    have = spark.read.parquet(store_path).select("doc_id")
+    missing = docstats.join(have, "doc_id", "left_anti")
+    n = missing.count()
+    if n == 0:
+        return 0
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    df = pages.join(missing, "url").select(
+        "doc_id",
+        "url",
+        title_udf("html").alias("title"),
+        snippet_udf("html").alias("snippet"),
+    )
+    n_files = max(1, -(-n // rows_per_file))
+    (
+        df.repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .parquet(store_path)
+    )
+    return n
+
+
 def split_exclusions(query: str) -> tuple[str, str]:
     """Split web-search exclusion syntax: whitespace tokens starting
     with ``-`` (and longer than the bare dash) become the exclusion

@@ -538,3 +538,33 @@ def test_vacuum_tokens_lifecycle(spark):
     # from the emptied tokens tree)
     with pytest.raises(RuntimeError, match="vacuumed"):
         build_index(spark, full_dir, root, n_chunks=2, n_buckets=N_BUCKETS)
+
+
+def test_docstore_refresh_after_merge(spark, merged_and_rebuilt):
+    """Docstore lifecycle across streaming ingest: a store built before
+    the stream merge misses the streamed docs; refresh_docstore appends
+    exactly those, matching a from-scratch build; second refresh is a
+    no-op."""
+    from searchengine_spark.serving import build_docstore, refresh_docstore
+
+    root, root2, _ = merged_and_rebuilt
+    full_dir = os.path.join(MERGEDIR, "pages_full")
+    initial_dir = os.path.join(MERGEDIR, "pages_initial")
+    store = catalog.path(root, catalog.DOCSTORE)
+    shutil.rmtree(store, ignore_errors=True)
+    # a docstore built pre-merge covered only the initial corpus slice
+    build_docstore(spark, root, initial_dir, n_files=2)
+    n0 = spark.read.parquet(store).count()
+    appended = refresh_docstore(spark, root, full_dir)
+    assert appended > 0
+    assert spark.read.parquet(store).count() == n0 + appended
+    build_docstore(spark, root2, full_dir, n_files=2)
+    got = {tuple(r) for r in spark.read.parquet(store).collect()}
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(
+            catalog.path(root2, catalog.DOCSTORE)
+        ).collect()
+    }
+    assert got == want
+    assert refresh_docstore(spark, root, full_dir) == 0
