@@ -30,6 +30,7 @@ DOCSTATS = "docstats"
 STATS = "stats"
 POSTINGS = "postings"
 TITLE_INDEX = "title_index"
+ANCHOR_INDEX = "anchor_index"  # optional inbound-anchor-text field
 PAGERANKS = "pageranks"
 DOCSTORE = "docstore"  # forward index for serving: doc_id-sorted (url, title, snippet)
 LINEAGE = "_lineage"

@@ -41,6 +41,7 @@ class OracleIndex:
     doc_url: dict[int, str] = field(default_factory=dict)
     postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> doc -> tf
     title_terms: dict[str, set[int]] = field(default_factory=dict)
+    anchor_terms: dict[str, set[int]] = field(default_factory=dict)
     links: dict[int, list[int]] = field(default_factory=dict)  # src -> dst list
     pagerank: dict[int, float] = field(default_factory=dict)
 
@@ -71,6 +72,18 @@ def build_oracle_index(
             title_text = extract_text_title(html)
         for t in set(stem_tokens(java_tokens(title_text, max_len=1 << 30))):
             idx.title_terms.setdefault(t, set()).add(doc_id)
+        # anchor pipeline: each link's anchor text indexes under the
+        # link's TARGET (anchors.anchor_occurrences twin)
+        from .anchors import extract_anchors
+        from .pagerank import normalize_url
+
+        for raw, text in extract_anchors(html):
+            norm = normalize_url(raw, url)
+            if norm is None:
+                continue
+            dst = spark_xxhash64_str(norm)
+            for t in set(stem_tokens(java_tokens(text, max_len=1 << 30))):
+                idx.anchor_terms.setdefault(t, set()).add(dst)
     idx.n_docs = len(pages)
     idx.avgdl = total_len / idx.n_docs if idx.n_docs else 0.0
     if edges:
@@ -119,7 +132,8 @@ def _bm25_term(idx: OracleIndex, term: str, doc_id: int) -> float:
 
 
 def oracle_topk(
-    idx: OracleIndex, query: str, mode: str = "OR", k: int = 15
+    idx: OracleIndex, query: str, mode: str = "OR", k: int = 15,
+    w_anchor: float = 0.0,
 ) -> list[dict]:
     """Top-k (rank, doc_id, bm25, blended) for one query."""
     terms = parse_query(query)
@@ -143,6 +157,13 @@ def oracle_topk(
         title_hit = 1.0 if any(d in idx.title_terms.get(t, ()) for t in terms) else 0.0
         pr = idx.pagerank.get(d, 0.0)
         blended = W_PAGERANK * pr + W_TITLE * title_hit + W_RELEVANCE * bm25
+        if w_anchor != 0.0:
+            anchor_hit = (
+                1.0
+                if any(d in idx.anchor_terms.get(t, ()) for t in terms)
+                else 0.0
+            )
+            blended = blended + w_anchor * anchor_hit
         results.append({"doc_id": d, "bm25": bm25, "blended": blended})
     results.sort(key=lambda r: (-r["blended"], r["doc_id"]))
     out = []
@@ -151,9 +172,14 @@ def oracle_topk(
     return out
 
 
-def oracle_all_queries(idx: OracleIndex, queries: list[dict]) -> list[dict]:
+def oracle_all_queries(
+    idx: OracleIndex, queries: list[dict], w_anchor: float = 0.0
+) -> list[dict]:
     rows = []
     for q in queries:
-        for r in oracle_topk(idx, q["query"], q.get("mode", "OR"), int(q.get("k", 15))):
+        for r in oracle_topk(
+            idx, q["query"], q.get("mode", "OR"), int(q.get("k", 15)),
+            w_anchor=w_anchor,
+        ):
             rows.append({"query_id": q["query_id"], **r})
     return rows

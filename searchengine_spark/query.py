@@ -294,12 +294,14 @@ def score_exhaustive(
     root: str,
     queries: list[dict],
     restrict: DataFrame | None = None,
+    w_anchor: float = 0.0,
 ) -> DataFrame:
     """(query_id, doc_id, bm25, blended, rank) for every query, top-k.
 
     bm25(q,d) = fold-sum over the query's terms (sorted) of
     idf * (k1+1) * tf / (tf + k1*(1-b+b*dl/avgdl)).
-    blended  = 0.3*pagerank + 0.5*title_hit + 0.2*bm25.
+    blended  = 0.3*pagerank + 0.5*title_hit + 0.2*bm25
+               [+ w_anchor*anchor_hit].
     Tie-break: score DESC, doc_id ASC (total order).
 
     ``restrict`` — optional (query_id, doc_id) candidate allow-list,
@@ -307,6 +309,12 @@ def score_exhaustive(
     set, not post-cut). The phrase serving mode passes the positional
     phrase matches here; the restriction must cover every query_id in
     ``queries`` or the uncovered queries return no rows.
+
+    ``w_anchor`` — weight of the inbound-anchor-text hit
+    (``anchors.build_anchor_stage``); the DEFAULT 0.0 skips the anchor
+    union entirely, keeping the reference-parity plan bit-identical.
+    Nonzero weights only reorder docs already matching in the body
+    (anchor-only docs never become candidates).
     """
     from .indexer import read_stats
 
@@ -343,6 +351,10 @@ def score_exhaustive(
     # their score is exactly 0.0 (an IEEE additive identity), so the
     # sorted-term bm25 fold is bit-identical with or without them.
     title_path = catalog.path(root, catalog.TITLE_INDEX)
+    anchor_path = catalog.path(root, catalog.ANCHOR_INDEX)
+    use_anchor = w_anchor != 0.0 and os.path.exists(anchor_path)
+    if use_anchor:
+        scored = scored.withColumn("anchor", F.lit(0.0))
     if os.path.exists(title_path):
         title = spark.read.parquet(title_path)
         th = title.join(
@@ -358,7 +370,28 @@ def score_exhaustive(
             F.lit(0).alias("is_match"),
             F.lit(1.0).alias("title"),
         )
+        if use_anchor:
+            th = th.withColumn("anchor", F.lit(0.0))
         scored = scored.unionAll(th)
+    if use_anchor:
+        # anchor hits ride the same aggregation with score 0.0 exactly
+        # like title rows — the bm25 fold stays bit-identical
+        anchor = spark.read.parquet(anchor_path)
+        ah = anchor.join(
+            F.broadcast(qt.select("query_id", "term").distinct()), "term"
+        ).select(
+            "query_id",
+            "doc_id",
+            "term",
+            F.lit(0.0).alias("score"),
+            F.lit(None).cast("int").alias("n_terms"),
+            F.lit(None).cast("string").alias("mode"),
+            F.lit(None).cast("int").alias("k"),
+            F.lit(0).alias("is_match"),
+            F.lit(0.0).alias("title"),
+            F.lit(1.0).alias("anchor"),
+        )
+        scored = scored.unionAll(ah)
 
     per_doc = scored.groupBy("query_id", "doc_id").agg(
         # deterministic fold order: sort per-term scores by term name
@@ -372,6 +405,7 @@ def score_exhaustive(
         F.first("n_terms", ignorenulls=True).alias("n_terms"),
         F.first("mode", ignorenulls=True).alias("mode"),
         F.first("k", ignorenulls=True).alias("k"),
+        *([F.max("anchor").alias("anchor_hit")] if use_anchor else []),
     )
     # candidates = docs with at least one posting match (title-only rows
     # are not candidates — reference oracle semantics)
@@ -414,12 +448,14 @@ def score_exhaustive(
     else:
         candidates = candidates.withColumn("pagerank", F.lit(0.0))
 
-    blended = candidates.withColumn(
-        "blended",
+    blend_col = (
         F.lit(W_PAGERANK) * F.col("pagerank")
         + F.lit(W_TITLE) * F.col("title_hit")
-        + F.lit(W_RELEVANCE) * F.col("bm25"),
+        + F.lit(W_RELEVANCE) * F.col("bm25")
     )
+    if use_anchor:
+        blend_col = blend_col + F.lit(w_anchor) * F.col("anchor_hit")
+    blended = candidates.withColumn("blended", blend_col)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("blended"), F.asc("doc_id")
