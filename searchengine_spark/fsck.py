@@ -297,6 +297,59 @@ def fsck(
             _finding(spark, "error", "stats", f"stats/docstats unreadable: {e!r}")
         )
 
+    # serving-side stores (both optional). Docstore: doc_ids unique, no
+    # orphans vs docstats; docs missing from the store are a WARNING
+    # (NULL-url merges legitimately lag until refresh_docstore).
+    ds_path = catalog.path(root, catalog.DOCSTORE)
+    if os.path.exists(ds_path):
+        try:
+            store_ids = spark.read.parquet(ds_path).select("doc_id")
+            doc_ids = spark.read.parquet(
+                catalog.path(root, catalog.DOCSTATS)
+            ).select("doc_id")
+            dup = (
+                store_ids.groupBy("doc_id").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1).count()
+            )
+            orphan = store_ids.join(doc_ids, "doc_id", "left_anti").count()
+            lagging = doc_ids.join(
+                store_ids, "doc_id", "left_anti"
+            ).count()
+            if dup:
+                findings = findings.unionByName(_finding(
+                    spark, "error", "docstore",
+                    f"{dup} doc_ids have multiple docstore rows"))
+            if orphan:
+                findings = findings.unionByName(_finding(
+                    spark, "error", "docstore",
+                    f"{orphan} docstore docs absent from docstats"))
+            if lagging:
+                findings = findings.unionByName(_finding(
+                    spark, "warning", "docstore",
+                    f"{lagging} docstats docs missing from the "
+                    "docstore — run serving.refresh_docstore"))
+        except Exception as e:
+            findings = findings.unionByName(_finding(
+                spark, "error", "docstore", f"docstore unreadable: {e!r}"))
+    # anchor index: (doc_id, term) unique (targets MAY be out-of-corpus
+    # urls — that is legal, so no orphan check)
+    ai_path = catalog.path(root, catalog.ANCHOR_INDEX)
+    if os.path.exists(ai_path):
+        try:
+            dup = (
+                spark.read.parquet(ai_path)
+                .groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1).count()
+            )
+            if dup:
+                findings = findings.unionByName(_finding(
+                    spark, "error", "anchor_index",
+                    f"{dup} (doc_id, term) pairs duplicated"))
+        except Exception as e:
+            findings = findings.unionByName(_finding(
+                spark, "error", "anchor_index",
+                f"anchor_index unreadable: {e!r}"))
+
     # lineage freshness: postings complete under the CURRENT tokens manifest
     if check_lineage:
         from .indexer import postings_fingerprint

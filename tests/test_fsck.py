@@ -108,3 +108,63 @@ def test_detects_stale_lineage_after_token_append(spark, corruptible_index):
                for r in rows)
     # and it is a warning, not an error: exit code contract
     assert not any(r["severity"] == "error" for r in rows)
+
+
+def test_serving_stores_checked(spark, corruptible_index, tiny_pages_path):
+    """Docstore/anchor stores join the integrity sweep: clean when
+    consistent; duplicated docstore doc_id and orphan rows are errors;
+    docs missing from the store (post-ingest lag) is a warning naming
+    refresh_docstore; duplicated anchor (doc_id, term) is an error."""
+    from searchengine_spark.anchors import build_anchor_stage
+    from searchengine_spark.serving import build_docstore
+
+    root = corruptible_index
+    build_docstore(spark, root, tiny_pages_path, n_files=2)
+    build_anchor_stage(spark, tiny_pages_path, root, "fsck-anchor")
+    assert fsck(spark, root).collect() == []
+
+    ds = catalog.path(root, catalog.DOCSTORE)
+    files = sorted(glob.glob(os.path.join(ds, "*.parquet")))
+    assert files
+
+    # duplicate one docstore row -> error
+    t = pq.read_table(files[0])
+    pq.write_table(pa.concat_tables([t, t.slice(0, 1)]), files[0])
+    crc = os.path.join(ds, f".{os.path.basename(files[0])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    found = [r["check"] for r in fsck(spark, root).collect()
+             if r["severity"] == "error"]
+    assert "docstore" in found
+
+    # drop the duplicate but point the row at a foreign doc_id -> orphan
+    t2 = t.set_column(
+        t.schema.get_field_index("doc_id"), "doc_id",
+        pa.array([-1] + t.column("doc_id").to_pylist()[1:], pa.int64()),
+    )
+    pq.write_table(t2, files[0])
+    rows = fsck(spark, root).collect()
+    assert any(
+        r["check"] == "docstore" and r["severity"] == "error"
+        and "absent from docstats" in r["detail"] for r in rows
+    )
+    # ...and the displaced real doc now reads as lagging -> warning
+    assert any(
+        r["check"] == "docstore" and r["severity"] == "warning"
+        and "refresh_docstore" in r["detail"] for r in rows
+    )
+
+    # restore, then duplicate an anchor row -> error
+    pq.write_table(t, files[0])
+    ai = catalog.path(root, catalog.ANCHOR_INDEX)
+    afiles = sorted(glob.glob(os.path.join(ai, "*.parquet")))
+    assert afiles
+    at = pq.read_table(afiles[0])
+    pq.write_table(pa.concat_tables([at, at.slice(0, 1)]), afiles[0])
+    acrc = os.path.join(ai, f".{os.path.basename(afiles[0])}.crc")
+    if os.path.exists(acrc):
+        os.remove(acrc)
+    assert any(
+        r["check"] == "anchor_index" and r["severity"] == "error"
+        for r in fsck(spark, root).collect()
+    )
