@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "q93_lm_dirichlet",
     "q94_bpe_pairs",
     "q95_zipf_fit",
+    "q96_passage_chunks",
+    "q97_source_kl",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -47,6 +47,8 @@ _CHECK_FIRST = [
     "q93_lm_dirichlet",  # new in r3 — never sampled
     "q94_bpe_pairs",  # new in r3 — never sampled
     "q95_zipf_fit",  # new in r3 — never sampled
+    "q96_passage_chunks",  # new in r3 — never sampled
+    "q97_source_kl",  # new in r3 — never sampled
     "q77_prefix_autocomplete",  # new in r3 — never sampled
     "q78_spell_correct",  # new in r3 — never sampled
     "q79_crawl_frontier",  # new in r3 — never sampled

@@ -462,6 +462,61 @@ def q57_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(load_docs(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# q96: passage chunking with overlap — split each document into
+# CHUNK_C-token windows at stride CHUNK_S (overlap C−S), the standard
+# preprocessing for RAG retrieval corpora and long-document training.
+# A trailing window is kept only if the previous window did not already
+# reach the end of the document (no fully-contained remainder chunks) —
+# an integer rule both engines evaluate identically.
+#
+# Scale shape: map-only — one split per doc, starts enumerated by an
+# in-row sequence, chunks materialized by explode; no shuffle at all
+# (the 100 TB chunker is exactly this projection). Output carries the
+# portable 60-bit hash of each chunk's text instead of the text itself,
+# so the gate pins exact string equality without corpus-sized rows.
+# --------------------------------------------------------------------------
+
+CHUNK_C = 64   # chunk length (tokens)
+CHUNK_S = 48   # stride (overlap = 16)
+
+
+def q96_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import portable_hash
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    n = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_S)),
+        lambda s: (s == 1) | (s - CHUNK_S + CHUNK_C <= n),
+    )
+    chunked = docs.select(
+        "doc_id",
+        n.alias("doc_tokens"),
+        F.explode(starts).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        "doc_tokens",
+        ((F.col("start") - 1) / CHUNK_S).cast("int").alias("chunk_id"),
+        "start",
+        F.slice(F.col("toks"), F.col("start"), CHUNK_C).alias("chunk"),
+    )
+    return (
+        chunked.filter(F.size("chunk") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start",
+            F.size("chunk").cast("int").alias("n_tokens"),
+            portable_hash(F.array_join(F.col("chunk"), " ")).alias(
+                "chunk_hash"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
     "q36_repetition_filter": q36_repetition_filter,
@@ -472,6 +527,7 @@ QUERIES = {
     "q48_mixture_sample": q48_mixture_sample,
     "q53_stratified_sample": q53_stratified_sample,
     "q57_priority_sample": q57_priority_sample,
+    "q96_passage_chunks": q96_passage_chunks,
 }
 
 ORACLE = {
@@ -622,6 +678,7 @@ FROM c GROUP BY source, seq_id ORDER BY source, seq_id
 # the same keep predicates as the Spark plan. quality is rounded 9dp on
 # both engines before the >= threshold, so the gate decisions agree.
 from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+from .dedup import PORTABLE_HASH_SQL  # noqa: E402
 from .textstats import ORACLE as _TS_ORACLE  # noqa: E402
 
 ORACLE["q40_curate_pipeline"] = f"""
@@ -665,4 +722,30 @@ r AS (
 SELECT source, rk, doc_id, n_chars AS weight, round(prio, 9) AS priority
 FROM r WHERE rk <= {PRIO_SAMPLE_N}
 ORDER BY source, rk
+"""
+# q96: same start enumeration (end-exclusive range -> +1) and the same
+# integer keep-rule; chunk strings hash via the portable 60-bit md5.
+ORACLE["q96_passage_chunks"] = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+st AS (
+  SELECT doc_id, n, toks, s
+  FROM b, unnest(range(1, greatest(n, 1) + 1, {CHUNK_S})) AS u(s)
+  WHERE s = 1 OR s - {CHUNK_S} + {CHUNK_C} <= n
+),
+ch AS (
+  SELECT doc_id,
+         ((s - 1) / {CHUNK_S})::INT AS chunk_id,
+         s::INT AS start,
+         toks[s : s + {CHUNK_C} - 1] AS chunk
+  FROM st
+)
+SELECT doc_id, chunk_id, start, len(chunk)::INT AS n_tokens,
+       {PORTABLE_HASH_SQL.format(c="array_to_string(chunk, ' ')")}
+         AS chunk_hash
+FROM ch WHERE len(chunk) > 0
+ORDER BY doc_id, chunk_id
 """

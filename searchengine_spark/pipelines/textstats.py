@@ -742,6 +742,52 @@ def q95_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# --------------------------------------------------------------------------
+# q97: per-source unigram KL divergence vs the corpus distribution —
+# KL(P_s ‖ Q) = Σ_t p_st · ln(p_st / q_t), the standard domain-shift /
+# contamination audit a mixture designer reads before setting sampling
+# weights (a source whose unigram distribution sits far from the corpus
+# is boilerplate, spam, or a different register). Every term of a
+# source exists in the corpus, so q_t > 0 and the sum is finite.
+#
+# Scale shape: two vocab-sized hash aggs — (source, term) counts and
+# corpus term counts — joined on term with the corpus side broadcast
+# (|vocab| rows, the q46 LM-broadcast shape); the per-term KL
+# contributions fold as DECIMAL(28,12) partials so partition order
+# cannot move a bit; totals ride a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+
+def q97_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    toks = docs.select("source", F.explode("toks").alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n_row = ct.agg(F.sum("c_t").alias("n_total"))
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n_total").cast("double")
+    contrib = (p * F.log(p / q)).cast("decimal(28,12)")
+    return (
+        st.join(ns, "source")
+        .join(F.broadcast(ct), "term")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(contrib).alias("kl_sum"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            F.round(F.col("kl_sum").cast("double"), 9).alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
@@ -756,6 +802,7 @@ QUERIES = {
     "q88_source_quality": q88_source_quality,
     "q94_bpe_pairs": q94_bpe_pairs,
     "q95_zipf_fit": q95_zipf_fit,
+    "q97_source_kl": q97_source_kl,
 }
 
 # Reusable (doc_id, quality) CTE chain — q23's expressions verbatim (the
@@ -1146,4 +1193,28 @@ SELECT source, n::INT AS n_terms,
                 * sx::DOUBLE)
              / n::DOUBLE, 9) AS zipf_intercept
 FROM sums ORDER BY source
+"""
+# q97: identical p/q expression shape and DECIMAL(28,12) contribution
+# fold; n totals are exact bigints.
+ORACLE["q97_source_kl"] = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY source, term),
+ct AS (SELECT term, sum(c_st)::BIGINT AS c_t FROM st GROUP BY term),
+ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY source),
+nt AS (SELECT sum(c_t)::BIGINT AS n_total FROM ct)
+SELECT st.source,
+       max(ns.n_s)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_terms,
+       round(sum(CAST(
+         (CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+         * ln((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+              / (CAST(ct.c_t AS DOUBLE) / CAST(nt.n_total AS DOUBLE)))
+         AS DECIMAL(28,12)))::DOUBLE, 9) AS kl
+FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN nt
+GROUP BY st.source
+ORDER BY st.source
 """

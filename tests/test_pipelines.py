@@ -97,6 +97,8 @@ ORACLE_CHECKED = [
     "q93_lm_dirichlet",
     "q94_bpe_pairs",
     "q95_zipf_fit",
+    "q96_passage_chunks",
+    "q97_source_kl",
 ]
 
 
