@@ -167,7 +167,8 @@ def split_exclusions(query: str) -> tuple[str, str]:
 
 
 def _topk_df(
-    spark: SparkSession, root: str, reqs: list[dict]
+    spark: SparkSession, root: str, reqs: list[dict],
+    w_anchor: float = 0.0,
 ) -> DataFrame:
     """(query_id, rank, doc_id, bm25, blended) for a list of request
     dicts ``{query, mode, k, offset}``; query_id = list index; rank
@@ -205,13 +206,18 @@ def _topk_df(
             plain_qs.append(q)
     parts: list[DataFrame] = []
     if plain_qs:
-        parts.append(score_exhaustive(spark, root, plain_qs))
+        parts.append(
+            score_exhaustive(spark, root, plain_qs, w_anchor=w_anchor)
+        )
     if phrase_qs:
         restrict = restricts[0]
         for extra in restricts[1:]:
             restrict = restrict.unionAll(extra)
         parts.append(
-            score_exhaustive(spark, root, phrase_qs, restrict=restrict)
+            score_exhaustive(
+                spark, root, phrase_qs, restrict=restrict,
+                w_anchor=w_anchor,
+            )
         )
     out = parts[0]
     for p in parts[1:]:
@@ -273,6 +279,7 @@ def search(
     mode: str = "OR",
     k: int = DEFAULT_LIMIT,
     offset: int = 0,
+    w_anchor: float = 0.0,
 ) -> DataFrame:
     """(rank, url, title, snippet, bm25, blended) for one query —
     the full reference serving pipeline, paginated.
@@ -287,7 +294,9 @@ def search(
     from survivors. Exclusions compose with every mode (in PHRASE they
     apply on top of the positional restriction)."""
     req = {"query": query, "mode": mode, "k": k, "offset": offset}
-    topk = _topk_df(spark, root, [req]).filter(F.col("rank") > offset)
+    topk = _topk_df(spark, root, [req], w_anchor=w_anchor).filter(
+        F.col("rank") > offset
+    )
     return (
         _attach_docs(spark, root, pages_path, topk)
         .select("rank", "url", "title", "snippet", "bm25", "blended")
@@ -296,7 +305,8 @@ def search(
 
 
 def search_many(
-    spark: SparkSession, root: str, pages_path: str, reqs: list[dict]
+    spark: SparkSession, root: str, pages_path: str, reqs: list[dict],
+    w_anchor: float = 0.0,
 ) -> list[list]:
     if not reqs:
         return []
@@ -312,7 +322,7 @@ def search_many(
         "query_id int, off int",
     )
     topk = (
-        _topk_df(spark, root, reqs)
+        _topk_df(spark, root, reqs, w_anchor=w_anchor)
         .join(F.broadcast(offs), "query_id")
         .filter(F.col("rank") > F.col("off"))
         .drop("off")
@@ -349,6 +359,7 @@ class QueryBatcher:
         root: str,
         pages_path: str,
         max_batch: int = 64,
+        w_anchor: float = 0.0,
     ) -> None:
         import threading
 
@@ -356,6 +367,7 @@ class QueryBatcher:
         self._root = root
         self._pages_path = pages_path
         self._max_batch = max_batch
+        self._w_anchor = w_anchor
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._queue: list[dict] = []
@@ -437,6 +449,7 @@ class QueryBatcher:
                     self._root,
                     self._pages_path,
                     [p["req"] for p in batch],
+                    w_anchor=self._w_anchor,
                 )
                 for p, rows in zip(batch, results):
                     p["rows"] = rows

@@ -100,6 +100,7 @@ class SearchHandler(BaseHTTPRequestHandler):
     index_root: str = ""
     pages_path: str = ""
     batcher: "QueryBatcher | None" = None
+    w_anchor: float = 0.0  # server-level anchor blend weight (0 = reference parity)
 
     # quiet by default; tests flip this on via server attribute if needed
     def log_message(self, fmt, *args):  # noqa: D102
@@ -141,6 +142,7 @@ class SearchHandler(BaseHTTPRequestHandler):
                 mode=mode,
                 k=offset + limit,
                 offset=0,
+                w_anchor=self.w_anchor,
             ).collect()
         return rows, offset, limit
 
@@ -201,6 +203,7 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 0,
     batch: bool = True,
+    w_anchor: float = 0.0,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` binds an
     ephemeral port (read it back from ``server.server_address``).
@@ -208,7 +211,9 @@ def make_server(
     Spark jobs via :class:`searchengine_spark.serving.QueryBatcher`;
     results are identical either way."""
     batcher = (
-        QueryBatcher(spark, index_root, pages_path) if batch else None
+        QueryBatcher(spark, index_root, pages_path, w_anchor=w_anchor)
+        if batch
+        else None
     )
     handler = type(
         "BoundSearchHandler",
@@ -218,6 +223,7 @@ def make_server(
             "index_root": index_root,
             "pages_path": pages_path,
             "batcher": batcher,
+            "w_anchor": w_anchor,
         },
     )
     server = ThreadingHTTPServer((host, port), handler)
@@ -232,10 +238,13 @@ def start_server(
     host: str = "127.0.0.1",
     port: int = 0,
     batch: bool = True,
+    w_anchor: float = 0.0,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the server on a daemon thread; returns (server, thread).
     Stop with ``server.shutdown()``."""
-    server = make_server(spark, index_root, pages_path, host, port, batch)
+    server = make_server(
+        spark, index_root, pages_path, host, port, batch, w_anchor
+    )
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread

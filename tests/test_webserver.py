@@ -192,3 +192,44 @@ def test_exclusion_syntax_route_matches_library(server_url, spark,
         ).select("doc_id", "url").collect()
     }
     assert all(url_to_doc[g["url"]] not in deny_docs for g in got)
+
+
+def test_anchor_weighted_server(spark, tiny_index, tiny_pages_path):
+    """A server started with w_anchor serves the anchor-weighted blend
+    (batched path), matching the library at the same weight — and the
+    default server's results stay the reference-parity blend."""
+    from searchengine_spark.serving import search
+    from searchengine_spark.anchors import build_anchor_stage
+    from searchengine_spark.webserver import start_server
+
+    build_anchor_stage(spark, tiny_pages_path, tiny_index, "anchor-ws")
+    q = f"link {VOCAB[0]}"
+    server, _t = start_server(
+        spark, tiny_index, tiny_pages_path, w_anchor=0.1
+    )
+    try:
+        host, port = server.server_address[:2]
+        status, body = _get(
+            f"http://{host}:{port}/api/search?query={quote(q)}&limit=10"
+        )
+        assert status == 200
+        got = [(r["url"], round(r["blended"], 9))
+               for r in json.loads(body)["results"]]
+    finally:
+        server.batcher.close()
+        server.shutdown()
+        server.server_close()
+    want = [
+        (r["url"], round(r["blended"], 9))
+        for r in search(
+            spark, tiny_index, tiny_pages_path, q, k=10, w_anchor=0.1
+        ).collect()
+    ]
+    assert got == want
+    plain = [
+        (r["url"], round(r["blended"], 9))
+        for r in search(
+            spark, tiny_index, tiny_pages_path, q, k=10
+        ).collect()
+    ]
+    assert got != plain, "weight must change the blend for anchored docs"
