@@ -54,6 +54,7 @@ from .indexer import (
     TOKENS_SCHEMA,
     _postings_kernel,
     build_docstats_stage,
+    build_title_index_stage,
     postings_fingerprint,
     read_stats,
     salt_expr,
@@ -207,6 +208,16 @@ def merge_tokens_stage(
         _docstats_incremental(spark, pages_path, root, delta)
     else:
         _docstats_from_tokens(spark, root, delta)
+    if pages_path is not None:
+        # title hits feed the BLENDED serving score — without this the
+        # streamed docs rank with title_hit 0 and the merged index
+        # diverges from a rebuild on the serving path (caught by
+        # test_stream_to_serving_end_to_end). The stage is map-only
+        # over pages text and fingerprinted on content, so a re-merge
+        # with unchanged pages is a no-op. Titles derive from page
+        # text, not tokens, so a pages-less merge necessarily leaves
+        # them lagging (like docstats urls) until a pages-backed run.
+        build_title_index_stage(spark, pages_path, root, build_id)
     _, avgdl = read_stats(spark, root)
 
     stray = [

@@ -568,3 +568,47 @@ def test_docstore_refresh_after_merge(spark, merged_and_rebuilt):
     }
     assert got == want
     assert refresh_docstore(spark, root, full_dir) == 0
+
+
+def test_stream_to_serving_end_to_end(spark, merged_and_rebuilt):
+    """The full operational loop with no rebuild anywhere: index built
+    on the initial corpus slice + docstore; more pages arrive via the
+    stream and merge in; refresh_docstore catches the forward index up;
+    the live HTTP endpoint then serves rows identical (urls, blended
+    scores, titles) to library search over a FROM-SCRATCH rebuilt index
+    reading titles live from the corpus."""
+    import json as _json
+    import urllib.request
+    from urllib.parse import quote
+
+    from searchengine_spark.serving import build_docstore, refresh_docstore, search
+    from searchengine_spark.webserver import start_server
+
+    root, root2, _ = merged_and_rebuilt
+    full_dir = os.path.join(MERGEDIR, "pages_full")
+    initial_dir = os.path.join(MERGEDIR, "pages_initial")
+    store = catalog.path(root, catalog.DOCSTORE)
+    shutil.rmtree(store, ignore_errors=True)
+    build_docstore(spark, root, initial_dir, n_files=2)  # pre-stream store
+    assert refresh_docstore(spark, root, full_dir) > 0   # post-merge catch-up
+
+    server, _t = start_server(spark, root, full_dir)
+    try:
+        host, port = server.server_address[:2]
+        for q in (corpus.VOCAB[0], f"{corpus.VOCAB[1]} {corpus.VOCAB[2]}"):
+            url = (f"http://{host}:{port}/api/search?"
+                   f"query={quote(q)}&limit=10")
+            with urllib.request.urlopen(url, timeout=120) as r:
+                got = [
+                    (x["url"], round(x["blended"], 9), x["title"])
+                    for x in _json.loads(r.read())["results"]
+                ]
+            want = [
+                (x["url"], round(x["blended"], 9), x["title"])
+                for x in search(spark, root2, full_dir, q, k=10).collect()
+            ]
+            assert got == want and got, q
+    finally:
+        server.batcher.close()
+        server.shutdown()
+        server.server_close()
