@@ -217,6 +217,12 @@ def merge_tokens_stage(
         # with unchanged pages is a no-op. Titles derive from page
         # text, not tokens, so a pages-less merge necessarily leaves
         # them lagging (like docstats urls) until a pages-backed run.
+        # PageRank is deliberately NOT recomputed here: a full
+        # iterative graph job per micro-merge would dominate merge
+        # cost, and production engines refresh ranks on their own
+        # slower cadence — run build_pagerank_stage periodically;
+        # until then new docs serve with rank 0.0 (a strict
+        # under-rank, never wrong data).
         build_title_index_stage(spark, pages_path, root, build_id)
     _, avgdl = read_stats(spark, root)
 

@@ -584,6 +584,8 @@ def test_stream_to_serving_end_to_end(spark, merged_and_rebuilt):
     from searchengine_spark.serving import build_docstore, refresh_docstore, search
     from searchengine_spark.webserver import start_server
 
+    from searchengine_spark.pagerank import build_pagerank_stage
+
     root, root2, _ = merged_and_rebuilt
     full_dir = os.path.join(MERGEDIR, "pages_full")
     initial_dir = os.path.join(MERGEDIR, "pages_initial")
@@ -591,6 +593,11 @@ def test_stream_to_serving_end_to_end(spark, merged_and_rebuilt):
     shutil.rmtree(store, ignore_errors=True)
     build_docstore(spark, root, initial_dir, n_files=2)  # pre-stream store
     assert refresh_docstore(spark, root, full_dir) > 0   # post-merge catch-up
+    # rank refresh runs on its own cadence (merge leaves pagerank
+    # alone by design) — run it on both sides so the comparison also
+    # covers the pagerank component of the blend
+    build_pagerank_stage(spark, full_dir, root, "rank-refresh")
+    build_pagerank_stage(spark, full_dir, root2, "rank-refresh")
 
     server, _t = start_server(spark, root, full_dir)
     try:
