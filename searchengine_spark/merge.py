@@ -224,6 +224,13 @@ def merge_tokens_stage(
         # until then new docs serve with rank 0.0 (a strict
         # under-rank, never wrong data).
         build_title_index_stage(spark, pages_path, root, build_id)
+        # the optional anchor field lags identically when present —
+        # refresh it from the same pages (content-fingerprinted, no-op
+        # when unchanged); absent = the serving blend never reads it
+        if os.path.exists(catalog.path(root, catalog.ANCHOR_INDEX)):
+            from .anchors import build_anchor_stage
+
+            build_anchor_stage(spark, pages_path, root, build_id)
     _, avgdl = read_stats(spark, root)
 
     stray = [

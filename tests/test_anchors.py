@@ -100,3 +100,62 @@ def test_anchor_blend_rank_identity(spark, tiny_index, tiny_pages_path):
     gol = as_map(oracle_all_queries(idx, qs, w_anchor=0.1))
     assert eng == gol
     assert eng != base, "anchor weight must actually move the blend"
+
+
+def test_merge_refreshes_anchor_index(spark, tmp_path):
+    """A pages-backed merge refreshes an existing anchor index along
+    with titles/docstats: after stream ingest + merge, the anchor field
+    equals a from-scratch aggregation over the full corpus."""
+    import shutil
+
+    from searchengine_spark import catalog as cat
+    from searchengine_spark.indexer import build_index
+    from searchengine_spark.merge import merge_tokens_stage
+    from searchengine_spark.streaming.ingest import stream_tokenize
+
+    base = str(tmp_path)
+    full_dir = os.path.join(base, "pages_full")
+    corpus.write_pages_parquet(full_dir, 120, batch_rows=30)
+    files = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    initial_dir = os.path.join(base, "pages_initial")
+    stream_dir = os.path.join(base, "pages_stream")
+    os.makedirs(initial_dir)
+    os.makedirs(stream_dir)
+    for f in files[:-1]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
+    shutil.copy(os.path.join(full_dir, files[-1]),
+                os.path.join(stream_dir, files[-1]))
+
+    root = os.path.join(base, "idx")
+    build_index(spark, initial_dir, root, n_chunks=2, n_buckets=2)
+    build_anchor_stage(spark, initial_dir, root, "build-1")
+
+    q = stream_tokenize(
+        spark, stream_dir, cat.path(root, cat.TOKENS),
+        os.path.join(base, "ckpt"), n_buckets=2,
+    )
+    q.awaitTermination()
+    rep = merge_tokens_stage(spark, root, pages_path=full_dir)
+    assert rep["delta_files"] > 0
+
+    got = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in spark.read.parquet(
+            cat.path(root, cat.ANCHOR_INDEX)
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in anchor_terms(
+            spark, spark.read.parquet(full_dir)
+        ).collect()
+    }
+    assert got == want
+    # and it actually grew past the initial slice
+    init = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in anchor_terms(
+            spark, spark.read.parquet(initial_dir)
+        ).collect()
+    }
+    assert got != init
