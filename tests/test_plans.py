@@ -297,3 +297,30 @@ def test_q72_partition_pruning_reaches_scan(spark):
     assert len(scans) == 1, p
     m = re.search(r"PartitionFilters: \[(.*?)\]", scans[0])
     assert m and "event_type" in m.group(1), scans[0]
+
+
+def test_q91_mlt_is_broadcast_inverted_join(spark):
+    """More-like-this: the seed-vector side broadcasts into the
+    inverted-index equi-join — never a self-cross of the corpus."""
+    from searchengine_spark.pipelines.fulltext import q91_more_like_this
+
+    p = plan(q91_more_like_this(spark, SF_DIR))
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q92_q93_pools_are_take_ordered(spark):
+    """RRF pools and the QL top-k compile to distributed
+    TakeOrderedAndProject (per-partition top-k + driver merge), not an
+    unpartitioned sort of the posting list."""
+    from searchengine_spark.pipelines.fulltext import (
+        q92_rank_fusion,
+        q93_lm_dirichlet,
+    )
+
+    p = plan(q92_rank_fusion(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) >= 2, p
+    p3 = plan(q93_lm_dirichlet(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p3, p3
+    assert "CartesianProduct" not in p3
