@@ -365,13 +365,18 @@ MLT_MIN_DF = 5  # hapax terms carry no similarity signal and bloat vectors
 def q91_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(spark, sf_dir)
     docs = load_docs(spark, sf_dir)
-    n_docs = docs.count()
+    # n_docs rides the plan as a 1-row broadcast (q54's idiom) instead
+    # of a separate driver count() job; n_docs double / df bigint is
+    # the same IEEE division either way
+    n_row = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
         F.col("df") >= MLT_MIN_DF
     )
-    w = tf.join(F.broadcast(df_t), "term").withColumn(
-        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     norms = (
         w.groupBy("doc_id")
