@@ -111,7 +111,16 @@ def build_anchor_stage(
     discipline."""
     from .indexer import ingest
 
-    fp = checkpoint.fingerprint(stage="anchors", pages=pages_path, v=1)
+    # content= folds the pages tree manifest (mirrors title_index's v=2
+    # fingerprint): lineage completion keys on (stage, fingerprint)
+    # regardless of build_id, so a PATH-only fingerprint would skip the
+    # refresh forever when new pages land at the same path (the exact
+    # streaming-ingest scenario) and serve a permanently stale anchor
+    # field.
+    fp = checkpoint.fingerprint(
+        stage="anchors", pages=pages_path,
+        content=catalog.content_fingerprint(pages_path), v=2,
+    )
 
     def run(_pid: int) -> tuple[str, int, int]:
         pages = ingest(spark, pages_path)

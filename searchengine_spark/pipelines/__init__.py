@@ -37,57 +37,68 @@ _MODULES = [
 ]
 
 
-# Entries the driver's sampled correctness gate had not recorded by the
-# end of round 2 (CORRECTNESS_r01/r02.json) — surfaced first so a
-# budget-limited sample covers the never-checked tail before re-checking
-# entries that are already green on the scoreboard.
+# Gate ordering = staleness rotation: never-checked entries first (new
+# this round), then entries by their last-verified round ASCENDING
+# (CORRECTNESS_r01 -> r02 -> r03) so the driver's 50-query sample always
+# refreshes the oldest scoreboard rows instead of re-checking what just
+# went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
-    "q91_more_like_this",  # new in r3 — never sampled
-    "q92_rank_fusion",  # new in r3 — never sampled
-    "q93_lm_dirichlet",  # new in r3 — never sampled
-    "q94_bpe_pairs",  # new in r3 — never sampled
-    "q95_zipf_fit",  # new in r3 — never sampled
-    "q96_passage_chunks",  # new in r3 — never sampled
-    "q97_source_kl",  # new in r3 — never sampled
-    "q77_prefix_autocomplete",  # new in r3 — never sampled
-    "q78_spell_correct",  # new in r3 — never sampled
-    "q79_crawl_frontier",  # new in r3 — never sampled
-    "q80_kwic_snippets",  # new in r3 — never sampled
-    "q81_host_collapse",  # new in r3 — never sampled
-    "q82_proximity_rank",  # new in r3 — never sampled
-    "q83_shingle_containment",  # new in r3 — never sampled
-    "q84_query_expansion",  # new in r3 — never sampled
-    "q85_dup_source_matrix",  # new in r3 — never sampled
-    "q86_burst_detect",  # new in r3 — never sampled
-    "q87_semdedup",  # new in r3 — never sampled
-    "q88_source_quality",  # new in r3 — never sampled
-    "q89_canonical_rep",  # new in r3 — never sampled
-    "q90_keywords",  # new in r3 — never sampled
-    "q35_source_quota_sample",
-    "q36_repetition_filter",
-    "q37_pii_redact",
-    "q40_curate_pipeline",
-    "q41_decontaminate",
-    "q42_pack_sequences",
-    "q47_cms_heavy_hitters",
-    "q48_mixture_sample",
-    "q49_skew_salted_join",
-    "q50_bloom_join_prune",
-    "q52_hist_quantiles",
-    "q53_stratified_sample",
-    "q57_priority_sample",
-    "q58_triangles",
-    "q59_hits",
-    "q60_pmi_collocations",
-    "q70_ngram_lm",
-    "q71_bucketed_join",
-    "q72_partition_pruning",
-    "q73_formats_roundtrip",
-    "q74_multimodal_features",
-    "q75_frame_sample",
-    "q31_approx_distinct",  # first round with a value oracle
-    "q28_postings_roundtrip",  # r1 rows-only sample; pin fresh rows
-    "q29_porter_stems",  # gained an oracle in r2 but was not resampled
+    # --- new in r4, never driver-sampled ---
+    "q98_url_dedup",
+    "q99_suffix_prefix_dedup",
+    "q100_anchor_text",
+    "q101_robots_politeness",
+    "q102_tokenizer_fertility",
+    "q103_contamination_ngram_overlap",
+    # --- last verified r1 ---
+    "q26_multimodal_meta",
+    "q27_pagerank",
+    # --- last verified r2 ---
+    "q03_window_topk",
+    "q04_set_ops",
+    "q05_semi_anti",
+    "q06_filter_pushdown",
+    "q07_sessionize",
+    "q08_window_agg",
+    "q09_asof_join",
+    "q10_sample_take",
+    "q11_wordcount",
+    "q12_tfidf",
+    "q13_bm25_topk",
+    "q14_phrase_match",
+    "q15_dedup_exact",
+    "q16_ngram_jaccard",
+    "q17_minhash_lsh",
+    "q18_simhash",
+    "q19_embedding_neardup",
+    "q20_ann_bruteforce",
+    "q21_ann_ivf",
+    "q22_lang_id",
+    "q23_quality",
+    "q24_token_stats",
+    "q25_fingerprint",
+    "q32_simhash_banded",
+    "q33_embedding_neardup_ivf",
+    "q34_cogroup",
+    "q38_dup_clusters",
+    "q39_length_quantiles",
+    "q43_kmeans_train",
+    "q45_ann_ivf_trained",
+    "q46_lm_perplexity",
+    "q51_range_join",
+    "q54_sparse_cosine",
+    "q55_dup_spans",
+    "q56_gapfill",
+    "q61_ann_sq",
+    "q62_ann_pq",
+    "q63_funnel",
+    "q64_json_extract",
+    "q65_pivot",
+    "q66_unpivot",
+    "q67_stats_moments",
+    "q68_incremental_merge",
+    "q69_rolling_window",
+    "q76_retention_cohorts",
 ]
 
 

@@ -34,6 +34,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import _tables
+
 from .similarity import IVF_CENTROID_MOD
 
 # ---- portable hashing ----------------------------------------------------
@@ -68,7 +70,7 @@ PORTABLE_HASH_SQL = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _tables.load(spark, sf_dir, "documents")
 
 
 def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +362,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    return _tables.load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         "label",

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import _tables
+
 from ..compress import encode_postings, varbyte_decode, to_signed
 from ..porter import porter_stem
 
@@ -67,7 +69,7 @@ SEG_SCHEMA = T.StructType(
 
 
 def q28_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _tables.load(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
@@ -100,7 +102,7 @@ def q28_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _tables.load(spark, sf_dir, "documents")
     terms = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
@@ -148,10 +150,10 @@ def salted_join(
 
 
 def q49_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+    li = _tables.load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    pt = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+    pt = _tables.load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
     j = salted_join(li, pt, "l_partkey")
@@ -225,10 +227,10 @@ def bloom_masks(keys: DataFrame, col: str) -> DataFrame:
 
 
 def q50_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    cust = _tables.load(spark, sf_dir, "customer").select(
         "c_custkey"
     )
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+    orders = _tables.load(spark, sf_dir, "orders").select(
         "o_custkey"
     )
     masks = bloom_masks(orders.select(F.col("o_custkey").alias("k")), "k")
@@ -286,7 +288,7 @@ def q71_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch_root("SPARK_GRAFT_BUCKET_DIR", "se_bucketed")
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tbl = f"b_{name}_{tag}"
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = _tables.load(spark, sf_dir, name)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             df.write.format("parquet")
@@ -328,7 +330,7 @@ def _q72_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
         _scratch_tag(sf_dir),
         "events",
     )
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _tables.load(spark, sf_dir, "events")
     ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
     return path
 
@@ -366,7 +368,7 @@ def q73_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scratch = _scratch_root("SPARK_GRAFT_FMT_DIR", "se_formats")
     tag = _scratch_tag(sf_dir)
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = _tables.load(spark, sf_dir, "events")
     jp = os.path.join(scratch, tag, "events_jsonl")
     cp = os.path.join(scratch, tag, "events_csv")
     op = os.path.join(scratch, tag, "events_orc")

@@ -27,13 +27,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import _tables
+
 FRONTIER_NUM_HOSTS = 13
 FRONTIER_DELAY_MS = 1000  # Crawler.java:421-429 default per-host delay
 FRONTIER_CAP = 120  # per-iteration cap (ref: 20,000 — Crawler.java:53)
 
 
 def q79_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _tables.load(spark, sf_dir, "documents")
     host_id = F.abs(F.col("doc_id")) % FRONTIER_NUM_HOSTS
     url = F.concat(
         F.lit("https://h"),

@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import _tables
+
 K1 = 1.2
 B = 0.75
 
@@ -30,7 +32,7 @@ BM25_QUERY_TERMS = ["spark", "query", "table"]
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _tables.load(spark, sf_dir, "documents")
 
 
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,19 +61,25 @@ def q12_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference TF-IDF: per-(doc,term) augmented tf times ln(N/df),
     for terms with df >= 5 (keeps the result compact)."""
     toks = tokens(spark, sf_dir)
-    n_docs = load_docs(spark, sf_dir).count()
+    # n_docs rides the plan as a 1-row broadcast (q91's idiom) instead
+    # of a separate driver count() job; the cast-to-double division is
+    # the same IEEE operation either way
+    n_row = load_docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     max_tf = tf.groupBy("doc_id").agg(F.max("tf").alias("max_tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
         tf.join(max_tf, "doc_id")
         .join(F.broadcast(df_t.filter(F.col("df") >= 5)), "term")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "doc_id",
             "term",
             F.round(
                 (0.4 + 0.6 * F.col("tf") / F.col("max_tf"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                * F.log(F.col("n_docs") / F.col("df")),
                 9,
             ).alias("tfidf"),
         )
@@ -84,31 +92,37 @@ def bm25_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored candidate set both q13 (plain top-k) and q81 (host-collapsed
     top-k) rank."""
     toks = tokens(spark, sf_dir)
-    n_docs = load_docs(spark, sf_dir).count()
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(stats["avgdl"])
+    # corpus scalars (N, avgdl) ride the plan as a 1-row broadcast
+    # (q91's idiom) instead of a driver count() + collect() pair —
+    # avg(dl) folds exact bigint partial sums, so the one final divide
+    # is the same IEEE value at any parallelism
+    stats_row = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        load_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     return (
         tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
         .join(dl, "doc_id")
         .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats_row))
         .withColumn(
             "score",
             F.log(
                 1.0
-                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
             )
             * F.lit(K1 + 1.0)
             * F.col("tf")
             / (
                 F.col("tf")
                 + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
             ),
         )
+        .drop("n_docs", "avgdl")
     )
 
 
@@ -244,7 +258,10 @@ def q84_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     toks = tokens(spark, sf_dir)
-    n_docs = load_docs(spark, sf_dir).count()
+    # N as a 1-row broadcast (q91's idiom), not a driver count() job
+    n_row = load_docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
     df_t = (
         toks.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -256,13 +273,17 @@ def q84_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pool_tf"))
         .filter(F.col("term") != PRF_SEED)
     )
-    scored = pool_tf.join(F.broadcast(df_t), "term").select(
-        "term",
-        "pool_tf",
-        "df",
-        F.round(
-            F.col("pool_tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
-        ).alias("weight"),
+    scored = (
+        pool_tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "term",
+            "pool_tf",
+            "df",
+            F.round(
+                F.col("pool_tf") * F.log(F.col("n_docs") / F.col("df")), 9
+            ).alias("weight"),
+        )
     )
     w_rank = Window.orderBy(F.desc("weight"), F.asc("term"))
     return (
@@ -316,19 +337,23 @@ KW_TOP_K = 5
 
 def q90_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(spark, sf_dir)
-    n_docs = load_docs(spark, sf_dir).count()
+    # N as a 1-row broadcast (q91's idiom), not a driver count() job
+    n_row = load_docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     max_tf = tf.groupBy("doc_id").agg(F.max("tf").alias("max_tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(max_tf, "doc_id")
         .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "doc_id",
             "term",
             F.round(
                 (0.4 + 0.6 * F.col("tf") / F.col("max_tf"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                * F.log(F.col("n_docs") / F.col("df")),
                 9,
             ).alias("tfidf"),
         )
@@ -382,6 +407,11 @@ def q91_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("doc_id")
         .agg(F.sum((F.col("w") * F.col("w")).cast("decimal(28,12)")).alias("ss"))
         .select("doc_id", F.sqrt(F.col("ss").cast("double")).alias("nrm"))
+        # a doc whose surviving terms all have df == n_docs gets w = 0
+        # for every term → nrm = 0, and w/nrm would be NULL on Spark
+        # (non-ANSI) but NaN on DuckDB; drop zero-norm docs explicitly
+        # on both engines (they carry no similarity signal anyway)
+        .filter(F.col("nrm") > 0)
     )
     inv = w.join(norms, "doc_id").select(
         "term", "doc_id", (F.col("w") / F.col("nrm")).alias("wn")
@@ -458,7 +488,10 @@ def q92_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank_bm25")
     )
     toks = tokens(spark, sf_dir)
-    n_docs = load_docs(spark, sf_dir).count()
+    # N as a 1-row broadcast (q91's idiom), not a driver count() job
+    n_row = load_docs(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     max_tf = tf.groupBy("doc_id").agg(F.max("tf").alias("max_tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -466,11 +499,12 @@ def q92_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.filter(F.col("term") == RRF_TERM)
         .join(max_tf, "doc_id")
         .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "doc_id",
             F.round(
                 (0.4 + 0.6 * F.col("tf") / F.col("max_tf"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                * F.log(F.col("n_docs") / F.col("df")),
                 9,
             ).alias("tfidf"),
         )
@@ -530,11 +564,17 @@ def q93_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    total = toks.count()  # exact |C| in tokens
+    # exact |C| rides the plan as a 1-row broadcast (q91's idiom), not
+    # a driver count() job
+    total_row = toks.agg(F.count("*").cast("double").alias("total_c"))
     tf_q = tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
     cf = tf_q.groupBy("term").agg(F.sum("tf").alias("cf"))
     cand = tf_q.select("doc_id").distinct()
-    grid = cand.join(dl, "doc_id").crossJoin(F.broadcast(cf))
+    grid = (
+        cand.join(dl, "doc_id")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(total_row))
+    )
     scored = (
         grid.join(tf_q, ["doc_id", "term"], "left")
         .withColumn("tf0", F.coalesce(F.col("tf"), F.lit(0)))
@@ -543,7 +583,7 @@ def q93_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(
                 (
                     F.col("tf0")
-                    + F.lit(QL_MU) * F.col("cf") / F.lit(float(total))
+                    + F.lit(QL_MU) * F.col("cf") / F.col("total_c")
                 )
                 / (F.col("dl") + F.lit(QL_MU))
             ),
@@ -778,7 +818,8 @@ norms AS (
   SELECT doc_id, sqrt(sum(CAST(w * w AS DECIMAL(28,12)))::DOUBLE) AS nrm
   FROM w GROUP BY doc_id
 ),
-inv AS (SELECT term, doc_id, w / nrm AS wn FROM w JOIN norms USING (doc_id)),
+inv AS (SELECT term, doc_id, w / nrm AS wn FROM w JOIN norms USING (doc_id)
+        WHERE nrm > 0),
 seeds AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {MLT_N_SEEDS}),
 sv AS (
   SELECT i.term, i.doc_id AS seed_id, i.wn AS ws

@@ -21,6 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _tables
+
 N_ITERS = 3
 DAMPING = 0.85
 BASE = 0.15
@@ -30,7 +32,7 @@ QDEC = "decimal(28,12)"
 
 def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric bipartite edges part <-> supplier from lineitem."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+    li = _tables.load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("long").alias("part"),
         (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("supp"),
     ).distinct()
@@ -103,7 +105,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected edges (pa < pb) between parts co-occurring in
     an order."""
     op = (
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        _tables.load(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"),
             F.col("l_partkey").cast("long").alias("p"),
@@ -187,7 +189,7 @@ HITS_ITERS = 3
 
 def q59_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        _tables.load(spark, sf_dir, "lineitem")
         .select(
             F.col("l_suppkey").cast("long").alias("hub"),
             F.col("l_partkey").cast("long").alias("auth"),

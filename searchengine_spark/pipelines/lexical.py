@@ -33,6 +33,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import _tables
+
 AUTOCOMPLETE_PREFIX_LEN = 1
 AUTOCOMPLETE_K = 3
 
@@ -41,7 +43,7 @@ SPELL_MIN_LEN = 4  # only tokens long enough to survive a char drop
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _tables.load(spark, sf_dir, "documents")
 
 
 def _term_cf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import _tables
+
 FEATURE_DIM = 8
 
 MEDIA_SCHEMA = T.StructType(
@@ -101,7 +103,7 @@ def q26_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas path above): synthesize payload = utf8(text), emit byte
     length + md5 + the first fake-feature bucket computed via JVM
     aggregate over the byte array."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _tables.load(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
@@ -126,7 +128,7 @@ POOL_DIM = FEATURE_DIM // 2  # 2:1 average pooling
 
 
 def q74_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _tables.load(spark, sf_dir, "documents")
     media = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -203,7 +205,7 @@ def sample_frames(
 
 
 def q75_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _tables.load(spark, sf_dir, "documents")
     media = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

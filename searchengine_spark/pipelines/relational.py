@@ -28,11 +28,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import _tables
+
 DEC = "decimal(18,2)"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _tables.load(spark, sf_dir, name)
 
 
 # --------------------------------------------------------------------------

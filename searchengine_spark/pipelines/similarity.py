@@ -23,6 +23,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import _tables
+
 N_QUERIES = 10        # vec_id < 10 are the query vectors
 TOP_K = 10
 IVF_CENTROID_MOD = 50  # vec_id % 50 == 0 -> centroid set (deterministic)
@@ -36,7 +38,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    return _tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
 

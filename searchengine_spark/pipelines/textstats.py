@@ -14,6 +14,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _tables
+
 # marker-word profiles for the n-gram/stopword language heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "row", "table"],
@@ -30,7 +32,7 @@ FP_BASE = 31
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _tables.load(spark, sf_dir, "documents")
 
 
 def _tok_arr() -> F.Column:
@@ -734,12 +736,20 @@ def q95_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return sums.select(
-        "source",
-        F.col("n").cast("int").alias("n_terms"),
-        F.round(slope, 9).alias("zipf_slope"),
-        F.round((sy - slope * sx) / n, 9).alias("zipf_intercept"),
-    ).orderBy("source")
+    # n >= 2 on BOTH engines: a single-distinct-term source has
+    # denominator 0, where Spark (non-ANSI) double division yields NULL
+    # but DuckDB yields NaN — a cross-engine divergence on degenerate
+    # input, and the fit is meaningless at one point anyway.
+    return (
+        sums.filter(F.col("n") >= 2)
+        .select(
+            "source",
+            F.col("n").cast("int").alias("n_terms"),
+            F.round(slope, 9).alias("zipf_slope"),
+            F.round((sy - slope * sx) / n, 9).alias("zipf_intercept"),
+        )
+        .orderBy("source")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1182,6 +1192,7 @@ sums AS (
          sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
          sum(CAST(x * x AS DECIMAL(28,12))) AS sxx
   FROM xy GROUP BY source
+  HAVING count(*) >= 2
 )
 SELECT source, n::INT AS n_terms,
        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)

@@ -249,9 +249,36 @@ def _attach_docs(
             )
         else:
             store = store.filter(F.lit(False))
-        return store.join(F.broadcast(local), "doc_id").select(
+        fast_df = store.join(F.broadcast(local), "doc_id").select(
             "query_id", "rank", "url", "title", "snippet", "bm25", "blended"
         )
+        # Docs in the post-merge lag window (ranked from docstats but
+        # not yet appended to the docstore — fsck flags these as a
+        # warning) must not leave rank gaps. Precheck coverage with a
+        # doc_id-only probe — column-pruned and In-pushed, it decodes
+        # the SAME O(k) row groups the fetch will (cache-warm, one tiny
+        # job per batch) — and route misses through the corpus-scan
+        # fallback, so serving degrades to slower, never to missing
+        # results. The common covered case returns the lazy pushed-In
+        # plan unchanged.
+        have = {r["doc_id"] for r in store.select("doc_id").collect()}
+        missed = [r for r in rows if r["doc_id"] not in have]
+        if not missed:
+            return fast_df
+        miss_df = spark.createDataFrame(missed, schema=topk.schema)
+        return fast_df.unionAll(
+            _attach_docs_corpus(spark, root, pages_path, miss_df)
+        )
+
+    return _attach_docs_corpus(spark, root, pages_path, topk)
+
+
+def _attach_docs_corpus(
+    spark: SparkSession, root: str, pages_path: str, topk: DataFrame
+) -> DataFrame:
+    """Slow-path doc attach: join the ranked rows back through docstats
+    and the raw corpus, extracting title/snippet per request."""
+    from . import catalog
 
     docstats = spark.read.parquet(catalog.path(root, catalog.DOCSTATS)).select(
         "doc_id", "url"
@@ -308,8 +335,6 @@ def search_many(
     spark: SparkSession, root: str, pages_path: str, reqs: list[dict],
     w_anchor: float = 0.0,
 ) -> list[list]:
-    if not reqs:
-        return []
     """Batched serving: one scoring job + one doc lookup for N
     requests; returns per-request row lists (rank-ascending, ranks
     absolute as in :func:`search`). ``reqs``: ``{query, mode, k,
@@ -317,6 +342,8 @@ def search_many(
     :func:`search` calls — the batch only amortizes the per-job cost
     (scheduling, segment reads, python decode spin-up) across the
     requests sharing it."""
+    if not reqs:
+        return []
     offs = spark.createDataFrame(
         [(i, int(r.get("offset", 0) or 0)) for i, r in enumerate(reqs)],
         "query_id int, off int",

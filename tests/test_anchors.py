@@ -105,7 +105,11 @@ def test_anchor_blend_rank_identity(spark, tiny_index, tiny_pages_path):
 def test_merge_refreshes_anchor_index(spark, tmp_path):
     """A pages-backed merge refreshes an existing anchor index along
     with titles/docstats: after stream ingest + merge, the anchor field
-    equals a from-scratch aggregation over the full corpus."""
+    equals a from-scratch aggregation over the full corpus. The second
+    merge grows the pages dir IN PLACE at the same path — lineage keys
+    on (stage, fingerprint) regardless of build_id, so the anchor stage
+    fingerprint must fold the pages CONTENT (not just the path) or the
+    refresh is skipped forever and the anchor field stays stale."""
     import shutil
 
     from searchengine_spark import catalog as cat
@@ -114,21 +118,40 @@ def test_merge_refreshes_anchor_index(spark, tmp_path):
     from searchengine_spark.streaming.ingest import stream_tokenize
 
     base = str(tmp_path)
-    full_dir = os.path.join(base, "pages_full")
-    corpus.write_pages_parquet(full_dir, 120, batch_rows=30)
-    files = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    # generate the FINAL 150-page corpus once (page content depends on
+    # n_pages via the planted link graph), then stage file subsets of it
+    grown_dir = os.path.join(base, "pages_grown")
+    corpus.write_pages_parquet(grown_dir, 150, batch_rows=30)
+    files = sorted(f for f in os.listdir(grown_dir) if f.endswith(".parquet"))
+    assert len(files) >= 3
     initial_dir = os.path.join(base, "pages_initial")
     stream_dir = os.path.join(base, "pages_stream")
+    full_dir = os.path.join(base, "pages_full")  # the ONE merge path
     os.makedirs(initial_dir)
     os.makedirs(stream_dir)
+    os.makedirs(full_dir)
+    for f in files[:-2]:
+        shutil.copy(os.path.join(grown_dir, f), os.path.join(initial_dir, f))
     for f in files[:-1]:
-        shutil.copy(os.path.join(full_dir, f), os.path.join(initial_dir, f))
-    shutil.copy(os.path.join(full_dir, files[-1]),
-                os.path.join(stream_dir, files[-1]))
+        shutil.copy(os.path.join(grown_dir, f), os.path.join(full_dir, f))
+    shutil.copy(os.path.join(grown_dir, files[-2]),
+                os.path.join(stream_dir, files[-2]))
 
     root = os.path.join(base, "idx")
     build_index(spark, initial_dir, root, n_chunks=2, n_buckets=2)
     build_anchor_stage(spark, initial_dir, root, "build-1")
+
+    def anchor_map(src) -> dict:
+        df = (
+            spark.read.parquet(src)
+            if isinstance(src, str) and src.startswith(root)
+            else anchor_terms(spark, spark.read.parquet(src))
+        )
+        return {
+            (r["doc_id"], r["term"]): r["n_anchors"] for r in df.collect()
+        }
+
+    init = anchor_map(initial_dir)
 
     q = stream_tokenize(
         spark, stream_dir, cat.path(root, cat.TOKENS),
@@ -138,24 +161,24 @@ def test_merge_refreshes_anchor_index(spark, tmp_path):
     rep = merge_tokens_stage(spark, root, pages_path=full_dir)
     assert rep["delta_files"] > 0
 
-    got = {
-        (r["doc_id"], r["term"]): r["n_anchors"]
-        for r in spark.read.parquet(
-            cat.path(root, cat.ANCHOR_INDEX)
-        ).collect()
-    }
-    want = {
-        (r["doc_id"], r["term"]): r["n_anchors"]
-        for r in anchor_terms(
-            spark, spark.read.parquet(full_dir)
-        ).collect()
-    }
-    assert got == want
+    got = anchor_map(cat.path(root, cat.ANCHOR_INDEX))
+    assert got == anchor_map(full_dir)
     # and it actually grew past the initial slice
-    init = {
-        (r["doc_id"], r["term"]): r["n_anchors"]
-        for r in anchor_terms(
-            spark, spark.read.parquet(initial_dir)
-        ).collect()
-    }
     assert got != init
+
+    # --- grow pages IN PLACE at the same path, stream + merge again ---
+    shutil.copy(os.path.join(grown_dir, files[-1]),
+                os.path.join(stream_dir, files[-1]))
+    q = stream_tokenize(
+        spark, stream_dir, cat.path(root, cat.TOKENS),
+        os.path.join(base, "ckpt"), n_buckets=2,
+    )
+    q.awaitTermination()
+    shutil.copy(os.path.join(grown_dir, files[-1]),
+                os.path.join(full_dir, files[-1]))
+    rep = merge_tokens_stage(spark, root, pages_path=full_dir)
+    assert rep["delta_files"] > 0
+
+    got2 = anchor_map(cat.path(root, cat.ANCHOR_INDEX))
+    assert got2 == anchor_map(grown_dir)
+    assert got2 != got, "in-place growth must refresh the anchor field"

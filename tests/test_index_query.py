@@ -313,6 +313,49 @@ def test_docstore_fast_path(spark, tiny_index, tiny_pages_path):
         )
 
 
+def test_docstore_lag_window_fallback(spark, tiny_index, tiny_pages_path,
+                                      tmp_path):
+    """A ranked doc in the post-merge lag window (present in docstats,
+    absent from the docstore) is served through the corpus-scan
+    fallback instead of being silently dropped — no rank gaps, rows
+    identical to the pages-scan path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark import catalog
+    from searchengine_spark.corpus import VOCAB
+    from searchengine_spark.serving import build_docstore, search
+
+    q = f"{VOCAB[0]} {VOCAB[1]}"
+    slow_rows = [
+        r.asDict()
+        for r in search(spark, tiny_index, tiny_pages_path, q, k=5).collect()
+    ]
+    assert slow_rows
+    # docstore built over the corpus MINUS the rank-1 doc: that doc is
+    # now exactly a lag-window doc (ranked from docstats, not in store)
+    subset = str(tmp_path / "pages_subset")
+    (
+        spark.read.parquet(tiny_pages_path)
+        .filter(F.col("url") != slow_rows[0]["url"])
+        .write.parquet(subset)
+    )
+    build_docstore(spark, tiny_index, subset, n_files=2)
+    try:
+        fast_rows = [
+            r.asDict()
+            for r in search(
+                spark, tiny_index, tiny_pages_path, q, k=5
+            ).collect()
+        ]
+        assert fast_rows == slow_rows
+    finally:
+        shutil.rmtree(
+            catalog.path(tiny_index, catalog.DOCSTORE), ignore_errors=True
+        )
+
+
 def test_search_many_matches_solo(spark, tiny_index, tiny_pages_path):
     """Batched serving == N independent search() calls, across mixed
     modes, exclusions, and offsets (the QueryBatcher correctness

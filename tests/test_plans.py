@@ -324,3 +324,35 @@ def test_q92_q93_pools_are_take_ordered(spark):
     p3 = plan(q93_lm_dirichlet(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p3, p3
     assert "CartesianProduct" not in p3
+
+
+def test_retrievers_plan_without_running_jobs(spark):
+    """Corpus scalars (N, avgdl, |C|) ride the plan as 1-row broadcasts:
+    CONSTRUCTING a retriever's DataFrame must schedule zero Spark jobs
+    (an eager driver-side count()/collect() would double job-scheduling
+    latency on the serving-ish paths — the round-3 verdict defect)."""
+    from searchengine_spark.pipelines.fulltext import (
+        q12_tfidf,
+        q13_bm25_topk,
+        q81_host_collapse,
+        q84_query_expansion,
+        q90_keywords,
+        q92_rank_fusion,
+        q93_lm_dirichlet,
+    )
+
+    fns = [q12_tfidf, q13_bm25_topk, q81_host_collapse,
+           q84_query_expansion, q90_keywords, q92_rank_fusion,
+           q93_lm_dirichlet]
+    group = "plan-only-probe"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "plan construction must be lazy")
+    try:
+        dfs = [fn(spark, SF_DIR) for fn in fns]
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == [], (
+        "plan construction ran eager Spark jobs"
+    )
+    assert dfs
