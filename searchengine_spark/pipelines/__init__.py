@@ -45,11 +45,10 @@ _MODULES = [
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
     "q98_url_dedup",
-    "q99_suffix_prefix_dedup",
-    "q100_anchor_text",
-    "q101_robots_politeness",
+    "q99_prefix_dedup",
+    "q100_boilerplate_shingles",
     "q102_tokenizer_fertility",
-    "q103_contamination_ngram_overlap",
+    "q103_contamination_rate",
     # --- last verified r1 ---
     "q26_multimodal_meta",
     "q27_pagerank",

@@ -517,8 +517,105 @@ def q96_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q100: per-source boilerplate-shingle fingerprints — the template-
+# detection audit behind boilerplate REMOVAL: shingles that recur across
+# many documents of the SAME source are navigation chrome, licence
+# blocks, or shared headers (within-source document frequency is the
+# signal; cross-corpus dup coverage is q55's job). Reports each source's
+# top-BOILER_TOP recurring shingles with their within-source df.
+#
+# Scale shape: one (source, shingle) hash agg — the q94 vocab-agg shape,
+# Zipf-bounded (at 100 TB you'd dictionary-encode the shingle to an
+# 8-byte hash for the shuffle and join the tiny winner set back for the
+# display string; the fixture's vocabulary is small enough to carry the
+# string straight through) — then a ranking window over each source's
+# df >= BOILER_MIN_DF survivors only. Tie-break df DESC, shingle ASC.
+# --------------------------------------------------------------------------
+
+BOILER_TOP = 5
+BOILER_MIN_DF = 2
+
+
+def q100_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    occ = docs.select(
+        "source", "doc_id", F.explode(_shingles(DECON_K)).alias("s")
+    )
+    # _shingles is per-doc distinct, so count(*) IS the within-source df
+    df_s = occ.groupBy("source", "s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("s"))
+    return (
+        df_s.filter(F.col("df") >= BOILER_MIN_DF)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BOILER_TOP)
+        .select("source", "rank", F.col("s").alias("shingle"), "df")
+        .orderBy("source", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q103: per-source contamination-rate report — the mixture designer's
+# view of q41: instead of the per-doc hit list, report for each source
+# how many of its training docs share any DECON_K-shingle with the eval
+# split and the resulting contamination rate (the number a pipeline
+# tracks per snapshot to catch an upstream crawl drift; sources above a
+# threshold get the q41 doc-level treatment).
+#
+# Scale shape: q41's broadcast eval-shingle semi-join (corpus scanned
+# once, never shuffled on text) followed by a |sources|-row agg; the
+# rate division happens once per source on exact bigint counts.
+# --------------------------------------------------------------------------
+
+
+def q103_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    shd = docs.select(
+        "doc_id", "source", _shingles(DECON_K).alias("shingles")
+    )
+    ev = (
+        shd.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    tr = shd.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hit_docs = (
+        tr.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(ev), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    contam = (
+        tr.join(hit_docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        tr.groupBy("source")
+        .agg(F.count("*").alias("n_train_docs"))
+        .join(contam, "source", "left")
+        .select(
+            "source",
+            "n_train_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+                / F.col("n_train_docs"),
+                9,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
+    "q100_boilerplate_shingles": q100_boilerplate_shingles,
+    "q103_contamination_rate": q103_contamination_rate,
     "q36_repetition_filter": q36_repetition_filter,
     "q37_pii_redact": q37_pii_redact,
     "q40_curate_pipeline": q40_curate_pipeline,
@@ -748,4 +845,71 @@ SELECT doc_id, chunk_id, start, len(chunk)::INT AS n_tokens,
          AS chunk_hash
 FROM ch WHERE len(chunk) > 0
 ORDER BY doc_id, chunk_id
+"""
+
+# q100: same per-doc-distinct shingle construction as q41's CTE; count(*)
+# over (source, shingle) is the within-source df; ranking window matches
+# the Spark tie-break (df DESC, shingle ASC).
+ORACLE["q100_boilerplate_shingles"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= {DECON_K}
+              THEN list_distinct(list_transform(
+                     range(1, len(toks) - {DECON_K - 2}),
+                     i -> array_to_string(toks[i:i+{DECON_K - 1}], ' ')))
+              ELSE [] END AS shingles
+  FROM d
+),
+occ AS (SELECT source, doc_id, unnest(shingles) AS s FROM sh),
+dfs AS (SELECT source, s, count(*) AS df FROM occ GROUP BY source, s)
+SELECT source, rank, s AS shingle, df
+FROM (SELECT source, s, df,
+             row_number() OVER (PARTITION BY source
+               ORDER BY df DESC, s ASC) AS rank
+      FROM dfs WHERE df >= {BOILER_MIN_DF})
+WHERE rank <= {BOILER_TOP}
+ORDER BY source, rank
+"""
+
+# q103: q41's shingle/eval CTEs + a per-source rollup; the rate divides
+# exact bigint counts once per source.
+ORACLE["q103_contamination_rate"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= {DECON_K}
+              THEN list_distinct(list_transform(
+                     range(1, len(toks) - {DECON_K - 2}),
+                     i -> array_to_string(toks[i:i+{DECON_K - 1}], ' ')))
+              ELSE [] END AS shingles
+  FROM d
+),
+ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+       WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, source, shingles FROM sh
+       WHERE doc_id % {EVAL_MOD} <> 0),
+hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM tr) t JOIN ev USING (s)
+),
+contam AS (
+  SELECT source, count(*) AS n_contaminated
+  FROM tr JOIN hits USING (doc_id) GROUP BY source
+)
+SELECT tr.source, count(*) AS n_train_docs,
+       coalesce(any_value(contam.n_contaminated), 0)::BIGINT
+         AS n_contaminated,
+       round(coalesce(any_value(contam.n_contaminated), 0)
+             / count(*), 9) AS contamination_rate
+FROM tr LEFT JOIN contam ON tr.source = contam.source
+GROUP BY tr.source ORDER BY tr.source
 """

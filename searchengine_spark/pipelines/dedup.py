@@ -923,8 +923,157 @@ def q89_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q98: URL canonicalization dedup — the FIRST dedup pass every web
+# pipeline runs, before any content hashing: the same page is crawled
+# under scheme/case/port/tracking-param/fragment/trailing-slash variants
+# (Common Crawl measures ~10-20% of fetches are URL-level re-crawls).
+# The driver ``documents`` table carries no URL column, so raw URLs are
+# synthesized deterministically (3 variants per canonical target, keyed
+# off doc_id — exactly the variant classes above) and then pushed
+# through a REAL canonicalization chain: strip query+fragment, lowercase,
+# http→https, drop the default :443 port, strip the trailing slash.
+#
+# Scale shape: identical to q15 — map-only canonicalization expressions
+# (zero Python), one hash agg on the canonical string, one broadcast-able
+# group join back. At 100 TB the canonical-url agg is the dedup shuffle
+# every crawler already pays; nothing else moves.
+# --------------------------------------------------------------------------
+
+URLDEDUP_FANOUT = 3  # raw variants per canonical URL
+
+
+def _raw_url() -> Column:
+    """Deterministic raw-URL synthesis over doc_id (both engines emit
+    byte-identical strings): group g = doc_id DIV 3 is the canonical
+    target, doc_id % 3 picks the variant class."""
+    g = F.expr("doc_id DIV 3").cast("string")
+    h = F.expr(f"(doc_id DIV {URLDEDUP_FANOUT}) % 7").cast("string")
+    v = F.expr(f"doc_id % {URLDEDUP_FANOUT}")
+    return (
+        F.when(
+            v == 0,
+            F.concat(F.lit("HTTPS://Site"), h, F.lit(".Example/docs/"),
+                     g, F.lit("/")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("https://site"), h, F.lit(".example:443/docs/"),
+                     g, F.lit("?utm_source=rss&utm_medium=feed")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://site"), h, F.lit(".example/docs/"),
+                     g, F.lit("#frag")),
+        )
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalization chain (order matters and is pinned by the
+    oracle): strip query+fragment -> lowercase -> http:// -> https:// ->
+    drop default :443 port -> strip trailing slash."""
+    c = F.regexp_replace(url, r"[?#].*$", "")
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"^http://", "https://")
+    c = F.regexp_replace(c, r":443", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def q98_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", _raw_url().alias("raw_url")
+    )
+    canon = docs.withColumn("canonical_url", canonical_url(F.col("raw_url")))
+    groups = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        canon.join(groups, "canonical_url")
+        .select(
+            "doc_id",
+            "raw_url",
+            "canonical_url",
+            "canonical_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_id")).cast("int").alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q99: prefix-truncation dedup — catches "doc A is a truncated render of
+# doc B" pairs (paywall cutoffs, RSS summaries, re-crawls that died
+# mid-page). Whole-document hashing (q15) misses them by construction,
+# and symmetric shingle Jaccard under-scores them when the length gap is
+# large; prefix identity is the signal web pipelines actually use.
+#
+# Scale shape: bucket by a PREFIX_KEY_CHARS-char prefix hash (one hash
+# agg on 16-byte keys), equi-self-join only inside a bucket, verify with
+# one startswith per candidate pair. Buckets above PREFIX_BUCKET_CAP
+# docs are boilerplate-prefix chrome (cookie banners, shared headers)
+# that would square the fan-out — dropped on BOTH engines, the q83
+# stop-shingle discipline.
+# --------------------------------------------------------------------------
+
+PREFIX_KEY_CHARS = 64
+PREFIX_BUCKET_CAP = 50
+
+
+def q99_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.md5(F.substring("text", 1, PREFIX_KEY_CHARS)).alias("k"),
+        F.length("text").alias("ln"),
+    )
+    ok = (
+        d.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= PREFIX_BUCKET_CAP))
+        .select("k")
+    )
+    dd = d.join(F.broadcast(ok), "k")
+    a = dd.select(
+        "k",
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.col("ln").alias("len_a"),
+    )
+    b = dd.select(
+        "k",
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("ln").alias("len_b"),
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "kind",
+            F.when(
+                (F.col("len_a") <= F.col("len_b"))
+                & F.col("tb").startswith(F.col("ta")),
+                F.lit("a_prefix_of_b"),
+            ).when(
+                (F.col("len_a") > F.col("len_b"))
+                & F.col("ta").startswith(F.col("tb")),
+                F.lit("b_prefix_of_a"),
+            ),
+        )
+        .filter(F.col("kind").isNotNull())
+        .select("doc_a", "doc_b", "len_a", "len_b", "kind")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
+    "q98_url_dedup": q98_url_dedup,
+    "q99_prefix_dedup": q99_prefix_dedup,
     "q16_ngram_jaccard": q16_ngram_jaccard,
     "q17_minhash_lsh": q17_minhash_lsh,
     "q18_simhash": q18_simhash,
@@ -1367,3 +1516,63 @@ WHERE r = 1 ORDER BY cluster_id
 
 
 ORACLE["q89_canonical_rep"] = _q89_oracle()
+
+# q98: identical raw-URL synthesis (doc_id // 3 groups, doc_id % 3
+# variants) and the same 5-step canonicalization chain, spelled with
+# DuckDB's regexp_replace/replace (each pattern matches at most once, so
+# first-match vs global replace semantics cannot diverge).
+ORACLE["q98_url_dedup"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % {URLDEDUP_FANOUT}
+           WHEN 0 THEN 'HTTPS://Site' || ((doc_id // 3) % 7)::VARCHAR
+                    || '.Example/docs/' || (doc_id // 3)::VARCHAR || '/'
+           WHEN 1 THEN 'https://site' || ((doc_id // 3) % 7)::VARCHAR
+                    || '.example:443/docs/' || (doc_id // 3)::VARCHAR
+                    || '?utm_source=rss&utm_medium=feed'
+           ELSE 'http://site' || ((doc_id // 3) % 7)::VARCHAR
+                    || '.example/docs/' || (doc_id // 3)::VARCHAR || '#frag'
+         END AS raw_url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           replace(
+             regexp_replace(lower(regexp_replace(raw_url, '[?#].*$', '')),
+                            '^http://', 'https://'),
+             ':443', ''),
+           '/$', '') AS canonical_url
+  FROM raw
+),
+g AS (SELECT canonical_url, min(doc_id) AS canonical_id,
+             count(*) AS group_size
+      FROM canon GROUP BY 1)
+SELECT doc_id, raw_url, canonical_url, canonical_id, group_size,
+       (doc_id <> canonical_id)::INT AS is_dup
+FROM canon JOIN g USING (canonical_url) ORDER BY doc_id
+"""
+
+# q99: same prefix-hash bucketing (md5 of the first PREFIX_KEY_CHARS
+# chars), same [2, PREFIX_BUCKET_CAP] bucket gate, same startswith
+# verification with the length-ordered tie (equal lengths verify as
+# a_prefix_of_b, matching the Spark when-chain order).
+ORACLE["q99_prefix_dedup"] = f"""
+WITH d AS (
+  SELECT doc_id, text, md5(substr(text, 1, {PREFIX_KEY_CHARS})) AS k,
+         length(text)::INT AS ln
+  FROM documents
+),
+ok AS (SELECT k FROM d GROUP BY k
+       HAVING count(*) BETWEEN 2 AND {PREFIX_BUCKET_CAP}),
+dd AS (SELECT d.* FROM d JOIN ok USING (k))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ln AS len_a, b.ln AS len_b,
+       CASE WHEN a.ln <= b.ln AND starts_with(b.text, a.text)
+              THEN 'a_prefix_of_b'
+            WHEN a.ln > b.ln AND starts_with(a.text, b.text)
+              THEN 'b_prefix_of_a' END AS kind
+FROM dd a JOIN dd b ON a.k = b.k AND a.doc_id < b.doc_id
+WHERE (a.ln <= b.ln AND starts_with(b.text, a.text))
+   OR (a.ln > b.ln AND starts_with(a.text, b.text))
+ORDER BY doc_a, doc_b
+"""

@@ -707,6 +707,55 @@ def q94_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# q102: tokenizer-fertility audit per source — the budgeting numbers a
+# pretraining pipeline reads before fixing a tokenizer and a context
+# length: subword fertility (BPE-ish alnum-run subtokens per whitespace
+# word, q24's per-doc columns rolled up), characters per subtoken
+# (compression), and words per doc. A source whose fertility drifts high
+# (code, tables, non-Latin transliteration) blows the token budget its
+# sampling weight assumed — this is the per-snapshot tracking number.
+#
+# Scale shape: map-only per-doc array expressions (q24's, zero Python)
+# feeding one |sources|-row hash agg of exact bigint sums; the three
+# ratio divisions happen once per source. Nothing but (source, 3 ints)
+# ever shuffles.
+# --------------------------------------------------------------------------
+
+
+def q102_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    per_doc = docs.select(
+        "source",
+        F.size("toks").cast("long").alias("n_words"),
+        F.size(
+            F.filter(
+                F.split(F.regexp_replace(F.col("text"), "[^a-z0-9]+", " "), " "),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("n_subtoks"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_subtoks").alias("subtoks"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "subtoks",
+        "chars",
+        F.round(F.col("subtoks") / F.col("words"), 9).alias("fertility"),
+        F.round(F.col("chars") / F.col("subtoks"), 9).alias(
+            "chars_per_subtok"
+        ),
+        F.round(F.col("words") / F.col("n_docs"), 9).alias("words_per_doc"),
+    ).orderBy("source")
+
+
 def q95_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -813,6 +862,7 @@ QUERIES = {
     "q94_bpe_pairs": q94_bpe_pairs,
     "q95_zipf_fit": q95_zipf_fit,
     "q97_source_kl": q97_source_kl,
+    "q102_tokenizer_fertility": q102_tokenizer_fertility,
 }
 
 # Reusable (doc_id, quality) CTE chain — q23's expressions verbatim (the
@@ -1228,4 +1278,30 @@ SELECT st.source,
 FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN nt
 GROUP BY st.source
 ORDER BY st.source
+"""
+
+# q102: q24's per-doc expressions rolled up per source; ratios divide
+# exact bigint sums once per source (DuckDB integer '/' is true
+# division, same IEEE op as Spark's bigint/bigint -> double).
+ORACLE["q102_tokenizer_fertility"] = """
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_words,
+         len(list_filter(
+               string_split(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'),
+                            ' '),
+               x -> x <> ''))::BIGINT AS n_subtoks,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(n_words)::BIGINT AS words,
+       sum(n_subtoks)::BIGINT AS subtoks,
+       sum(n_chars)::BIGINT AS chars,
+       round(sum(n_subtoks)::BIGINT / sum(n_words)::BIGINT, 9) AS fertility,
+       round(sum(n_chars)::BIGINT / sum(n_subtoks)::BIGINT, 9)
+         AS chars_per_subtok,
+       round(sum(n_words)::BIGINT / count(*), 9) AS words_per_doc
+FROM per_doc GROUP BY source ORDER BY source
 """

@@ -99,6 +99,11 @@ ORACLE_CHECKED = [
     "q95_zipf_fit",
     "q96_passage_chunks",
     "q97_source_kl",
+    "q98_url_dedup",
+    "q99_prefix_dedup",
+    "q100_boilerplate_shingles",
+    "q102_tokenizer_fertility",
+    "q103_contamination_rate",
 ]
 
 
