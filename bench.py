@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q100_boilerplate_shingles",
     "q102_tokenizer_fertility",
     "q103_contamination_rate",
+    "q104_semdedup_twolevel",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

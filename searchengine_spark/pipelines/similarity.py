@@ -399,6 +399,15 @@ def q87_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once or the whole Lloyd chain runs twice
         .localCheckpoint()
     )
+    return _senior_dup_report(assigned)
+
+
+def _senior_dup_report(assigned: DataFrame) -> DataFrame:
+    """SemDeDup pair phase over ``assigned`` (vec_id, cv, cn, cent_id):
+    intra-cluster pairs via equi-join on cent_id, then the per-vector
+    senior-dup aggregation. Shared by q87 (flat assignment) and q104
+    (two-level assignment) — the phase that carries dedup semantics,
+    O(n·cluster_size) in both."""
     a = assigned.select(
         "cent_id",
         F.col("vec_id").alias("vec_a"),
@@ -486,6 +495,267 @@ SELECT asgn.vec_id, asgn.cent_id,
        sd_dup.dup_of, sd_dup.max_cos
 FROM asgn LEFT JOIN sd_dup ON sd_dup.vec_id = asgn.vec_id
 ORDER BY asgn.vec_id"""
+    )
+
+
+# --------------------------------------------------------------------------
+# q104: SemDeDup at scale — sampled training + two-level (coarse→fine)
+# assignment. q87 is the paper's semantics verbatim, but its Lloyd
+# rounds and final assignment each compute n·k distances, and with
+# k ∝ n (fixed target cluster size) that is O(n²/size) — measured
+# 27.5× wall for 10× data in tools/pipeline_scale_proof.py. This entry
+# is the production shape for the SAME report: (1) Lloyd trains on the
+# deterministic 1-in-SEM2_TRAIN_MOD sample (the paper itself trains on
+# a subsample); (2) every assignment — inside each Lloyd round and the
+# final full-corpus pass — routes coarse-then-fine: ~√k evenly-spaced
+# (by cent_id rank) centroids act as routing pivots, each vector picks
+# its nearest pivot (n·√k sims) then the nearest fine centroid among
+# those routed to that pivot (n·k/√k expected) — q33's IVF trick
+# applied to the trainer itself, restoring O(n·√k). The pair phase
+# (the part that carries dedup semantics) is q87's unchanged.
+#
+# Determinism: ties break cent ASC at every level; pivots route to
+# themselves (ordered first explicitly) so every routed-to cell is
+# non-empty and no vector can drop out of the fine join; the pivot set
+# is a pure function of the trained centroid ids (rank (rn−1) mod
+# ceil(√k) == 0), so both engines route identically; mean updates keep
+# q43's DECIMAL(28,12) partials + 9dp rounding; pair cosines are the
+# shared 9dp left-to-right fold.
+# --------------------------------------------------------------------------
+
+SEM2_TRAIN_MOD = 5  # Lloyd trains on the vec_id % 5 == 0 sample (20%)
+
+
+def _twolevel_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Route each row of ``vecs`` (vec_id, v) to its nearest centroid of
+    ``cents`` (cent_id, cv) via ~√k coarse pivots — O(|vecs|·√k) sims
+    instead of the flat O(|vecs|·k). Returns (vec_id, v, vnrm, cent_id).
+    Both levels and the pivot choice are broadcast joins; nothing but
+    the vectors themselves ever shuffles."""
+    fn = cents.select(
+        "cent_id", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("fnrm")
+    )
+    # pivot selection: rank the k trained centroids by id, keep every
+    # ceil(√k)-th — k rows, driver-free, identical on both engines
+    ranked = fn.select(
+        "cent_id",
+        "cv",
+        "fnrm",
+        F.row_number().over(Window.orderBy("cent_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("kk"),
+    )
+    coarse = ranked.filter(
+        F.pmod(
+            F.col("rn") - 1,
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.sqrt(F.col("kk").cast("double"))).cast("long"),
+            ),
+        )
+        == 0
+    ).select(
+        F.col("cent_id").alias("co_id"),
+        F.col("cv").alias("cov"),
+        F.col("fnrm").alias("conrm"),
+    )
+    # fine → pivot routing (k × √k, broadcast); a pivot routes to
+    # itself FIRST so its cell is never empty
+    wf = Window.partitionBy("cent_id").orderBy(
+        (F.col("co_id") == F.col("cent_id")).desc(),
+        F.desc("sim"),
+        F.asc("co_id"),
+    )
+    f2c = (
+        fn.crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "sim",
+            _dot(F.col("cv"), F.col("cov")) / (F.col("fnrm") * F.col("conrm")),
+        )
+        .withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") == 1)
+        .select("co_id", "cent_id", "cv", "fnrm")
+    )
+    # vector → pivot (n × √k, broadcast)
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("co_id"))
+    v2c = (
+        vecs.withColumn("vnrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "sim",
+            _dot(F.col("v"), F.col("cov")) / (F.col("vnrm") * F.col("conrm")),
+        )
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "vnrm", "co_id")
+    )
+    # vector → fine within its pivot's cell (n × k/√k expected)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        v2c.join(F.broadcast(f2c), "co_id")
+        .withColumn(
+            "sim",
+            _dot(F.col("v"), F.col("cv")) / (F.col("vnrm") * F.col("fnrm")),
+        )
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "vnrm", "cent_id")
+    )
+
+
+def _lloyd_twolevel(train: DataFrame) -> DataFrame:
+    """KMEANS_ITER Lloyd rounds over the training sample with two-level
+    assignment; mean update identical to :func:`_lloyd` (DECIMAL
+    partials, 9dp). Returns trained centroids (cent_id, cv). Cents are
+    localCheckpointed per round: each round references the previous
+    round's k-row result several times (pivot ranking + both assignment
+    levels), and without a cut the lineage re-derives it
+    multiplicatively."""
+    cents = train.filter(
+        F.pmod("vec_id", F.lit(IVF_CENTROID_MOD)) == 0
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    for _ in range(KMEANS_ITER):
+        assigned = _twolevel_assign(train, cents).select(
+            "vec_id", "v", "cent_id"
+        )
+        dims = assigned.select(
+            "cent_id", F.posexplode("v").alias("pos", "x")
+        ).select("cent_id", (F.col("pos") + 1).alias("dim"), "x")
+        m = dims.groupBy("cent_id", "dim").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("val")
+        )
+        cents = (
+            m.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def q104_semdedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_emb(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "v"
+    )
+    train = e.filter(F.pmod("vec_id", F.lit(SEM2_TRAIN_MOD)) == 0)
+    cents = _lloyd_twolevel(train)
+    assigned = (
+        _twolevel_assign(e, cents)
+        .select(
+            "vec_id",
+            F.col("v").alias("cv"),
+            F.col("vnrm").alias("cn"),
+            "cent_id",
+        )
+        # referenced on both sides of the pair self-join — materialize
+        # once or the whole training chain runs twice
+        .localCheckpoint()
+    )
+    return _senior_dup_report(assigned)
+
+
+def _twolevel_ctes(tag: str, vecs: str, cents: str) -> list:
+    """DuckDB mirror of :func:`_twolevel_assign`: CTE chain ending in
+    ``asg{tag}`` (vec_id, v, vnrm, cent_id)."""
+    d = _DOT_AB
+    return [
+        f"""fcn{tag} AS (
+  SELECT cent_id, cv, sqrt({d.format(a='cv', b='cv')}) AS fnrm,
+         row_number() OVER (ORDER BY cent_id) AS rn,
+         count(*) OVER () AS kk
+  FROM {cents})""",
+        f"""co{tag} AS (
+  SELECT cent_id AS co_id, cv AS cov, fnrm AS conrm FROM fcn{tag}
+  WHERE (rn - 1) % greatest(1::BIGINT,
+        CAST(ceil(sqrt(CAST(kk AS DOUBLE))) AS BIGINT)) = 0)""",
+        f"""f2c{tag} AS (
+  SELECT co_id, cent_id, cv, fnrm FROM (
+    SELECT c.co_id, f.cent_id, f.cv, f.fnrm,
+           row_number() OVER (PARTITION BY f.cent_id
+             ORDER BY (c.co_id = f.cent_id) DESC,
+                      {d.format(a='f.cv', b='c.cov')} / (f.fnrm * c.conrm)
+                        DESC, c.co_id ASC) AS r
+    FROM fcn{tag} f CROSS JOIN co{tag} c) WHERE r = 1)""",
+        f"""v2c{tag} AS (
+  SELECT vec_id, v, vnrm, co_id FROM (
+    SELECT e.vec_id, e.v, sqrt({d.format(a='e.v', b='e.v')}) AS vnrm,
+           c.co_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {d.format(a='e.v', b='c.cov')} /
+                      (sqrt({d.format(a='e.v', b='e.v')}) * c.conrm)
+                      DESC, c.co_id ASC) AS r
+    FROM {vecs} e CROSS JOIN co{tag} c) WHERE r = 1)""",
+        f"""asg{tag} AS (
+  SELECT vec_id, v, vnrm, cent_id FROM (
+    SELECT v.vec_id, v.v, v.vnrm, f.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d.format(a='v.v', b='f.cv')} / (v.vnrm * f.fnrm)
+                      DESC, f.cent_id ASC) AS r
+    FROM v2c{tag} v JOIN f2c{tag} f USING (co_id)) WHERE r = 1)""",
+    ]
+
+
+def _semdedup_twolevel_oracle() -> str:
+    """Sampled-training Lloyd chain with two-level assignment per round,
+    two-level full-corpus assignment, then q87's pair phase."""
+    parts = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        f" WHERE vec_id >= {N_QUERIES})",
+        f"tr AS (SELECT vec_id, v FROM e"
+        f" WHERE vec_id % {SEM2_TRAIN_MOD} = 0)",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM tr"
+        f" WHERE vec_id % {IVF_CENTROID_MOD} = 0)",
+    ]
+    for it in range(1, KMEANS_ITER + 1):
+        parts += _twolevel_ctes(f"t{it}", "tr", f"c{it - 1}")
+        parts.append(
+            f"x{it} AS (SELECT cent_id, unnest(generate_series(1, len(v)))"
+            f" AS dim, unnest(v) AS x FROM asgt{it})"
+        )
+        parts.append(
+            f"""m{it} AS (
+  SELECT cent_id, CAST(dim AS INT) AS dim,
+         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+           AS val
+  FROM x{it} GROUP BY cent_id, dim)"""
+        )
+        parts.append(
+            f"c{it} AS (SELECT cent_id, list(val ORDER BY dim) AS cv"
+            f" FROM m{it} GROUP BY cent_id)"
+        )
+    parts += _twolevel_ctes("f", "e", f"c{KMEANS_ITER}")
+    parts[-1] = parts[-1].replace("asgf AS (", "asgf AS MATERIALIZED (")
+    d = _DOT_AB
+    parts.append(
+        f"""sd2_pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({d.format(a='a.v', b='b.v')} / (a.vnrm * b.vnrm), 9) AS cos
+  FROM asgf a JOIN asgf b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round({d.format(a='a.v', b='b.v')} / (a.vnrm * b.vnrm), 9)
+        >= {SEMDEDUP_COS}::DOUBLE)"""
+    )
+    parts.append(
+        """sd2_dup AS (
+  SELECT vec_b AS vec_id, min(vec_a) AS dup_of, max(cos) AS max_cos
+  FROM sd2_pairs GROUP BY vec_b)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT asgf.vec_id, asgf.cent_id,
+       CASE WHEN sd2_dup.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       sd2_dup.dup_of, sd2_dup.max_cos
+FROM asgf LEFT JOIN sd2_dup ON sd2_dup.vec_id = asgf.vec_id
+ORDER BY asgf.vec_id"""
     )
 
 
@@ -735,6 +1005,7 @@ QUERIES = {
     "q61_ann_sq": q61_ann_sq,
     "q62_ann_pq": q62_ann_pq,
     "q87_semdedup": q87_semdedup,
+    "q104_semdedup_twolevel": q104_semdedup_twolevel,
 }
 
 _EN = """
@@ -814,6 +1085,7 @@ ORDER BY query_id, rank
 ORACLE["q43_kmeans_train"] = _kmeans_oracle()
 ORACLE["q45_ann_ivf_trained"] = _ivf_trained_oracle()
 ORACLE["q87_semdedup"] = _semdedup_oracle()
+ORACLE["q104_semdedup_twolevel"] = _semdedup_twolevel_oracle()
 
 # q61 oracle: same affine floor-code dequantization, spelled with the
 # identical clamp/decode expression shape (floor, not round — Spark

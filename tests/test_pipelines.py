@@ -104,6 +104,7 @@ ORACLE_CHECKED = [
     "q100_boilerplate_shingles",
     "q102_tokenizer_fertility",
     "q103_contamination_rate",
+    "q104_semdedup_twolevel",
 ]
 
 

@@ -49,6 +49,7 @@ OPS = [
     "q38_dup_clusters",
     "q83_shingle_containment",
     "q87_semdedup",
+    "q104_semdedup_twolevel",
     "q59_hits",
 ]
 
