@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q102_tokenizer_fertility",
     "q103_contamination_rate",
     "q104_semdedup_twolevel",
+    "q101_chunk_dedup",
+    "q105_ngram_novelty",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

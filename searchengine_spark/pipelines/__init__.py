@@ -44,6 +44,8 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
+    "q101_chunk_dedup",
+    "q105_ngram_novelty",
     "q104_semdedup_twolevel",
     "q98_url_dedup",
     "q99_prefix_dedup",

@@ -612,8 +612,136 @@ def q103_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q101: chunk-level (paragraph) dedup — the CCNet/RefinedWeb dedup
+# granularity: whole-document hashing (q15) misses a page whose BODY is
+# copied under fresh chrome, so web pipelines dedup fixed-size chunks
+# and keep only each chunk's FIRST occurrence (corpus order). Reports
+# per doc how many of its CHUNKDEDUP_C-token disjoint chunks are
+# removed as repeats and the token share lost — the number that drives
+# the "dedup removed X% of tokens" line in every dataset card.
+#
+# Scale shape: map-only chunk enumeration (q96's in-row starts, stride
+# = length → disjoint), one ranking window PARTITIONED BY the 60-bit
+# chunk hash (groups are occurrence lists — tiny; the shuffle moves
+# (hash, doc_id, chunk_id, n_tokens), never text), then a per-doc hash
+# agg. First-occurrence = row_number over (doc_id, chunk_id) — a total
+# integer order both engines share.
+# --------------------------------------------------------------------------
+
+CHUNKDEDUP_C = 16  # dedup granularity (tokens) — finer than q96's RAG chunks
+
+
+def q101_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    n = F.size("toks")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNKDEDUP_C))
+    ch = (
+        docs.select(
+            "doc_id", "source", F.explode(starts).alias("start"), "toks"
+        )
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("start") - 1) / CHUNKDEDUP_C).cast("int").alias(
+                "chunk_id"
+            ),
+            F.slice(F.col("toks"), F.col("start"), CHUNKDEDUP_C).alias(
+                "chunk"
+            ),
+        )
+        .filter(F.size("chunk") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            portable_hash(F.array_join(F.col("chunk"), " ")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    flagged = ch.withColumn("rn", F.row_number().over(w))
+    dup_toks = F.sum(
+        F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return (
+        flagged.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            dup_toks.alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chunks",
+            "n_dup_chunks",
+            "n_tokens",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 9).alias(
+                "dup_token_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q105: n-gram novelty rate — the corpus-growth audit a crawl pipeline
+# tracks per snapshot: for each doc (in corpus order), the share of its
+# distinct DECON_K-shingles whose FIRST corpus occurrence is this doc.
+# A feed whose novelty decays to ~0 is re-crawling what the corpus
+# already holds; a consistently-high-novelty source is worth more crawl
+# budget. Per-doc rows; docs shorter than the shingle width are dropped
+# on both engines (no 0/0).
+#
+# Scale shape: one shingle-keyed hash agg (MIN doc_id — map-side
+# combinable) + one join back on the shingle key, then a per-doc agg.
+# At 100 TB the shingle would be dictionary-encoded to its 8-byte hash
+# before the shuffle (q55's trick); the fixture's vocabulary is small
+# enough to carry the string.
+# --------------------------------------------------------------------------
+
+
+def q105_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    occ = docs.select(
+        "doc_id", "source", F.explode(_shingles(DECON_K)).alias("s")
+    )
+    first = occ.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        occ.join(first, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 9).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
+    "q101_chunk_dedup": q101_chunk_dedup,
+    "q105_ngram_novelty": q105_ngram_novelty,
     "q100_boilerplate_shingles": q100_boilerplate_shingles,
     "q103_contamination_rate": q103_contamination_rate,
     "q36_repetition_filter": q36_repetition_filter,
@@ -850,6 +978,73 @@ ORDER BY doc_id, chunk_id
 # q100: same per-doc-distinct shingle construction as q41's CTE; count(*)
 # over (source, shingle) is the within-source df; ranking window matches
 # the Spark tie-break (df DESC, shingle ASC).
+# q101: q96's start enumeration at stride = chunk length (disjoint);
+# first occurrence = row_number over (doc_id, chunk_id) per chunk hash —
+# a total integer order; rate = bigint/bigint true division, same IEEE
+# op both engines.
+ORACLE["q101_chunk_dedup"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, source, toks, len(toks) AS n FROM d),
+st AS (
+  SELECT doc_id, source, toks, s
+  FROM b, unnest(range(1, greatest(n, 1) + 1, {CHUNKDEDUP_C})) AS u(s)
+),
+ch AS (
+  SELECT doc_id, source,
+         ((s - 1) / {CHUNKDEDUP_C})::INT AS chunk_id,
+         toks[s : s + {CHUNKDEDUP_C} - 1] AS chunk
+  FROM st
+),
+cc AS (
+  SELECT doc_id, source, chunk_id, len(chunk)::BIGINT AS n_tokens,
+         {PORTABLE_HASH_SQL.format(c="array_to_string(chunk, ' ')")} AS h
+  FROM ch WHERE len(chunk) > 0
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id)
+         AS rn
+  FROM cc
+)
+SELECT doc_id, source,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END)::BIGINT AS dup_tokens,
+       round(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END)::BIGINT
+             / sum(n_tokens)::BIGINT, 9) AS dup_token_rate
+FROM rn GROUP BY doc_id, source ORDER BY doc_id
+"""
+
+# q105: q41's shingle CTE; MIN(doc_id) per shingle is the first corpus
+# occurrence; novelty divides exact bigints once per doc.
+ORACLE["q105_ngram_novelty"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - {DECON_K - 1}),
+           i -> array_to_string(toks[i : i + {DECON_K - 1}], ' ')))) AS s
+  FROM d WHERE len(toks) >= {DECON_K}
+),
+fst AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT doc_id, source,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+             / count(*), 9) AS novelty_rate
+FROM sh JOIN fst USING (s)
+GROUP BY doc_id, source ORDER BY doc_id
+"""
+
 ORACLE["q100_boilerplate_shingles"] = f"""
 WITH d AS (
   SELECT doc_id, source,

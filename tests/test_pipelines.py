@@ -105,6 +105,8 @@ ORACLE_CHECKED = [
     "q102_tokenizer_fertility",
     "q103_contamination_rate",
     "q104_semdedup_twolevel",
+    "q101_chunk_dedup",
+    "q105_ngram_novelty",
 ]
 
 
