@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     "q104_semdedup_twolevel",
     "q101_chunk_dedup",
     "q105_ngram_novelty",
+    # q106 is q55's two linear aggs + a per-doc islands window
+    "q106_dup_span_extents",
+    "q107_snapshot_diff",
+    "q108_mojibake_audit",
+    "q109_threshold_sweep",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

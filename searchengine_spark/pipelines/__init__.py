@@ -44,6 +44,10 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
+    "q106_dup_span_extents",
+    "q107_snapshot_diff",
+    "q108_mojibake_audit",
+    "q109_threshold_sweep",
     "q101_chunk_dedup",
     "q105_ngram_novelty",
     "q104_semdedup_twolevel",

@@ -710,14 +710,14 @@ def q101_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def q105_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
-    occ = docs.select(
-        "doc_id", "source", F.explode(_shingles(DECON_K)).alias("s")
-    )
-    first = occ.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+def ngram_novelty_from(occ: DataFrame, key: str = "s") -> DataFrame:
+    """Aggregation half of q105 over a (doc_id, source, <key>) shingle-
+    occurrence table — also fed by the streaming twin's folded per-batch
+    partials (which carry the 60-bit hash as the key, the 100 TB
+    shape)."""
+    first = occ.groupBy(key).agg(F.min("doc_id").alias("first_doc"))
     return (
-        occ.join(first, "s")
+        occ.join(first, key)
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
@@ -736,6 +736,18 @@ def q105_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def novelty_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, s) one row per distinct DECON_K-shingle per doc
+    — q105's map half, shared with the streaming twin."""
+    return docs.withColumn("toks", _tok_arr()).select(
+        "doc_id", "source", F.explode(_shingles(DECON_K)).alias("s")
+    )
+
+
+def q105_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty_from(novelty_occurrences(load_docs(spark, sf_dir)))
 
 
 QUERIES = {

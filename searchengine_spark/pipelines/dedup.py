@@ -743,6 +743,66 @@ def q55_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q106: maximal duplicated-span EXTENTS — q55 reports per-doc coverage
+# totals; the operator a cleaning pipeline actually executes needs the
+# span boundaries (cut THESE token ranges out of THIS doc). Adjacent /
+# overlapping flagged K-token windows merge into maximal extents via
+# gaps-and-islands: a covered token position p belongs to island
+# p - row_number(p within doc) — consecutive runs share one island id.
+# Output: one row per maximal extent (doc_id, span_start, span_end,
+# span_len), the exact-substring dedup cut list.
+#
+# Scale shape: everything up to the covered-position set is q55's two
+# linear hash aggs (8-byte keys, never text); the islands window
+# partitions BY DOC over that doc's covered positions — bounded by doc
+# length, never a global sort. Extents = one more (doc, island) hash
+# agg. Linear end to end, no candidate pairing.
+# --------------------------------------------------------------------------
+
+
+def dup_span_extents(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = span_doc_base(docs)
+    occ = span_occurrences(base)
+    k = SPAN_K
+    dup = (
+        occ.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    covered = (
+        occ.join(dup, "sh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias(
+                "p"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = covered.withColumn(
+        "island", F.col("p") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            F.max("p").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def q106_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_extents(load_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # q83: asymmetric shingle CONTAINMENT — catches "doc A is a chunk of
 # doc B" pairs that symmetric Jaccard (q16/q17) misses when |B| >> |A|
 # (the union term drowns the overlap). c = |S(A) ∩ S(B)| / min(|S(A)|,
@@ -1083,6 +1143,7 @@ QUERIES = {
     "q38_dup_clusters": q38_dup_clusters,
     "q54_sparse_cosine": q54_sparse_cosine,
     "q55_dup_spans": q55_dup_spans,
+    "q106_dup_span_extents": q106_dup_span_extents,
     "q83_shingle_containment": q83_shingle_containment,
     "q85_dup_source_matrix": q85_dup_source_matrix,
     "q89_canonical_rep": q89_canonical_rep,
@@ -1575,4 +1636,35 @@ FROM dd a JOIN dd b ON a.k = b.k AND a.doc_id < b.doc_id
 WHERE (a.ln <= b.ln AND starts_with(b.text, a.text))
    OR (a.ln > b.ln AND starts_with(a.text, b.text))
 ORDER BY doc_a, doc_b
+"""
+
+# q106: q55's occ/dup/covered CTEs, then gaps-and-islands — island id
+# = p - row_number(p within doc); extents are (min, max, count) per
+# island. Pure integer math throughout.
+ORACLE["q106_dup_span_extents"] = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, len(toks) AS n_toks, toks FROM t),
+occ AS (
+  SELECT doc_id, i AS pos,
+         {PORTABLE_HASH_SQL.format(
+             c=f"array_to_string(toks[i:i+{SPAN_K - 1}], ' ')")} AS sh
+  FROM base, unnest(range(1, greatest(n_toks - {SPAN_K - 1}, 0) + 1)) AS u(i)
+),
+dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p
+        FROM occ JOIN dup USING (sh))
+),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM covered
+)
+SELECT doc_id, min(p)::BIGINT AS span_start, max(p)::BIGINT AS span_end,
+       count(*)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 """

@@ -64,8 +64,75 @@ def q79_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q107: crawl snapshot diff — the re-crawl ops report: given snapshot A
+# (this corpus) and snapshot B (the next crawl of the same URL space),
+# classify every doc_id as added / removed / changed / unchanged by
+# CONTENT HASH and roll up counts per source. This is the number a
+# crawl pipeline tracks per snapshot to size its incremental-merge
+# delta (see merge.py) and to spot a feed that went dead (all-removed)
+# or a CMS that stamps every page (all-changed).
+#
+# Scale shape: both sides immediately project to (doc_id, source,
+# md5(text)) — the full-outer join shuffles 16-byte hashes keyed by
+# doc_id, never text; the rollup is a |sources|×4 hash agg. Snapshot B
+# is synthesized deterministically from the same table (the driver has
+# one snapshot): docs with doc_id % {REMOVED_MOD} == 0 drop out, docs
+# with doc_id % {CHANGED_MOD} == 0 re-crawl with edited content, and
+# every doc_id % {ADDED_MOD} == 0 doc also yields a brand-new page at
+# doc_id + ADDED_OFFSET. On a real pipeline A and B are two crawl
+# partitions of the pages table.
+# --------------------------------------------------------------------------
+
+DIFF_REMOVED_MOD = 13
+DIFF_CHANGED_MOD = 7
+DIFF_ADDED_MOD = 17
+DIFF_ADDED_OFFSET = 1_000_000_000
+
+
+def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tables.load(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    surviving = docs.filter(F.col("doc_id") % DIFF_REMOVED_MOD != 0)
+    b_kept = surviving.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % DIFF_CHANGED_MOD == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    b_added = docs.filter(F.col("doc_id") % DIFF_ADDED_MOD == 0).select(
+        (F.col("doc_id") + DIFF_ADDED_OFFSET).alias("doc_id"),
+        "source",
+        F.md5(F.concat(F.lit("new page "), F.col("text"))).alias("h"),
+    )
+    b = b_kept.unionAll(b_added)
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
 QUERIES = {
     "q79_crawl_frontier": q79_crawl_frontier,
+    "q107_snapshot_diff": q107_snapshot_diff,
 }
 
 ORACLE = {
@@ -88,5 +155,30 @@ SELECT host_id, url, host_rank,
 FROM sched
 ORDER BY (host_rank - 1) * {FRONTIER_DELAY_MS}, host_id
 LIMIT {FRONTIER_CAP}
+""",
+    # q107: snapshot B synthesized with the identical mod rules; diff =
+    # full-outer join of (doc_id, md5) projections, |sources|×4 rollup.
+    "q107_snapshot_diff": f"""
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % {DIFF_CHANGED_MOD} = 0
+                  THEN text || ' rev2' ELSE text END) AS h
+  FROM documents WHERE doc_id % {DIFF_REMOVED_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADDED_OFFSET} AS doc_id, source,
+         md5('new page ' || text) AS h
+  FROM documents WHERE doc_id % {DIFF_ADDED_MOD} = 0
+)
+SELECT coalesce(a.source, b.source) AS source,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*)::BIGINT AS n_docs
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1, 2 ORDER BY source, status
 """,
 }

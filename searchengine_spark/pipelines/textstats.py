@@ -847,6 +847,123 @@ def q97_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q108: encoding / mojibake audit — the first gate a web crawl runs
+# before any text op: detect bytes that survived a bad decode. Three
+# detectors per doc: U+FFFD replacement characters (a decoder already
+# gave up), the 'Ã'-prefix signature of UTF-8 read as Latin-1 (the
+# classic double-decode), and the overall non-ASCII density. Damage is
+# synthesized deterministically from doc_id (q37's PII discipline — the
+# fixture text is clean ASCII) with identical expressions both engines.
+#
+# Scale shape: map-only — pure string expressions inside the scan
+# stage, no shuffle at all; counts via length-difference (replace) so
+# no regex backtracking on the hot path except the one non-ASCII class.
+# --------------------------------------------------------------------------
+
+MOJI_MOD = 17  # docs doc_id % MOJI_MOD == 0 get a mojibake tail
+REPL_MOD = 23  # docs doc_id % REPL_MOD == 0 get a U+FFFD tail
+_MOJI_TAIL = " cafÃ© rÃ©sumÃ©"  # 'cafÃ© rÃ©sumÃ©'
+_REPL_TAIL = " ��"
+
+
+def q108_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    damaged = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % MOJI_MOD == 0, F.lit(_MOJI_TAIL)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % REPL_MOD == 0, F.lit(_REPL_TAIL)
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", "source", damaged.alias("t"))
+    n = F.length("t")
+    n_repl = n - F.length(F.replace(F.col("t"), F.lit("�")))
+    n_moji = n - F.length(F.replace(F.col("t"), F.lit("Ã")))
+    n_nonascii = n - F.length(
+        F.regexp_replace(F.col("t"), r"[^\x00-\x7F]", "")
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_repl"),
+        n_moji.cast("long").alias("n_moji"),
+        n_nonascii.cast("long").alias("n_nonascii"),
+        F.round((n - n_nonascii) / n, 9).alias("ascii_ratio"),
+        ((n_repl > 0) | (n_moji > 0)).cast("int").alias("flag_encoding"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q109: filter-threshold calibration sweep — choosing the quality-score
+# cutoff is the highest-leverage decision in a filtering pipeline, and
+# it's made from exactly this table: binned precision/recall at every
+# candidate threshold against a cheap weak label (here "reads like
+# prose": stopword count >= 1/5 of tokens, compared in integers). Rows:
+# one per occupied score bin, with the cumulative tp/fp a >=threshold
+# filter would keep.
+#
+# Scale shape: the corpus pass is q23's map-only quality expressions +
+# ONE hash agg to <= SWEEP_BINS rows (bin, n_pos, n_neg); the
+# cumulative window runs over that tiny series — NEVER a global sort of
+# docs (the q52-vs-q39 histogram trick applied to PR curves). Divisions
+# happen once per bin on exact bigints.
+# --------------------------------------------------------------------------
+
+SWEEP_BINS = 20
+SWEEP_LABEL = (1, 5)  # positive iff n_stop * 5 >= n_toks * 1
+
+
+def q109_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    n_toks, _punct, _stop, _mtl = _quality_parts()
+    quality = quality_col()
+    num, den = SWEEP_LABEL
+    n_stop = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin(list(STOPWORDS)))
+    )
+    pos = (n_stop * den >= n_toks * num).cast("long")
+    binned = docs.select(
+        F.least(
+            F.floor(quality * SWEEP_BINS), F.lit(SWEEP_BINS - 1)
+        ).cast("long").alias("bin"),
+        pos.alias("pos"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_bin.agg(F.sum("n_pos").alias("total_pos"))
+    return (
+        per_bin.withColumn("tp", F.sum("n_pos").over(w))
+        .withColumn("fp", F.sum("n_neg").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(F.col("bin") / F.lit(float(SWEEP_BINS)), 9).alias(
+                "threshold"
+            ),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 9).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") / F.col("total_pos"), 9).alias("recall"),
+        )
+        .orderBy(F.desc("bin"))
+    )
+
+
 QUERIES = {
     "q22_lang_id": q22_lang_id,
     "q23_quality": q23_quality,
@@ -863,6 +980,8 @@ QUERIES = {
     "q95_zipf_fit": q95_zipf_fit,
     "q97_source_kl": q97_source_kl,
     "q102_tokenizer_fertility": q102_tokenizer_fertility,
+    "q108_mojibake_audit": q108_mojibake_audit,
+    "q109_threshold_sweep": q109_threshold_sweep,
 }
 
 # Reusable (doc_id, quality) CTE chain — q23's expressions verbatim (the
@@ -1305,3 +1424,75 @@ SELECT source, count(*) AS n_docs,
        round(sum(n_words)::BIGINT / count(*), 9) AS words_per_doc
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+# q108: identical damage synthesis (mod rules over doc_id), counts via
+# length-difference on replace(); the one regex is the non-ASCII class.
+ORACLE["q108_mojibake_audit"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         text
+           || CASE WHEN doc_id % {MOJI_MOD} = 0
+                   THEN '{_MOJI_TAIL}' ELSE '' END
+           || CASE WHEN doc_id % {REPL_MOD} = 0
+                   THEN '{_REPL_TAIL}' ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, length(t) AS n,
+         length(t) - length(replace(t, '�', '')) AS n_repl,
+         length(t) - length(replace(t, 'Ã', '')) AS n_moji,
+         length(t) - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g'))
+           AS n_nonascii
+  FROM d
+)
+SELECT doc_id, source,
+       n::BIGINT AS n_chars,
+       n_repl::BIGINT AS n_repl,
+       n_moji::BIGINT AS n_moji,
+       n_nonascii::BIGINT AS n_nonascii,
+       round((n - n_nonascii) / CAST(n AS DOUBLE), 9) AS ascii_ratio,
+       CASE WHEN n_repl > 0 OR n_moji > 0 THEN 1 ELSE 0 END::INT
+         AS flag_encoding
+FROM m ORDER BY doc_id
+"""
+
+# q109: q23's quality CTEs verbatim; the weak label compares exact
+# integers from qb; cumulative tp/fp over the <= SWEEP_BINS-row series.
+ORACLE["q109_threshold_sweep"] = f"""
+WITH {{qcte}},
+lab AS (
+  SELECT qual.doc_id, qual.quality,
+         CASE WHEN qb.n_stop * {SWEEP_LABEL[1]}
+                   >= qb.n_toks * {SWEEP_LABEL[0]}
+              THEN 1 ELSE 0 END AS pos
+  FROM qual JOIN qb USING (doc_id)
+),
+binned AS (
+  SELECT least(floor(quality * {SWEEP_BINS}), {SWEEP_BINS - 1})::BIGINT
+           AS bin,
+         pos
+  FROM lab
+),
+per_bin AS (
+  SELECT bin, sum(pos)::BIGINT AS n_pos,
+         sum(1 - pos)::BIGINT AS n_neg
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT bin, n_pos, n_neg,
+         sum(n_pos) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(n_neg) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         sum(n_pos) OVER () AS total_pos
+  FROM per_bin
+)
+SELECT bin, round(bin / {float(SWEEP_BINS)}::DOUBLE, 9) AS threshold,
+       n_pos, n_neg, tp::BIGINT AS tp, fp::BIGINT AS fp,
+       round(tp / CAST(tp + fp AS DOUBLE), 9) AS precision,
+       round(tp / CAST(total_pos AS DOUBLE), 9) AS recall
+FROM cum ORDER BY bin DESC
+"""
+ORACLE["q109_threshold_sweep"] = ORACLE["q109_threshold_sweep"].format(
+    qcte=QUALITY_CTES_SQL.format(stops=_sql_list(STOPWORDS)).strip()
+)

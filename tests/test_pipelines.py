@@ -107,6 +107,10 @@ ORACLE_CHECKED = [
     "q104_semdedup_twolevel",
     "q101_chunk_dedup",
     "q105_ngram_novelty",
+    "q106_dup_span_extents",
+    "q107_snapshot_diff",
+    "q108_mojibake_audit",
+    "q109_threshold_sweep",
 ]
 
 

@@ -519,3 +519,68 @@ def test_stream_burst_matches_batch(spark):
         for r in q86_burst_detect(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+def test_stream_novelty_matches_batch(spark):
+    """q105's streaming twin: hashed occurrence partials streamed in two
+    micro-batches fold to row-identical batch output. Cross-batch
+    property: a batch-1 doc re-using batch-0 shingles is NOT novel in
+    the folded view but looks novel to a per-batch-local q105 (asserted
+    by the strict overcount below). Restart with no new data changes
+    nothing; MIN-fold makes replays harmless by algebra, the overwrite
+    dir by layout."""
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.pipelines.curation import (
+        ngram_novelty_from,
+        novelty_occurrences,
+    )
+    from searchengine_spark.streaming.novelty import (
+        read_ngram_novelty,
+        stream_novelty_occurrences,
+    )
+
+    docs_dir = os.path.join(STREAMDIR, "docs_novelty")
+    nov_dir = os.path.join(STREAMDIR, "novelty_part")
+    ckpt = os.path.join(STREAMDIR, "novelty_ckpt")
+    for d in (docs_dir, nov_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(docs_dir)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tbl = pq.read_table(src)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), os.path.join(docs_dir, "a0.parquet"))
+    pq.write_table(tbl.slice(half), os.path.join(docs_dir, "b1.parquet"))
+    os.utime(os.path.join(docs_dir, "a0.parquet"), (1, 1))
+
+    stream_novelty_occurrences(spark, docs_dir, nov_dir, ckpt).awaitTermination()
+    streamed = [
+        tuple(r) for r in read_ngram_novelty(spark, nov_dir).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in ngram_novelty_from(
+            novelty_occurrences(spark.read.parquet(src))
+        ).collect()
+    ]
+    assert streamed == batch
+
+    # the first-occurrence decision happens at READ time over the union:
+    # per-batch-local novelty overcounts (batch-1 docs re-using batch-0
+    # shingles look novel locally)
+    local_novel = 0
+    for f in ("a0.parquet", "b1.parquet"):
+        local_novel += sum(
+            r["n_novel"]
+            for r in ngram_novelty_from(
+                novelty_occurrences(
+                    spark.read.parquet(os.path.join(docs_dir, f))
+                )
+            ).collect()
+        )
+    streamed_novel = sum(r[3] for r in streamed)  # n_novel column
+    assert streamed_novel < local_novel
+
+    stream_novelty_occurrences(spark, docs_dir, nov_dir, ckpt).awaitTermination()
+    again = [tuple(r) for r in read_ngram_novelty(spark, nov_dir).collect()]
+    assert again == streamed
