@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q107_snapshot_diff",
     "q108_mojibake_audit",
     "q109_threshold_sweep",
+    "q110_filtered_ann",
+    "q111_facet_counts",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -602,9 +602,49 @@ def q93_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q111: faceted search counts — the sidebar a result page renders next
+# to the top-k: for each query term, how many matching documents fall
+# in each facet bucket (source and lang dimensions). Facets count the
+# FULL match set, not the visible page, so they cannot ride q13's
+# top-k window — they are their own aggregation over the posting list.
+#
+# Scale shape: the match set is (doc_id, term) distinct — the posting
+# list, shuffled on doc_id once to attach the 2-column facet
+# projection; both facet dimensions then ride ONE explode(map) + ONE
+# hash agg keyed (term, dim, val) — bounded by |terms|×|facet values|,
+# never a second scan per dimension.
+# --------------------------------------------------------------------------
+
+
+def q111_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).select("doc_id", "source", "lang")
+    match = (
+        tokens(spark, sf_dir)
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .distinct()
+    )
+    j = match.join(docs, "doc_id")
+    facets = j.select(
+        "term",
+        F.explode(
+            F.create_map(
+                F.lit("source"), F.col("source"),
+                F.lit("lang"), F.col("lang"),
+            )
+        ).alias("facet_dim", "facet_val"),
+    )
+    return (
+        facets.groupBy("term", "facet_dim", "facet_val")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("term", "facet_dim", "facet_val")
+    )
+
+
 QUERIES = {
     "q11_wordcount": q11_wordcount,
     "q12_tfidf": q12_tfidf,
+    "q111_facet_counts": q111_facet_counts,
     "q13_bm25_topk": q13_bm25_topk,
     "q14_phrase_match": q14_phrase_match,
     "q81_host_collapse": q81_host_collapse,
@@ -927,4 +967,27 @@ FROM (SELECT doc_id, score,
       FROM scored)
 WHERE rank <= {QL_K}
 ORDER BY rank
+"""
+
+# q111: the match set is DISTINCT (doc_id, term); both facet dimensions
+# come from one UNION ALL projection (the explode(map) twin), one agg.
+_Q111_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+ORACLE["q111_facet_counts"] = f"""
+WITH {_TOKENS_CTE},
+match AS (
+  SELECT DISTINCT doc_id, term FROM toks
+  WHERE term IN ({_Q111_TERMS})
+),
+j AS (
+  SELECT m.term, d.source, d.lang
+  FROM match m JOIN documents d USING (doc_id)
+),
+facets AS (
+  SELECT term, 'source' AS facet_dim, source AS facet_val FROM j
+  UNION ALL
+  SELECT term, 'lang' AS facet_dim, lang AS facet_val FROM j
+)
+SELECT term, facet_dim, facet_val, count(*)::BIGINT AS n_docs
+FROM facets GROUP BY term, facet_dim, facet_val
+ORDER BY term, facet_dim, facet_val
 """

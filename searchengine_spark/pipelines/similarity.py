@@ -111,6 +111,75 @@ def q21_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q110: FILTERED ANN — vector top-k under a metadata predicate (here:
+# candidate label must equal the query's label), the retrieval shape
+# every production vector store serves ("nearest docs WHERE source=X /
+# lang=en / date>cutoff"). Post-filtering a plain top-k silently
+# starves selective predicates, so this is the PRE-FILTER design: the
+# predicate joins into the cell probe itself (candidates that fail it
+# are never scored) and the probe widens from IVF_NPROBE to
+# FILTERED_NPROBE cells — the standard compensation for the recall a
+# filter removes from each cell.
+#
+# Scale shape: q21's broadcast-centroid assignment unchanged; the
+# probe join keys on (cent_id, label) — the filter column rides the
+# existing shuffle key, adding selectivity, not a new exchange. On a
+# real store with a constant predicate the filter would instead push
+# into the parquet scan (see q72); the per-query-label form here is
+# the harder, join-keyed case.
+# --------------------------------------------------------------------------
+
+FILTERED_NPROBE = 5  # wider than IVF_NPROBE: filters thin each cell
+
+
+def q110_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_emb(spark, sf_dir))
+    cents = e.filter(F.pmod("vec_id", F.lit(IVF_CENTROID_MOD)) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("centv"),
+        F.col("nrm").alias("centn"),
+    )
+    cand = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "label", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    asgn_scored = cand.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    assigned = (
+        asgn_scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "label", "cv", "cn", "cent_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    probe_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= FILTERED_NPROBE)
+        .select("query_id", "label", "qv", "qn", "cent_id")
+    )
+    scored = assigned.join(probes, ["cent_id", "label"]).withColumn(
+        "cos",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "label", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # q43: distributed k-means training for the IVF cells — KMEANS_ITER
 # Lloyd rounds over the candidate vectors, cosine assignment (q21's
 # metric). Because cosine ignores centroid magnitude, the plain
@@ -1000,6 +1069,7 @@ def q62_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q20_ann_bruteforce": q20_ann_bruteforce,
     "q21_ann_ivf": q21_ann_ivf,
+    "q110_filtered_ann": q110_filtered_ann,
     "q43_kmeans_train": q43_kmeans_train,
     "q45_ann_ivf_trained": q45_ann_ivf_trained,
     "q61_ann_sq": q61_ann_sq,
@@ -1086,6 +1156,51 @@ ORACLE["q43_kmeans_train"] = _kmeans_oracle()
 ORACLE["q45_ann_ivf_trained"] = _ivf_trained_oracle()
 ORACLE["q87_semdedup"] = _semdedup_oracle()
 ORACLE["q104_semdedup_twolevel"] = _semdedup_twolevel_oracle()
+
+# q110: q21's probe chain with label threaded through and the equality
+# predicate joined into the probe; FILTERED_NPROBE-wide cell fan.
+ORACLE["q110_filtered_ann"] = f"""
+WITH {_EN},
+enl AS (SELECT en.vec_id, en.v, en.nrm, e.label
+        FROM en JOIN e USING (vec_id)),
+cents AS (SELECT vec_id AS cent_id, v AS centv, nrm AS centn
+          FROM enl WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+cand AS (SELECT vec_id, label, v AS cv, nrm AS cn
+         FROM enl WHERE vec_id >= {N_QUERIES}),
+asgn AS (
+  SELECT vec_id, label, cv, cn, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY {_DOT_AB.format(a='cv', b='centv')} / (cn * centn) DESC,
+                    cent_id ASC) AS r
+  FROM cand CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, label, cv, cn, cent_id FROM asgn WHERE r = 1),
+q AS (SELECT vec_id AS query_id, label, v AS qv, nrm AS qn
+      FROM enl WHERE vec_id < {N_QUERIES}),
+pr AS (
+  SELECT query_id, label, qv, qn, cent_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY {_DOT_AB.format(a='qv', b='centv')} / (qn * centn) DESC,
+                    cent_id ASC) AS r
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, label, qv, qn, cent_id
+           FROM pr WHERE r <= {FILTERED_NPROBE}),
+scored AS (
+  SELECT query_id, probes.label AS label, vec_id,
+         round({_DOT_AB.format(a='qv', b='cv')} / (qn * cn), 9) AS cos
+  FROM assigned JOIN probes USING (cent_id, label)
+)
+SELECT query_id, label, rank, vec_id, cos
+FROM (
+  SELECT query_id, label, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
 
 # q61 oracle: same affine floor-code dequantization, spelled with the
 # identical clamp/decode expression shape (floor, not round — Spark

@@ -111,6 +111,8 @@ ORACLE_CHECKED = [
     "q107_snapshot_diff",
     "q108_mojibake_audit",
     "q109_threshold_sweep",
+    "q110_filtered_ann",
+    "q111_facet_counts",
 ]
 
 
