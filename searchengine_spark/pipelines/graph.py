@@ -86,6 +86,70 @@ def q27_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q112: PERSONALIZED PageRank (topic-sensitive teleport, Haveliwala
+# 2002) — the same power iteration as q27 but the +0.15 base mass
+# teleports only to a seed set instead of every node, so rank measures
+# proximity-to-seeds (the "trusted hosts" / TrustRank shape a webspam
+# pipeline runs next to global PageRank: spam mass = global − trusted).
+# Seeds here: part nodes with node % PPR_SEED_MOD == 0.
+#
+# Scale shape: identical to q27 — per round one equi-join + one
+# DECIMAL(28,12)-quantized per-node sum; the seed indicator is a pure
+# expression on the node id (on a real graph, a broadcast seed list).
+# Contributions quantize BEFORE the sum, so ranks are bit-stable at
+# any parallelism; unreachable nodes settle at exactly 0.
+# --------------------------------------------------------------------------
+
+PPR_SEED_MOD = 10
+
+
+def q112_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = edges(spark, sf_dir).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seed = (F.col("node") < SUPP_OFFSET) & (
+        F.col("node") % PPR_SEED_MOD == 0
+    )
+    base_dec = (
+        F.when(seed, F.lit(BASE)).otherwise(F.lit(0.0)).cast(QDEC)
+    )
+    ranks = nodes.withColumn("rank", F.when(seed, 1.0).otherwise(0.0))
+    for _ in range(N_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.round(
+                    F.lit(DAMPING) * F.col("rank") / F.col("outdeg"), 12
+                ).cast(QDEC).alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        rank_dec = base_dec + F.coalesce(
+            F.col("s"), F.lit(0).cast(QDEC)
+        ).cast(QDEC)
+        ranks = nodes.join(
+            incoming, nodes.node == incoming.dst, "left"
+        ).select(
+            "node",
+            rank_dec.cast("double").alias("rank"),
+            rank_dec.alias("rank_dec"),
+        )
+    return ranks.select(
+        "node",
+        seed.cast("int").alias("is_seed"),
+        F.round("rank_dec", 9).cast("double").alias("ppr"),
+    ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
 # q58: per-node triangle counting over the co-purchase projection
 # (parts sharing an order). The projection pairs items WITHIN one order
 # — order size is bounded (~7 lineitems), so edge generation is linear
@@ -247,9 +311,32 @@ def hits_scores(e: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
 
 QUERIES = {
     "q27_pagerank": q27_pagerank,
+    "q112_personalized_pagerank": q112_personalized_pagerank,
     "q58_triangles": q58_triangles,
     "q59_hits": q59_hits,
 }
+
+_PPR_SEED_SQL = f"(node < {SUPP_OFFSET} AND node % {PPR_SEED_MOD} = 0)"
+
+
+def _ppr_iteration_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node,
+         CAST(CASE WHEN {_PPR_SEED_SQL.replace("node", "n.node")}
+                   THEN 0.15 ELSE 0.0 END::DECIMAL(28,12)
+              + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12)
+              AS DOUBLE) AS rank,
+         CASE WHEN {_PPR_SEED_SQL.replace("node", "n.node")}
+              THEN 0.15 ELSE 0.0 END::DECIMAL(28,12)
+           + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12) AS rank_dec
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(CAST(round(0.85 * r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
+    FROM e JOIN {prev} r ON e.src = r.node
+           JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.dst
+)"""
 
 
 def _iteration_sql(prev: str, cur: str) -> str:
@@ -292,6 +379,35 @@ SELECT node, CAST(round(rank_dec, 9) AS DOUBLE) AS rank
 FROM r{N_ITERS} ORDER BY node
 """,
 }
+
+_PPR_ITER_CTES = ",".join(
+    _ppr_iteration_sql(f"r{i}", f"r{i + 1}") for i in range(N_ITERS)
+)
+
+# q112: q27's unrolled chain with the teleport CASE'd to the seed set
+# and r0 = the seed indicator.
+ORACLE["q112_personalized_pagerank"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_partkey::BIGINT AS part,
+                  l_suppkey::BIGINT + {SUPP_OFFSET} AS supp
+  FROM lineitem
+),
+e AS (
+  SELECT part AS src, supp AS dst FROM li
+  UNION ALL
+  SELECT supp AS src, part AS dst FROM li
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node,
+              CASE WHEN {_PPR_SEED_SQL} THEN 1.0 ELSE 0.0 END::DOUBLE AS rank
+       FROM nodes),
+{_PPR_ITER_CTES}
+SELECT node,
+       CASE WHEN {_PPR_SEED_SQL} THEN 1 ELSE 0 END::INT AS is_seed,
+       CAST(round(rank_dec, 9) AS DOUBLE) AS ppr
+FROM r{N_ITERS} ORDER BY node
+"""
 
 # q58 oracle: the naive id-oriented 3-way self-join — the degree-
 # oriented engine rewrite must count exactly the same triangles.

@@ -113,6 +113,7 @@ ORACLE_CHECKED = [
     "q109_threshold_sweep",
     "q110_filtered_ann",
     "q111_facet_counts",
+    "q112_personalized_pagerank",
 ]
 
 
