@@ -738,6 +738,82 @@ def ngram_novelty_from(occ: DataFrame, key: str = "s") -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q113: token-budget WATERFILLING — the mixture-design solver behind
+# every "cap each source at C tokens" dataset card line: given a total
+# token budget B, find the per-source cap C such that
+# Σ_s min(tokens_s, C) spends B (small sources keep everything, big
+# sources truncate to the shared waterline — the allocation that
+# maximizes the minimum source share). Closed form, not iterative:
+# sort sources by size ASC; the boundary is the FIRST row where
+# cum + (K − i)·n_s ≥ B, and C = (B − cum_{i−1}) DIV (K − i + 1).
+#
+# Scale shape: the corpus collapses to a |sources|-row exact-bigint
+# census first (q48's shape); every window/join after that runs over
+# that tiny table. Pure integer math — DIV, no float thresholds — so
+# both engines agree bit-for-bit and the spend check is exact.
+# --------------------------------------------------------------------------
+
+WF_BUDGET_DEN = 2  # budget = total_tokens DIV 2
+
+
+def q113_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir)
+    src = (
+        docs.select(
+            "source", F.size(_tok_arr()).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    # |sources| rows — the windows below are over the census, never docs
+    w = Window.orderBy("n_tokens", "source")
+    t = src.withColumn("i", F.row_number().over(w)).withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count("*").alias("k_src"),
+    ).select(
+        "total",
+        "k_src",
+        F.expr(f"total DIV {WF_BUDGET_DEN}").alias("budget"),
+    )
+    t2 = t.crossJoin(F.broadcast(tot))
+    # boundary always exists: row K has cum = total >= budget
+    cap_row = (
+        t2.filter(
+            F.col("cum")
+            + (F.col("k_src") - F.col("i")) * F.col("n_tokens")
+            >= F.col("budget")
+        )
+        .orderBy("i")
+        .limit(1)
+        .select(
+            F.expr(
+                "(budget - (cum - n_tokens)) DIV (k_src - i + 1)"
+            ).alias("cap")
+        )
+    )
+    return (
+        t2.crossJoin(F.broadcast(cap_row))
+        .select(
+            "source",
+            "n_tokens",
+            "budget",
+            "cap",
+            F.least(F.col("n_tokens"), F.col("cap")).alias("alloc_tokens"),
+            (F.col("n_tokens") > F.col("cap")).cast("int").alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
 def novelty_occurrences(docs: DataFrame) -> DataFrame:
     """(doc_id, source, s) one row per distinct DECON_K-shingle per doc
     — q105's map half, shared with the streaming twin."""
@@ -752,6 +828,7 @@ def q105_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
+    "q113_budget_waterfill": q113_budget_waterfill,
     "q101_chunk_dedup": q101_chunk_dedup,
     "q105_ngram_novelty": q105_ngram_novelty,
     "q100_boilerplate_shingles": q100_boilerplate_shingles,
@@ -1119,4 +1196,38 @@ SELECT tr.source, count(*) AS n_train_docs,
              / count(*), 9) AS contamination_rate
 FROM tr LEFT JOIN contam ON tr.source = contam.source
 GROUP BY tr.source ORDER BY tr.source
+"""
+
+# q113: identical census/boundary/cap chain; integer DIV both engines
+# (operands positive, so truncate == floor).
+ORACLE["q113_budget_waterfill"] = f"""
+WITH src AS (
+  SELECT source,
+         sum(len(list_filter(string_split(text, ' '),
+                             x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, source) AS i,
+         sum(n_tokens) OVER (ORDER BY n_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM src
+),
+tot AS (
+  SELECT sum(n_tokens)::BIGINT AS total, count(*)::BIGINT AS k_src,
+         sum(n_tokens)::BIGINT // {WF_BUDGET_DEN} AS budget
+  FROM src
+),
+cap_row AS (
+  SELECT ((budget - (cum - n_tokens)) // (k_src - i + 1))::BIGINT AS cap
+  FROM t CROSS JOIN tot
+  WHERE cum + (k_src - i) * n_tokens >= budget
+  ORDER BY i LIMIT 1
+)
+SELECT source, n_tokens, budget, cap,
+       least(n_tokens, cap)::BIGINT AS alloc_tokens,
+       CASE WHEN n_tokens > cap THEN 1 ELSE 0 END::INT AS capped
+FROM t CROSS JOIN tot CROSS JOIN cap_row
+ORDER BY source
 """

@@ -114,6 +114,7 @@ ORACLE_CHECKED = [
     "q110_filtered_ann",
     "q111_facet_counts",
     "q112_personalized_pagerank",
+    "q113_budget_waterfill",
 ]
 
 
@@ -885,3 +886,26 @@ def test_crawl_frontier_politeness(spark):
         for r in hs:
             assert r["sched_ms"] == (r["host_rank"] - 1) * FRONTIER_DELAY_MS
             assert f"https://h{host}.example.com/doc/" in r["url"]
+
+
+def test_waterfill_spends_budget_exactly(spark):
+    """q113 invariants: Σ min(n_s, cap) lands within K of the budget
+    (the integer-DIV remainder bound — cap+1 would overspend), small
+    sources are never capped, and alloc == n_tokens for them."""
+    from searchengine_spark.pipelines.curation import q113_budget_waterfill
+
+    rows = q113_budget_waterfill(spark, SF_DIR).collect()
+    assert rows
+    budget = rows[0]["budget"]
+    cap = rows[0]["cap"]
+    k = len(rows)
+    spend = sum(r["alloc_tokens"] for r in rows)
+    assert budget - k < spend <= budget
+    # cap + 1 would overspend (cap is maximal)
+    overspend = sum(min(r["n_tokens"], cap + 1) for r in rows)
+    assert overspend > budget
+    for r in rows:
+        if r["n_tokens"] <= cap:
+            assert r["capped"] == 0 and r["alloc_tokens"] == r["n_tokens"]
+        else:
+            assert r["capped"] == 1 and r["alloc_tokens"] == cap
