@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "q111_facet_counts",
     "q112_personalized_pagerank",
     "q113_budget_waterfill",
+    "q114_hybrid_retrieval",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

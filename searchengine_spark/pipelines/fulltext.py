@@ -641,10 +641,100 @@ def q111_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q114: HYBRID retrieval — the modern search stack: a lexical BM25 list
+# and a vector-cosine list over the same corpus (doc_id ≡ vec_id in the
+# driver tables), fused with reciprocal-rank fusion. RRF is the
+# production hybrid fuser precisely because it needs no score
+# calibration between the incommensurable BM25 and cosine scales —
+# only ranks cross the boundary.
+#
+# Scale shape: each pool is a distributed TakeOrderedAndProject
+# (per-partition top-POOL + driver merge — q92's discipline, so the
+# unpartitioned rank window only ever sees POOL rows); the cosine side
+# broadcasts the single query vector over one pruned embeddings scan;
+# fusion is a full-outer join of two ≤POOL-row lists. Ranks come from
+# 9dp-rounded scores so both engines agree on every tie.
+# --------------------------------------------------------------------------
+
+HYBRID_TERM = "spark"
+HYBRID_QVEC = 0  # query vector id (embeddings vec_id < 10 are queries)
+HYBRID_POOL = 50
+HYBRID_C = 60
+HYBRID_K = 15
+
+
+def q114_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import N_QUERIES, _dot, _with_norm, load_emb
+
+    bm25 = (
+        bm25_hits(spark, sf_dir)
+        .filter(F.col("term") == HYBRID_TERM)
+        .withColumn("score_r", F.round("score", 9))
+    )
+    w_l = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    r_lex = (
+        bm25.select("doc_id", "score_r")
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(HYBRID_POOL)
+        .withColumn("rank_lex", F.row_number().over(w_l))
+        .select("doc_id", "rank_lex")
+    )
+    e = _with_norm(load_emb(spark, sf_dir))
+    qv = e.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+                9,
+            ).alias("cos_r"),
+        )
+    )
+    w_v = Window.orderBy(F.desc("cos_r"), F.asc("doc_id"))
+    r_vec = (
+        cos.orderBy(F.desc("cos_r"), F.asc("doc_id"))
+        .limit(HYBRID_POOL)
+        .withColumn("rank_vec", F.row_number().over(w_v))
+        .select("doc_id", "rank_vec")
+    )
+    fused = r_lex.join(r_vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(HYBRID_C) + F.col("rank_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(HYBRID_C) + F.col("rank_vec")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= HYBRID_K)
+        .select(
+            "rank",
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            F.round("rrf", 9).alias("rrf"),
+        )
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "q11_wordcount": q11_wordcount,
     "q12_tfidf": q12_tfidf,
     "q111_facet_counts": q111_facet_counts,
+    "q114_hybrid_retrieval": q114_hybrid_retrieval,
     "q13_bm25_topk": q13_bm25_topk,
     "q14_phrase_match": q14_phrase_match,
     "q81_host_collapse": q81_host_collapse,
@@ -991,3 +1081,80 @@ SELECT term, facet_dim, facet_val, count(*)::BIGINT AS n_docs
 FROM facets GROUP BY term, facet_dim, facet_val
 ORDER BY term, facet_dim, facet_val
 """
+
+# q114: q92's pool/rank/fusion idiom with the second retriever swapped
+# for the vector-cosine list; both pools capped at HYBRID_POOL before
+# any ranking window.
+ORACLE["q114_hybrid_retrieval"] = f"""
+WITH {{tokcte}},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (1.2 + 1.0) * tf.tf
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / ad.avgdl)),
+               9) AS score_r
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+  CROSS JOIN n CROSS JOIN ad
+  WHERE tf.term = '{HYBRID_TERM}'
+),
+r_l AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id ASC)
+             AS rank_lex
+    FROM bm25)
+  WHERE rank_lex <= {HYBRID_POOL}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+en AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+           (acc, x) -> acc + x)) AS nrm
+  FROM e
+),
+qv AS (SELECT v AS q, nrm AS qn FROM en WHERE vec_id = {HYBRID_QVEC}),
+cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, len(v)),
+                                i -> v[i] * q[i])),
+               (acc, x) -> acc + x) / (qn * nrm), 9) AS cos_r
+  FROM en CROSS JOIN qv WHERE vec_id >= {{nq}}
+),
+r_v AS (
+  SELECT doc_id, rank_vec FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos_r DESC, doc_id ASC)
+             AS rank_vec
+    FROM cos)
+  WHERE rank_vec <= {HYBRID_POOL}
+),
+fused AS (
+  SELECT coalesce(r_l.doc_id, r_v.doc_id) AS doc_id, rank_lex, rank_vec,
+         coalesce(1.0::DOUBLE / ({HYBRID_C} + rank_lex), 0.0::DOUBLE)
+           + coalesce(1.0::DOUBLE / ({HYBRID_C} + rank_vec), 0.0::DOUBLE)
+           AS rrf
+  FROM r_l FULL OUTER JOIN r_v ON r_l.doc_id = r_v.doc_id
+)
+SELECT rank, doc_id, rank_lex, rank_vec, round(rrf, 9) AS rrf
+FROM (SELECT doc_id, rank_lex, rank_vec, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= {HYBRID_K}
+ORDER BY rank
+"""
+
+
+def _q114_finalize_oracle() -> None:
+    from .similarity import N_QUERIES as _nq
+
+    ORACLE["q114_hybrid_retrieval"] = ORACLE["q114_hybrid_retrieval"].format(
+        tokcte=_TOKENS_CTE.strip(), nq=_nq
+    )
+
+
+_q114_finalize_oracle()

@@ -115,6 +115,7 @@ ORACLE_CHECKED = [
     "q111_facet_counts",
     "q112_personalized_pagerank",
     "q113_budget_waterfill",
+    "q114_hybrid_retrieval",
 ]
 
 
