@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q112_personalized_pagerank",
     "q113_budget_waterfill",
     "q114_hybrid_retrieval",
+    "q115_class_cohesion",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,7 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
+    "q115_class_cohesion",
     "q114_hybrid_retrieval",
     "q113_budget_waterfill",
     "q112_personalized_pagerank",

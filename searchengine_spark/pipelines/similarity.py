@@ -180,6 +180,64 @@ def q110_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q115: embedding class-cohesion audit — per label, the centroid (the
+# exact per-dim mean) and the intra-class cosine dispersion (mean and
+# worst cosine of members to their centroid). This is the
+# embedding-space quality check a pipeline runs on its labels /
+# clusters: a label whose mean cosine sags or whose min collapses is
+# mislabeled data or a collapsed embedding space — caught BEFORE that
+# space feeds SemDeDup (q87) or filtered ANN (q110).
+#
+# Scale shape: centroid = ONE (label, dim) hash agg over the exploded
+# dims with DECIMAL(28,12) partial sums (q43's Lloyd-update discipline
+# — order-insensitive, bit-stable at any parallelism), rounded 9dp;
+# the |labels|-row centroid table broadcasts back over one pruned
+# embeddings scan for the cosine pass; the rollup is |labels| rows.
+# --------------------------------------------------------------------------
+
+
+def q115_class_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_emb(spark, sf_dir))
+    dims = e.select("label", F.posexplode("v").alias("pos", "x")).select(
+        "label", (F.col("pos") + 1).alias("dim"), "x"
+    )
+    m = dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("mval")
+    )
+    cents = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+            lambda s: s["mval"],
+        ).alias("cv")
+    )
+    cn = cents.withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    cos = e.join(F.broadcast(cn), "label").select(
+        "label",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+            9,
+        ).alias("c"),
+    )
+    return (
+        cos.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("mean_cos"),
+            F.min("c").alias("min_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
 # q43: distributed k-means training for the IVF cells — KMEANS_ITER
 # Lloyd rounds over the candidate vectors, cosine assignment (q21's
 # metric). Because cosine ignores centroid magnitude, the plain
@@ -1070,6 +1128,7 @@ QUERIES = {
     "q20_ann_bruteforce": q20_ann_bruteforce,
     "q21_ann_ivf": q21_ann_ivf,
     "q110_filtered_ann": q110_filtered_ann,
+    "q115_class_cohesion": q115_class_cohesion,
     "q43_kmeans_train": q43_kmeans_train,
     "q45_ann_ivf_trained": q45_ann_ivf_trained,
     "q61_ann_sq": q61_ann_sq,
@@ -1156,6 +1215,43 @@ ORACLE["q43_kmeans_train"] = _kmeans_oracle()
 ORACLE["q45_ann_ivf_trained"] = _ivf_trained_oracle()
 ORACLE["q87_semdedup"] = _semdedup_oracle()
 ORACLE["q104_semdedup_twolevel"] = _semdedup_twolevel_oracle()
+
+# q115: centroid = q43's DECIMAL-partial mean discipline per (label,
+# dim); cosine pass re-joins the |labels|-row centroid list; the
+# decimal→double casts stay far under 2^53 unscaled (|sums| < n).
+ORACLE["q115_class_cohesion"] = f"""
+WITH {_EN},
+enl AS (SELECT en.vec_id, en.v, en.nrm, e.label
+        FROM en JOIN e USING (vec_id)),
+dims AS (
+  SELECT label, i AS dim, v[i] AS x
+  FROM enl, unnest(generate_series(1, len(v))) AS u(i)
+),
+m AS (
+  SELECT label, dim,
+         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+           AS mval
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label, list(mval ORDER BY dim) AS cv FROM m GROUP BY label
+),
+cn AS (
+  SELECT label, cv,
+         sqrt({_DOT_AB.format(a='cv', b='cv')}) AS cnrm
+  FROM cents
+),
+cos AS (
+  SELECT enl.label,
+         round({_DOT_AB.format(a='v', b='cv')} / (nrm * cnrm), 9) AS c
+  FROM enl JOIN cn USING (label)
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+         AS mean_cos,
+       min(c) AS min_cos
+FROM cos GROUP BY label ORDER BY label
+"""
 
 # q110: q21's probe chain with label threaded through and the equality
 # predicate joined into the probe; FILTERED_NPROBE-wide cell fan.

@@ -116,6 +116,7 @@ ORACLE_CHECKED = [
     "q112_personalized_pagerank",
     "q113_budget_waterfill",
     "q114_hybrid_retrieval",
+    "q115_class_cohesion",
 ]
 
 
