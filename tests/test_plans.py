@@ -356,3 +356,38 @@ def test_retrievers_plan_without_running_jobs(spark):
         "plan construction ran eager Spark jobs"
     )
     assert dfs
+
+
+def test_q114_pools_are_take_ordered_and_broadcast(spark):
+    """Hybrid retrieval: both retriever pools compile to distributed
+    TakeOrderedAndProject; the single query vector broadcasts into the
+    cosine scan; nothing degenerates to a cartesian product of the
+    corpus (the only cross-join is the 1-row query vector)."""
+    from searchengine_spark.pipelines.fulltext import q114_hybrid_retrieval
+
+    p = plan(q114_hybrid_retrieval(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) >= 2, p
+    assert "BroadcastExchange" in p
+
+
+def test_q110_q115_centroid_tables_broadcast(spark):
+    """Filtered ANN and the cohesion audit keep their small sides
+    broadcast: centroids into assignment/probe (q110), the |labels|-row
+    centroid table into the cosine pass (q115). No corpus-sized
+    cartesian product in either plan."""
+    from searchengine_spark.pipelines.similarity import (
+        q110_filtered_ann,
+        q115_class_cohesion,
+    )
+
+    p = plan(q110_filtered_ann(spark, SF_DIR))
+    # the centroid fan-out is a deliberate broadcast cross of the tiny
+    # centroid table (BroadcastNestedLoopJoin BuildRight), never an
+    # unbroadcast CartesianProduct of the corpus
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
+    p2 = plan(q115_class_cohesion(spark, SF_DIR))
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p2) or (
+        "BroadcastExchange" in p2
+    ), p2
+    assert "CartesianProduct" not in p2
