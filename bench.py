@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "q113_budget_waterfill",
     "q114_hybrid_retrieval",
     "q115_class_cohesion",
+    "q116_chunk_quality",
+    "q117_langid_confusion",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -739,6 +739,59 @@ def ngram_novelty_from(occ: DataFrame, key: str = "s") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q116: CHUNK-level quality gate — RefinedWeb/CCNet-style pipelines
+# filter at passage granularity, not document granularity: a long page
+# with one good section and three boilerplate ones keeps the good
+# section and drops the rest (doc-level q23 would average them into
+# one mediocre score and mis-decide all four). Applies q23's exact
+# quality expressions to every q96 chunk; keep = quality ≥
+# CHUNKQ_MIN_QUALITY.
+#
+# Scale shape: q96's map-only in-row chunk enumeration + explode, then
+# q23's map-only expressions over the chunk — ZERO shuffles end to
+# end; the 100 TB chunk filter is exactly this one codegen stage.
+# --------------------------------------------------------------------------
+
+CHUNKQ_MIN_QUALITY = 0.45  # same bar as the q40 doc gate
+
+
+def q116_chunk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import quality_col
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    n = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_S)),
+        lambda s: (s == 1) | (s - CHUNK_S + CHUNK_C <= n),
+    )
+    chunked = (
+        docs.select("doc_id", F.explode(starts).alias("start"), "toks")
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_S).cast("int").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("start"), CHUNK_C).alias("chunk"),
+        )
+        .filter(F.size("chunk") > 0)
+        # alias the chunk into the 'text'/'toks' names so q23's
+        # expressions apply verbatim
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("chunk").alias("toks"),
+            F.array_join(F.col("chunk"), " ").alias("text"),
+        )
+    )
+    quality = quality_col()
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        quality.alias("quality"),
+        (quality >= CHUNKQ_MIN_QUALITY).cast("int").alias("keep"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# --------------------------------------------------------------------------
 # q113: token-budget WATERFILLING — the mixture-design solver behind
 # every "cap each source at C tokens" dataset card line: given a total
 # token budget B, find the per-source cap C such that
@@ -829,6 +882,7 @@ def q105_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q35_source_quota_sample": q35_source_quota_sample,
     "q113_budget_waterfill": q113_budget_waterfill,
+    "q116_chunk_quality": q116_chunk_quality,
     "q101_chunk_dedup": q101_chunk_dedup,
     "q105_ngram_novelty": q105_ngram_novelty,
     "q100_boilerplate_shingles": q100_boilerplate_shingles,
@@ -1231,3 +1285,60 @@ SELECT source, n_tokens, budget, cap,
 FROM t CROSS JOIN tot CROSS JOIN cap_row
 ORDER BY source
 """
+
+# q116: q96's chunk CTE + q23's quality expressions over the chunk's
+# joined text — identical shapes to both gated parents.
+from .textstats import STOPWORDS as _Q116_STOPS  # noqa: E402
+
+
+def _q116_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _Q116_STOPS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+st AS (
+  SELECT doc_id, n, toks, s
+  FROM b, unnest(range(1, greatest(n, 1) + 1, {CHUNK_S})) AS u(s)
+  WHERE s = 1 OR s - {CHUNK_S} + {CHUNK_C} <= n
+),
+ch AS (
+  SELECT doc_id,
+         ((s - 1) / {CHUNK_S})::INT AS chunk_id,
+         toks[s : s + {CHUNK_C} - 1] AS chunk
+  FROM st
+),
+cq AS (
+  SELECT doc_id, chunk_id, chunk,
+         array_to_string(chunk, ' ') AS txt,
+         len(chunk) AS n_toks
+  FROM ch WHERE len(chunk) > 0
+),
+parts AS (
+  SELECT doc_id, chunk_id, n_toks,
+         length(txt) AS n_chars,
+         length(regexp_replace(txt, '[^a-z0-9]', '', 'g')) AS n_alnum,
+         len(list_filter(chunk, x -> x IN ({stops}))) AS n_stop,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(chunk, x -> length(x)::BIGINT)),
+           (acc, x) -> acc + x) / CAST(len(chunk) AS DOUBLE) AS mean_tok_len
+  FROM cq
+),
+scored AS (
+  SELECT doc_id, chunk_id, n_toks,
+         round(0.4 * least(n_toks / 100.0, 1.0)
+             + 0.3 * (1.0 - (n_chars - n_alnum) / CAST(n_chars AS DOUBLE))
+             + 0.2 * (n_stop / CAST(n_toks AS DOUBLE))
+             + 0.1 * least(mean_tok_len / 8.0, 1.0), 9) AS quality
+  FROM parts
+)
+SELECT doc_id, chunk_id, n_toks::INT AS n_tokens, quality,
+       CASE WHEN quality >= {CHUNKQ_MIN_QUALITY} THEN 1 ELSE 0 END::INT
+         AS keep
+FROM scored ORDER BY doc_id, chunk_id
+"""
+
+
+ORACLE["q116_chunk_quality"] = _q116_oracle()

@@ -88,6 +88,50 @@ def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q117: lang-ID confusion matrix — the evaluation every classifier in
+# the pipeline owes its dataset card: q22's predicted language crossed
+# against the table's ground-truth ``lang`` column, rolled up to
+# (true, predicted) counts with per-true-language recall. The matrix
+# is what decides whether the cheap n-gram heuristic is good enough or
+# the corpus needs a real model — and which language pairs confuse.
+#
+# Scale shape: q22's map-only argmax expressions + ONE hash agg to
+# |langs|² rows; recall divides exact bigints off a per-true-lang
+# window over that tiny matrix.
+# --------------------------------------------------------------------------
+
+
+def q117_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    cells = (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            pred_lang_col().alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return (
+        cells.withColumn("n_true", F.sum("n_docs").over(w))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("true_lang") == F.col("pred_lang")).cast("int").alias(
+                "correct"
+            ),
+            F.round(F.col("n_docs") / F.col("n_true"), 9).alias(
+                "share_of_true"
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # q23: quality scoring — length / punctuation ratio / stopword ratio /
 # mean token length, blended to one score.
 # --------------------------------------------------------------------------
@@ -982,6 +1026,7 @@ QUERIES = {
     "q102_tokenizer_fertility": q102_tokenizer_fertility,
     "q108_mojibake_audit": q108_mojibake_audit,
     "q109_threshold_sweep": q109_threshold_sweep,
+    "q117_langid_confusion": q117_langid_confusion,
 }
 
 # Reusable (doc_id, quality) CTE chain — q23's expressions verbatim (the
@@ -1496,3 +1541,34 @@ FROM cum ORDER BY bin DESC
 ORACLE["q109_threshold_sweep"] = ORACLE["q109_threshold_sweep"].format(
     qcte=QUALITY_CTES_SQL.format(stops=_sql_list(STOPWORDS)).strip()
 )
+
+# q117: q22's argmax CTEs + one (true, pred) rollup; recall divides
+# exact bigints via a window over the tiny matrix.
+ORACLE["q117_langid_confusion"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, lang, [{_LANG_STRUCTS}] AS arr FROM d),
+m0 AS (
+  SELECT lang, arr,
+         list_max(list_transform(arr, s -> s.score)) AS best_score
+  FROM s
+),
+m AS (
+  SELECT lang AS true_lang,
+         list_min(list_transform(list_filter(arr, s -> s.score = best_score),
+                                 s -> s.lang)) AS pred_lang
+  FROM m0
+),
+cells AS (
+  SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+  FROM m GROUP BY true_lang, pred_lang
+)
+SELECT true_lang, pred_lang, n_docs,
+       CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END::INT AS correct,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY true_lang)
+                           AS DOUBLE), 9) AS share_of_true
+FROM cells ORDER BY true_lang, pred_lang
+"""

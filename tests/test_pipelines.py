@@ -117,6 +117,8 @@ ORACLE_CHECKED = [
     "q113_budget_waterfill",
     "q114_hybrid_retrieval",
     "q115_class_cohesion",
+    "q116_chunk_quality",
+    "q117_langid_confusion",
 ]
 
 
