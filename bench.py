@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q115_class_cohesion",
     "q116_chunk_quality",
     "q117_langid_confusion",
+    "q118_robots_gate",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

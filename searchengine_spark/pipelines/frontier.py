@@ -130,9 +130,110 @@ def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q118: robots-rules gate — reference parity for the crawler's robots
+# machinery (``jobs/Crawler.java:332-505``): pick the
+# ``user-agent: search-crawler`` section if present, else the
+# ``user-agent: *`` section, else no rules; a URL is crawlable iff its
+# PATH matches no ``disallow:`` prefix (the reference's ``checkRules``
+# never lets ``allow:`` override a disallow match — ``Crawler.java:
+# 487-500`` returns true on allow-match AND on no-allow-match, a quirk
+# kept deliberately); ``crawl-delay: <secs>`` scales to ms with the
+# 1000 ms default (``Crawler.java:422-429``). Robots text is
+# synthesized per host from host_id (three shapes: a *-section host, a
+# search-crawler-section host whose section must be CUT at the next
+# user-agent line, and a no-matching-section host).
+#
+# Scale shape: map-only — section slicing, rule extraction
+# (regexp_extract_all in the Java∩RE2 dialect — the reference's
+# lookahead rewritten as a capture group, identical on \n-terminated
+# files), prefix test and delay parse are all string expressions in
+# the scan stage; the per-host robots table is |hosts| rows and joins
+# broadcast on a real crawl.
+# --------------------------------------------------------------------------
+
+_ROBOTS_SC = "user-agent: search-crawler\n"
+_ROBOTS_ANY = "user-agent: *\n"
+_ROBOTS_TXT = {
+    0: "user-agent: *\ndisallow: /private\ncrawl-delay: 2.5\n",
+    1: (
+        "user-agent: googlebot\ndisallow: /\n"
+        "user-agent: search-crawler\ndisallow: /tmp\nallow: /tmp/ok\n"
+        "crawl-delay: 0.5\n"
+        "user-agent: *\ndisallow: /\n"
+    ),
+    2: "user-agent: googlebot\ndisallow: /\n",
+}
+
+
+def _robots_section(txt: "F.Column") -> "F.Column":
+    """The reference's section slicing: substring after the preferred
+    user-agent line, cut at the next 'user-agent:'."""
+
+    def cut(after: str) -> F.Column:
+        start = F.locate(after, txt) + len(after)
+        rest = F.substring(txt, start, 100000)
+        nxt = F.locate("user-agent:", rest)
+        return F.when(nxt > 0, F.substring(rest, 1, nxt - 1)).otherwise(rest)
+
+    return (
+        F.when(F.locate(_ROBOTS_SC, txt) > 0, cut(_ROBOTS_SC))
+        .when(F.locate(_ROBOTS_ANY, txt) > 0, cut(_ROBOTS_ANY))
+        .otherwise(F.lit(""))
+    )
+
+
+def q118_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tables.load(spark, sf_dir, "documents")
+    host_id = F.abs(F.col("doc_id")) % FRONTIER_NUM_HOSTS
+    txt = (
+        F.when(host_id % 3 == 0, F.lit(_ROBOTS_TXT[0]))
+        .when(host_id % 3 == 1, F.lit(_ROBOTS_TXT[1]))
+        .otherwise(F.lit(_ROBOTS_TXT[2]))
+    )
+    path = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("/doc/"),
+                F.lit("/private/"),
+                F.lit("/tmp/"),
+                F.lit("/tmp/ok/"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.col("doc_id").cast("string"),
+    )
+    sec = _robots_section(F.lower(txt))
+    dis = F.regexp_extract_all(sec, F.lit(r"disallow: ([^\n]*)"), 1)
+    delay_s = F.regexp_extract(sec, r"crawl-delay: ([0-9.]*)", 1)
+    blocked = F.exists(dis, lambda d: F.col("p").startswith(d))
+    delay_ms = F.when(
+        F.coalesce(delay_s, F.lit("")) != "",
+        (delay_s.cast("double") * 1000).cast("int"),
+    ).otherwise(F.lit(1000))
+    return (
+        docs.select(
+            "doc_id",
+            host_id.alias("host_id"),
+            path.alias("p"),
+            sec.alias("sec"),
+            delay_ms.alias("crawl_delay_ms"),
+        )
+        .select(
+            "doc_id",
+            "host_id",
+            F.col("p").alias("path"),
+            (~blocked).cast("int").alias("crawl_allowed"),
+            "crawl_delay_ms",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q79_crawl_frontier": q79_crawl_frontier,
     "q107_snapshot_diff": q107_snapshot_diff,
+    "q118_robots_gate": q118_robots_gate,
 }
 
 ORACLE = {
@@ -182,3 +283,56 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 GROUP BY 1, 2 ORDER BY source, status
 """,
 }
+
+
+def _q118_oracle() -> str:
+    """q118: the reference's section slicing spelled with strpos/substr;
+    rules in the Java∩RE2 regex dialect; the allow-never-overrides
+    quirk reproduced by testing disallow only."""
+
+    def cut(marker: str) -> str:
+        after = f"substr(txt, strpos(txt, '{marker}') + {len(marker)})"
+        return (
+            f"CASE WHEN strpos({after}, 'user-agent:') > 0 "
+            f"THEN substr({after}, 1, strpos({after}, 'user-agent:') - 1) "
+            f"ELSE {after} END"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, abs(doc_id) % {FRONTIER_NUM_HOSTS} AS host_id
+  FROM documents
+),
+r AS (
+  SELECT doc_id, host_id,
+         lower(CASE WHEN host_id % 3 = 0 THEN '{_ROBOTS_TXT[0]}'
+                    WHEN host_id % 3 = 1 THEN '{_ROBOTS_TXT[1]}'
+                    ELSE '{_ROBOTS_TXT[2]}' END) AS txt,
+         ['/doc/', '/private/', '/tmp/', '/tmp/ok/'][(doc_id % 4 + 1)::INT]
+           || doc_id::VARCHAR AS path
+  FROM d
+),
+secs AS (
+  SELECT doc_id, host_id, path,
+         CASE WHEN strpos(txt, '{_ROBOTS_SC}') > 0 THEN {cut(_ROBOTS_SC)}
+              WHEN strpos(txt, '{_ROBOTS_ANY}') > 0 THEN {cut(_ROBOTS_ANY)}
+              ELSE '' END AS sec
+  FROM r
+),
+rules AS (
+  SELECT doc_id, host_id, path,
+         regexp_extract_all(sec, 'disallow: ([^\n]*)', 1) AS dis,
+         regexp_extract(sec, 'crawl-delay: ([0-9.]*)', 1) AS ds
+  FROM secs
+)
+SELECT doc_id, host_id, path,
+       CASE WHEN len(list_filter(dis, x -> starts_with(path, x))) > 0
+            THEN 0 ELSE 1 END::INT AS crawl_allowed,
+       CASE WHEN coalesce(ds, '') <> ''
+            THEN (CAST(ds AS DOUBLE) * 1000)::INT
+            ELSE 1000 END::INT AS crawl_delay_ms
+FROM rules ORDER BY doc_id
+"""
+
+
+ORACLE["q118_robots_gate"] = _q118_oracle()

@@ -119,6 +119,7 @@ ORACLE_CHECKED = [
     "q115_class_cohesion",
     "q116_chunk_quality",
     "q117_langid_confusion",
+    "q118_robots_gate",
 ]
 
 
@@ -913,3 +914,37 @@ def test_waterfill_spends_budget_exactly(spark):
             assert r["capped"] == 0 and r["alloc_tokens"] == r["n_tokens"]
         else:
             assert r["capped"] == 1 and r["alloc_tokens"] == cap
+
+
+def test_robots_gate_reference_semantics(spark):
+    """q118 pins Crawler.java's checkRules quirks: (1) the
+    search-crawler section overrides the *-section (h%3==1 hosts use
+    delay 500, not the *-section's disallow-all); (2) allow: NEVER
+    overrides a disallow match (/tmp/ok/... is blocked on those hosts
+    even though 'allow: /tmp/ok' is present — Crawler.java:487-500);
+    (3) a host with no matching section allows everything at the
+    1000 ms default (Crawler.java:422-429)."""
+    from searchengine_spark.pipelines.frontier import q118_robots_gate
+
+    rows = {r["doc_id"]: r for r in q118_robots_gate(spark, SF_DIR).collect()}
+    assert rows
+    saw = set()
+    for r in rows.values():
+        kind = r["host_id"] % 3
+        path = r["path"]
+        saw.add((kind, r["doc_id"] % 4))
+        if kind == 0:
+            assert r["crawl_delay_ms"] == 2500
+            assert r["crawl_allowed"] == (
+                0 if path.startswith("/private") else 1
+            )
+        elif kind == 1:
+            assert r["crawl_delay_ms"] == 500
+            # /tmp AND /tmp/ok both blocked: allow never overrides
+            assert r["crawl_allowed"] == (
+                0 if path.startswith("/tmp") else 1
+            )
+        else:
+            assert r["crawl_delay_ms"] == 1000 and r["crawl_allowed"] == 1
+    # every (host kind, path kind) combination actually occurred
+    assert len(saw) == 12
