@@ -51,6 +51,9 @@ OPS = [
     "q87_semdedup",
     "q104_semdedup_twolevel",
     "q59_hits",
+    # round-4 linear-claim dedup ops
+    "q101_chunk_dedup",
+    "q106_dup_span_extents",
 ]
 
 
