@@ -1158,3 +1158,110 @@ def _q114_finalize_oracle() -> None:
 
 
 _q114_finalize_oracle()
+
+
+# --------------------------------------------------------------------------
+# q119: inbound anchor-text field — the oracle-gated twin of the serving
+# tier's anchor stage (anchors.py: href extraction -> normalize ->
+# per-anchor term SET -> (target doc, term, n_anchors) hash agg; blend
+# component of score_exhaustive(w_anchor=...)). The driver tables carry
+# no HTML, so the link graph is synthesized deterministically from
+# doc_id (the frontier/q79 convention): each doc emits ANCHOR_FANOUT
+# outbound links (the reference keeps 10 extracted links per page,
+# Crawler.java:281-283) to dst = (doc_id*7 + 13*j) % n_docs, and the
+# j-th anchor's text is the ANCHOR_WORDS-word slice of the SOURCE text
+# starting at word j — distinct anchors from one source carry distinct
+# text, like real pages. Semantics mirror anchors.anchor_occurrences
+# exactly: term set PER ANCHOR (duplicates within one anchor collapse;
+# the same term arriving via different anchors counts once per anchor),
+# then n_anchors = count per (target, term), then the top ANCHOR_TOP
+# terms per target (n_anchors DESC, term ASC — total tie-break).
+#
+# Scale shape: one corpus pass (split + slice + explode, no shuffle
+# until the agg), a DISTINCT + hash agg on (dst, term) — output bounded
+# by anchor tokens, far below the token table; the per-target top-k is
+# a window over groups of <= fanout*words rows. n_docs rides the plan
+# as a 1-row broadcast (q91's idiom), never a driver count() job.
+
+ANCHOR_FANOUT = 3
+ANCHOR_WORDS = 3
+ANCHOR_TOP = 2
+
+
+def q119_anchor_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    n_row = docs.agg(F.count("*").alias("n_docs"))
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    links = (
+        docs.crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("doc_id").alias("src_id"),
+            F.col("n_docs"),
+            toks_arr.alias("toks"),
+            F.explode(
+                F.array(*[F.lit(k) for k in range(1, ANCHOR_FANOUT + 1)])
+            ).alias("j"),
+        )
+        .select(
+            "src_id",
+            "j",
+            ((F.col("src_id") * 7 + F.col("j") * 13) % F.col("n_docs"))
+            .alias("dst_id"),
+            F.slice(F.col("toks"), F.col("j"), ANCHOR_WORDS).alias("anchor"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+    )
+    occ = (
+        links.select(
+            "src_id", "j", "dst_id", F.explode("anchor").alias("term")
+        )
+        .distinct()  # per-anchor term SET (anchors.py semantics)
+    )
+    field = occ.groupBy("dst_id", "term").agg(
+        F.count("*").alias("n_anchors")
+    )
+    w = Window.partitionBy("dst_id").orderBy(
+        F.desc("n_anchors"), F.asc("term")
+    )
+    return (
+        field.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANCHOR_TOP)
+        .select(
+            F.col("dst_id").alias("doc_id"), "term", "n_anchors", "rnk"
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+QUERIES["q119_anchor_field"] = q119_anchor_field
+
+ORACLE["q119_anchor_field"] = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+links AS (
+  SELECT d.doc_id AS src_id, j.j,
+         (d.doc_id * 7 + j.j * 13) % n.n_docs AS dst_id,
+         list_slice(list_filter(string_split(d.text, ' '), x -> x <> ''),
+                    j.j, j.j + {ANCHOR_WORDS - 1}) AS anchor
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN (VALUES {", ".join(f"({k})" for k in range(1, ANCHOR_FANOUT + 1))}) AS j(j)
+),
+occ AS (
+  SELECT DISTINCT src_id, j, dst_id, t.term
+  FROM links, unnest(links.anchor) AS t(term)
+  WHERE src_id <> dst_id
+),
+field AS (
+  SELECT dst_id, term, count(*) AS n_anchors
+  FROM occ GROUP BY dst_id, term
+)
+SELECT doc_id, term, n_anchors, rnk
+FROM (
+  SELECT dst_id AS doc_id, term, n_anchors,
+         row_number() OVER (PARTITION BY dst_id
+                            ORDER BY n_anchors DESC, term ASC) AS rnk
+  FROM field
+)
+WHERE rnk <= {ANCHOR_TOP}
+ORDER BY doc_id, rnk
+"""
