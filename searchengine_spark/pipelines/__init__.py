@@ -44,6 +44,7 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
+    "q119_anchor_field",
     "q118_robots_gate",
     "q116_chunk_quality",
     "q117_langid_confusion",

@@ -391,3 +391,31 @@ def test_q110_q115_centroid_tables_broadcast(spark):
         "BroadcastExchange" in p2
     ), p2
     assert "CartesianProduct" not in p2
+
+
+def test_q119_anchor_field_plan(spark):
+    """Anchor-field twin: constructing the plan schedules zero Spark
+    jobs (n_docs rides as a 1-row broadcast, never a driver count()),
+    the documents scan is pruned to (doc_id, text), and no
+    CartesianProduct appears — the only cross is the broadcast 1-row
+    count."""
+    from searchengine_spark.pipelines.fulltext import q119_anchor_field
+
+    group = "q119-plan-probe"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "plan construction must be lazy")
+    try:
+        df = q119_anchor_field(spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastExchange" in p, p
+    for s in scan_blocks(p):
+        m = re.search(r"ReadSchema: struct<(.*?)>", s)
+        assert m, s
+        inner = m.group(1)
+        # struct<> = the count-only scan, zero columns read — best case
+        cols = {c.split(":")[0] for c in inner.split(",")} if inner else set()
+        assert cols <= {"doc_id", "text"}, cols
