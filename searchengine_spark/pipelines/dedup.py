@@ -1668,3 +1668,119 @@ SELECT doc_id, min(p)::BIGINT AS span_start, max(p)::BIGINT AS span_end,
        count(*)::BIGINT AS span_len
 FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
+
+
+# --------------------------------------------------------------------------
+# q120: source-overlap matrix via one-permutation MinHash (OPH) — the
+# SKETCH-path complement to q85's exact LSH dup-leakage matrix: instead
+# of materializing near-dup PAIRS (|pairs| can be huge when two feeds
+# share a scrape), estimate the shingle-set Jaccard between every pair
+# of sources from a fixed-size per-source signature. One permutation,
+# OVERLAP_BUCKETS buckets keyed by sh % B, signature = min(sh) per
+# (source, bucket) [Li/Owen/Zhang, "One Permutation Hashing", NIPS'12].
+# J(a,b) is estimated by the match rate of bucket minima over co-filled
+# buckets.
+#
+# Scale shape — this is the part q85 can't do at 100 TB: the signature
+# is a partial-aggregable MIN (map-side combine collapses each input
+# split to <= |sources|*B rows before the shuffle), so the full corpus
+# reduces to a |sources|*B-row table in one pass with no window, no
+# distinct, and no pair materialization; the pair join is then
+# signature×signature on the bucket index — O(|sources|^2 * B) rows,
+# constant in corpus size. Estimator variance ~ 1/sqrt(B): B=128 gives
+# ±~9% absolute, plenty for a copy-which-feed diagnostic (pytest bounds
+# it against exact Jaccard).
+# --------------------------------------------------------------------------
+
+OVERLAP_W = 5  # shingle width (tokens)
+OVERLAP_BUCKETS = 128
+
+
+def source_shingle_occ(docs: DataFrame) -> DataFrame:
+    """(source, sh) one row per OVERLAP_W-token window. Duplicates are
+    harmless downstream (MIN is idempotent), so no distinct."""
+    w = OVERLAP_W
+    base = docs.select(
+        "source",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    sh_arr = F.when(
+        F.col("n_toks") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_toks") - w + 1),
+            lambda i: portable_hash(F.concat_ws(" ", F.slice("toks", i, w))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    return base.select("source", F.explode(sh_arr).alias("sh"))
+
+
+def source_signatures(docs: DataFrame) -> DataFrame:
+    """(source, bucket, mn): the OPH signature — min hash per bucket."""
+    return (
+        source_shingle_occ(docs)
+        .groupBy("source", (F.col("sh") % OVERLAP_BUCKETS).alias("bucket"))
+        .agg(F.min("sh").alias("mn"))
+    )
+
+
+def q120_source_overlap_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = source_signatures(load_docs(spark, sf_dir))
+    a = sig.select(
+        F.col("source").alias("source_a"), "bucket", F.col("mn").alias("mn_a")
+    )
+    b = sig.select(
+        F.col("source").alias("source_b"), "bucket", F.col("mn").alias("mn_b")
+    )
+    est = (
+        a.join(b, "bucket")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("mn_a") == F.col("mn_b")).cast("long")).alias(
+                "n_match"
+            ),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_buckets",
+            "n_match",
+            # same integer inputs + one IEEE division on both engines ->
+            # bit-identical; per CLAUDE.md, no round() on top
+            (F.col("n_match").cast("double") / F.col("n_buckets")).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return est
+
+
+QUERIES["q120_source_overlap_oph"] = q120_source_overlap_oph
+
+ORACLE["q120_source_overlap_oph"] = f"""
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT source, len(toks) AS n_toks, toks FROM t),
+occ AS (
+  SELECT source,
+         {PORTABLE_HASH_SQL.format(
+             c=f"array_to_string(toks[i:i+{OVERLAP_W - 1}], ' ')")} AS sh
+  FROM base, unnest(range(1, greatest(n_toks - {OVERLAP_W - 1}, 0) + 1)) AS u(i)
+),
+sig AS (
+  SELECT source, sh % {OVERLAP_BUCKETS} AS bucket, min(sh) AS mn
+  FROM occ GROUP BY source, bucket
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_buckets,
+       sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)::BIGINT::DOUBLE / count(*)
+         AS jaccard_est
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""

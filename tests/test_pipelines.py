@@ -948,3 +948,48 @@ def test_robots_gate_reference_semantics(spark):
             assert r["crawl_delay_ms"] == 1000 and r["crawl_allowed"] == 1
     # every (host kind, path kind) combination actually occurred
     assert len(saw) == 12
+
+
+def test_source_overlap_oph_bounds_exact_jaccard(spark):
+    """q120's one-permutation-MinHash estimate tracks the EXACT
+    shingle-set Jaccard: with B=128 buckets the estimator std is
+    <= sqrt(0.25/128) ~= 0.044, so |est - exact| < 0.15 (>3 sigma) for
+    every source pair, and the mean absolute error is < 0.05."""
+    from pyspark.sql import functions as F
+    from searchengine_spark.pipelines.dedup import (
+        load_docs,
+        q120_source_overlap_oph,
+        source_shingle_occ,
+    )
+
+    docs = load_docs(spark, SF_DIR)
+    occ = source_shingle_occ(docs).distinct()
+    sizes = {
+        r["source"]: r["n"]
+        for r in occ.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    inter = {
+        (r["sa"], r["sb"]): r["ni"]
+        for r in (
+            occ.alias("a")
+            .join(occ.alias("b"), "sh")
+            .filter(F.col("a.source") < F.col("b.source"))
+            .groupBy(
+                F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+            )
+            .agg(F.count("*").alias("ni"))
+            .collect()
+        )
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["jaccard_est"]
+        for r in q120_source_overlap_oph(spark, SF_DIR).collect()
+    }
+    assert est, "no source pairs"
+    errs = []
+    for (sa, sb), e in est.items():
+        ni = inter.get((sa, sb), 0)
+        exact = ni / (sizes[sa] + sizes[sb] - ni)
+        errs.append(abs(e - exact))
+        assert abs(e - exact) < 0.15, (sa, sb, e, exact)
+    assert sum(errs) / len(errs) < 0.05, sum(errs) / len(errs)
