@@ -1188,8 +1188,10 @@ ANCHOR_WORDS = 3
 ANCHOR_TOP = 2
 
 
-def q119_anchor_field(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir)
+def anchor_field_full(docs: DataFrame) -> DataFrame:
+    """(dst_id, term, n_anchors) — the FULL inbound anchor-text field
+    over the synthetic link graph (q119 windows it to the top terms;
+    q121's BM25F consumes it whole as the anchor field)."""
     n_row = docs.agg(F.count("*").alias("n_docs"))
     toks_arr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     links = (
@@ -1217,9 +1219,11 @@ def q119_anchor_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # per-anchor term SET (anchors.py semantics)
     )
-    field = occ.groupBy("dst_id", "term").agg(
-        F.count("*").alias("n_anchors")
-    )
+    return occ.groupBy("dst_id", "term").agg(F.count("*").alias("n_anchors"))
+
+
+def q119_anchor_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    field = anchor_field_full(load_docs(spark, sf_dir))
     w = Window.partitionBy("dst_id").orderBy(
         F.desc("n_anchors"), F.asc("term")
     )
@@ -1264,4 +1268,205 @@ FROM (
 )
 WHERE rnk <= {ANCHOR_TOP}
 ORDER BY doc_id, rnk
+"""
+
+
+# --------------------------------------------------------------------------
+# q121: BM25F — field-weighted BM25 over TWO fields: the document body
+# and the q119 inbound anchor-text field (Robertson/Zaragoza/Taylor,
+# CIKM'04: per-field length-normalized tf, weighted-summed into one
+# pseudo-frequency, ONE saturation k1 on the combined value — NOT a
+# score-level mix, which would double-saturate). This is the scoring
+# upgrade the serving tier's w_anchor blend approximates; idf is over
+# documents matching in ANY field.
+#
+# Determinism: the per-doc score is a sum over the (two) fixed query
+# terms — folded as MAX-per-term conditional aggregates added in a
+# FIXED order (s_t0 + s_t1), never a float SUM whose partial order
+# could vary with parallelism. Scale shape: anchor field from
+# anchor_field_full (hash aggs), body tf/dl hash aggs, df and corpus
+# scalars as 1-row broadcasts, pool via orderBy+limit
+# (TakeOrderedAndProject), rank window over <= K rows.
+# --------------------------------------------------------------------------
+
+BM25F_TERMS = ("spark", "query")
+BM25F_W_BODY = 1.0
+BM25F_W_ANCHOR = 2.0
+BM25F_B_BODY = 0.75
+BM25F_B_ANCHOR = 0.5
+BM25F_K = 20
+
+
+def q121_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = tokens(spark, sf_dir)
+    terms = list(BM25F_TERMS)
+
+    tf_b = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf_b"))
+    )
+    dl_b = toks.groupBy("doc_id").agg(F.count("*").alias("dl_b"))
+    af = anchor_field_full(docs)
+    tf_a = af.filter(F.col("term").isin(terms)).select(
+        F.col("dst_id").alias("doc_id"), "term",
+        F.col("n_anchors").alias("tf_a"),
+    )
+    dl_a = af.groupBy(F.col("dst_id").alias("doc_id")).agg(
+        F.sum("n_anchors").alias("dl_a")
+    )
+    # corpus scalars ride the plan as a 1-row broadcast (q91's idiom):
+    # avgdl_b exact-int partial sums / one divide; avgdl_a counts docs
+    # with NO anchors as length 0 (total anchor occurrences / n_docs)
+    stats = (
+        dl_b.agg(F.avg("dl_b").alias("avgdl_b"))
+        .crossJoin(af.agg(F.sum("n_anchors").alias("total_a")))
+        .crossJoin(docs.agg(F.count("*").alias("n_docs")))
+        .select(
+            "avgdl_b",
+            (F.col("total_a").cast("double") / F.col("n_docs")).alias(
+                "avgdl_a"
+            ),
+            "n_docs",
+        )
+    )
+    cand = tf_b.join(tf_a, ["doc_id", "term"], "full_outer").select(
+        "doc_id",
+        "term",
+        F.coalesce("tf_b", F.lit(0)).alias("tf_b"),
+        F.coalesce("tf_a", F.lit(0)).alias("tf_a"),
+    )
+    df_any = cand.groupBy("term").agg(F.count("*").alias("df"))
+    tfn = F.lit(BM25F_W_BODY) * F.col("tf_b") / (
+        F.lit(1.0 - BM25F_B_BODY)
+        + F.lit(BM25F_B_BODY) * F.col("dl_b") / F.col("avgdl_b")
+    ) + F.lit(BM25F_W_ANCHOR) * F.col("tf_a") / (
+        F.lit(1.0 - BM25F_B_ANCHOR)
+        + F.lit(BM25F_B_ANCHOR) * F.col("dl_a") / F.col("avgdl_a")
+    )
+    sc = (
+        cand.join(dl_b, "doc_id")
+        .join(dl_a, "doc_id", "left")
+        .withColumn("dl_a", F.coalesce("dl_a", F.lit(0)))
+        .join(F.broadcast(df_any), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tfn", tfn)
+        .withColumn(
+            "s",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tfn")
+            / (F.lit(K1) + F.col("tfn")),
+        )
+    )
+    per_doc = (
+        sc.groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+                ).alias(f"s{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        .withColumn("score", F.col("s0") + F.col("s1"))
+    )
+    pool = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25F_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", F.col("score").alias("bm25f"))
+        .orderBy("rank")
+    )
+
+
+QUERIES["q121_bm25f"] = q121_bm25f
+
+_BM25F_IN = ", ".join(f"'{t}'" for t in BM25F_TERMS)
+
+ORACLE["q121_bm25f"] = f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+links AS (
+  SELECT d.doc_id AS src_id, j.j,
+         (d.doc_id * 7 + j.j * 13) % n.n_docs AS dst_id,
+         list_slice(list_filter(string_split(d.text, ' '), x -> x <> ''),
+                    j.j, j.j + {ANCHOR_WORDS - 1}) AS anchor
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN (VALUES {", ".join(f"({k})" for k in range(1, ANCHOR_FANOUT + 1))}) AS j(j)
+),
+aocc AS (
+  SELECT DISTINCT src_id, j, dst_id, t.term
+  FROM links, unnest(links.anchor) AS t(term)
+  WHERE src_id <> dst_id
+),
+afield AS (
+  SELECT dst_id, term, count(*) AS n_anchors FROM aocc GROUP BY dst_id, term
+),
+tfb AS (
+  SELECT doc_id, term, count(*) AS tf_b FROM toks
+  WHERE term IN ({_BM25F_IN}) GROUP BY doc_id, term
+),
+dlb AS (SELECT doc_id, count(*) AS dl_b FROM toks GROUP BY doc_id),
+tfa AS (
+  SELECT dst_id AS doc_id, term, n_anchors AS tf_a FROM afield
+  WHERE term IN ({_BM25F_IN})
+),
+dla AS (
+  SELECT dst_id AS doc_id, sum(n_anchors)::BIGINT AS dl_a
+  FROM afield GROUP BY dst_id
+),
+stats AS (
+  SELECT (SELECT avg(dl_b) FROM dlb) AS avgdl_b,
+         (SELECT sum(n_anchors)::BIGINT FROM afield)::DOUBLE
+           / (SELECT n_docs FROM n) AS avgdl_a,
+         (SELECT n_docs FROM n) AS n_docs
+),
+cand AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         coalesce(b.term, a.term) AS term,
+         coalesce(b.tf_b, 0) AS tf_b,
+         coalesce(a.tf_a, 0) AS tf_a
+  FROM tfb b FULL OUTER JOIN tfa a
+    ON b.doc_id = a.doc_id AND b.term = a.term
+),
+dfany AS (SELECT term, count(*) AS df FROM cand GROUP BY term),
+scored AS (
+  SELECT c.doc_id, c.term, d.df, s.n_docs,
+         {BM25F_W_BODY}::DOUBLE * c.tf_b
+           / ({1.0 - BM25F_B_BODY} + {BM25F_B_BODY} * b.dl_b / s.avgdl_b)
+       + {BM25F_W_ANCHOR}::DOUBLE * c.tf_a
+           / ({1.0 - BM25F_B_ANCHOR}
+              + {BM25F_B_ANCHOR} * coalesce(l.dl_a, 0) / s.avgdl_a) AS tfn
+  FROM cand c
+  JOIN dlb b USING (doc_id)
+  LEFT JOIN dla l USING (doc_id)
+  JOIN dfany d USING (term)
+  CROSS JOIN stats s
+),
+contrib AS (
+  SELECT doc_id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tfn / ({K1} + tfn) AS s
+  FROM scored
+),
+per_doc AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN term = '{BM25F_TERMS[0]}' THEN s END), 0.0)
+         + coalesce(max(CASE WHEN term = '{BM25F_TERMS[1]}' THEN s END), 0.0)
+           AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT rank, doc_id, score AS bm25f
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM per_doc
+)
+WHERE rank <= {BM25F_K}
+ORDER BY rank
 """
