@@ -486,3 +486,92 @@ UNION ALL
 SELECT auth AS node, 'auth' AS kind, round(a, 9) AS score FROM a{HITS_ITERS}
 ORDER BY kind, node
 """
+
+
+# --------------------------------------------------------------------------
+# q122: multi-source BFS hop layers — "how far is every node from the
+# seed set", the crawl-depth / link-distance primitive (the reference's
+# crawler explores exactly this frontier ordering, Crawler.java's
+# queue; PageRank/HITS need the same edge iteration but weighted).
+# Bounded to BFS_MAX_HOPS rounds; hop = exact shortest distance for
+# nodes within the bound, unreachable/farther nodes are absent.
+#
+# Spark side: classic frontier iteration — each round is one equi-join
+# (edges x frontier), a distinct, and an anti-join against the settled
+# set, all hash shuffles on int64 keys; the frontier SHRINKS as the
+# reachable set saturates, so round cost decays. The H-round loop is
+# unrolled lazily (H=4 keeps the plan shallow); at diameter scale you'd
+# localCheckpoint per round (q59's idiom) or switch to q38's
+# pointer-doubling for O(log n) closure. Oracle: DuckDB recursive CTE
+# with UNION-dedup, min(hop) per node — BFS distance by definition.
+# --------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 4
+BFS_SEED_MOD = 97  # seeds: part nodes with id % 97 == 0
+
+
+def q122_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges(spark, sf_dir).cache()
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .filter(
+            (F.col("node") < SUPP_OFFSET)
+            & (F.col("node") % BFS_SEED_MOD == 0)
+        )
+        .distinct()
+    )
+    return bfs_layers(e, seeds, BFS_MAX_HOPS)
+
+
+def bfs_layers(e: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """(node, hop) min-hop BFS from `seeds` over directed (src, dst)
+    edges, bounded to max_hops rounds."""
+    dist = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        # each layer is materialized once (q38/q59's idiom): `new` feeds
+        # BOTH the settled union and the next frontier/anti-join — without
+        # the checkpoint the unrolled lineage recomputes every earlier
+        # round per later round (O(H^2) joins)
+        new = (
+            nxt.join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        dist = dist.unionAll(new)
+        frontier = new
+    return dist.orderBy("hop", "node")
+
+
+QUERIES["q122_bfs_layers"] = q122_bfs_layers
+
+ORACLE["q122_bfs_layers"] = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_partkey::BIGINT AS part,
+                  l_suppkey::BIGINT + {SUPP_OFFSET} AS supp
+  FROM lineitem
+),
+e AS (
+  SELECT part AS src, supp AS dst FROM li
+  UNION ALL
+  SELECT supp AS src, part AS dst FROM li
+),
+seeds AS (
+  SELECT DISTINCT src AS node FROM e
+  WHERE src < {SUPP_OFFSET} AND src % {BFS_SEED_MOD} = 0
+),
+bfs(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, bfs.hop + 1
+  FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.hop < {BFS_MAX_HOPS}
+)
+SELECT node, min(hop)::INT AS hop
+FROM bfs GROUP BY node ORDER BY hop, node
+"""

@@ -993,3 +993,19 @@ def test_source_overlap_oph_bounds_exact_jaccard(spark):
         errs.append(abs(e - exact))
         assert abs(e - exact) < 0.15, (sa, sb, e, exact)
     assert sum(errs) / len(errs) < 0.05, sum(errs) / len(errs)
+
+
+def test_bfs_layers_planted(spark):
+    """BFS on a planted graph: a directed chain 0->1->2->3->4->5 plus a
+    shortcut 0->3 — min-hop must take the shortcut (hop(3)=1, hop(4)=2),
+    and the max_hops bound must exclude nodes past it."""
+    from searchengine_spark.pipelines.graph import bfs_layers
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["hop"] for r in bfs_layers(e, seeds, 2).collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}, got
