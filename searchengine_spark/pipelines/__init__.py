@@ -44,6 +44,10 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
+    "q123_leakage_safe_split",
+    "q122_bfs_layers",
+    "q121_bm25f",
+    "q120_source_overlap_oph",
     "q119_anchor_field",
     "q118_robots_gate",
     "q116_chunk_quality",

@@ -1784,3 +1784,61 @@ FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY source_a, source_b
 """
+
+
+# --------------------------------------------------------------------------
+# q123: leakage-safe train/val/test split — the assignment a training
+# pipeline must make AFTER dedup, not before: hash-splitting doc_ids
+# leaks near-duplicates across train/test (the classic contamination
+# bug q41 decontaminates against external eval sets, but intra-corpus
+# near-dup leakage needs the split itself keyed on the DUP CLUSTER).
+# Split = portable_hash(cluster_id) % 10 -> 8/1/1 train/val/test, so
+# every member of a near-dup cluster (q38's connected components over
+# the LSH pair graph) lands in the SAME split by construction.
+#
+# Scale shape: q38's CC labels (int64 rows, pointer-doubling) join
+# doc-keyed against a 2-column documents projection; the split is a
+# map-only expression on the label — no extra shuffle beyond q38
+# itself. Output is the per-doc assignment (the artifact a pipeline
+# writes back as a partition column).
+# --------------------------------------------------------------------------
+
+SPLIT_MOD = 10
+SPLIT_TRAIN_LT = 8  # h < 8 train, h = 8 val, h = 9 test
+
+
+def q123_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = q38_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_docs(spark, sf_dir).select("doc_id", "source")
+    h = portable_hash(F.col("cluster_id").cast("string")) % SPLIT_MOD
+    return (
+        cc.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "cluster_id",
+            F.when(h < SPLIT_TRAIN_LT, "train")
+            .when(h == SPLIT_TRAIN_LT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q123_leakage_safe_split"] = q123_leakage_safe_split
+
+ORACLE["q123_leakage_safe_split"] = f"""
+WITH RECURSIVE {_CC_CTES},
+asg AS (
+  SELECT d.doc_id, d.source, c.cluster_id,
+         {PORTABLE_HASH_SQL.format(c="c.cluster_id::VARCHAR")}
+           % {SPLIT_MOD} AS h
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, cluster_id,
+       CASE WHEN h < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN h = {SPLIT_TRAIN_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM asg ORDER BY doc_id
+"""

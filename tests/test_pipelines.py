@@ -1009,3 +1009,34 @@ def test_bfs_layers_planted(spark):
         r["node"]: r["hop"] for r in bfs_layers(e, seeds, 2).collect()
     }
     assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}, got
+
+
+def test_leakage_safe_split_invariants(spark):
+    """q123: (a) every dup cluster lands in exactly ONE split — the
+    leakage guarantee the operator exists for; (b) multi-doc clusters
+    exist in the fixture (else (a) is vacuous); (c) each cluster's
+    split equals the independently-recomputed md5-of-label assignment
+    (doc-level proportions are deliberately lumpy on a small fixture:
+    whole clusters move together)."""
+    import hashlib
+
+    from searchengine_spark.pipelines.dedup import (
+        SPLIT_MOD,
+        SPLIT_TRAIN_LT,
+        q123_leakage_safe_split,
+    )
+
+    rows = q123_leakage_safe_split(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len(by_cluster) < len(rows), "no multi-doc clusters in fixture"
+    for cid, splits in by_cluster.items():
+        h = int(hashlib.md5(str(cid).encode()).hexdigest()[:15], 16)
+        b = h % SPLIT_MOD
+        want = (
+            "train" if b < SPLIT_TRAIN_LT
+            else "val" if b == SPLIT_TRAIN_LT else "test"
+        )
+        assert splits == {want}, (cid, splits, want)
