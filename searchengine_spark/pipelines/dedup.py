@@ -1732,7 +1732,8 @@ def q120_source_overlap_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"), "bucket", F.col("mn").alias("mn_b")
     )
     est = (
-        a.join(b, "bucket")
+        # |sources|*B rows per side — pin the broadcast
+        a.join(F.broadcast(b), "bucket")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(

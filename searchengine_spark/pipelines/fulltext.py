@@ -1308,7 +1308,10 @@ def q121_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf_b"))
     )
     dl_b = toks.groupBy("doc_id").agg(F.count("*").alias("dl_b"))
-    af = anchor_field_full(docs)
+    # the anchor field feeds THREE subtrees (tf_a, dl_a, total_a);
+    # cache so the explode+distinct+agg pipeline runs once, not 3x
+    # (lazy — no job at plan-construction time)
+    af = anchor_field_full(docs).cache()
     tf_a = af.filter(F.col("term").isin(terms)).select(
         F.col("dst_id").alias("doc_id"), "term",
         F.col("n_anchors").alias("tf_a"),

@@ -419,3 +419,18 @@ def test_q119_anchor_field_plan(spark):
         # struct<> = the count-only scan, zero columns read — best case
         cols = {c.split(":")[0] for c in inner.split(",")} if inner else set()
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_q121_bm25f_plan(spark):
+    """BM25F: the final pool compiles to TakeOrderedAndProject (never a
+    global sort), corpus scalars/df ride as broadcasts, the anchor
+    field is cached (InMemoryRelation) so its explode+distinct+agg
+    pipeline feeds tf_a/dl_a/total_a once, and nothing degenerates to
+    a CartesianProduct."""
+    from searchengine_spark.pipelines.fulltext import q121_bm25f
+
+    p = plan(q121_bm25f(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p, p
+    assert "CartesianProduct" not in p, p
