@@ -54,6 +54,12 @@ OPS = [
     # round-4 linear-claim dedup ops
     "q101_chunk_dedup",
     "q106_dup_span_extents",
+    # round-4 closing additions (q119-q123)
+    "q119_anchor_field",
+    "q120_source_overlap_oph",
+    "q121_bm25f",
+    "q122_bfs_layers",
+    "q123_leakage_safe_split",
 ]
 
 
