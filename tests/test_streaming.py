@@ -584,3 +584,66 @@ def test_stream_novelty_matches_batch(spark):
     stream_novelty_occurrences(spark, docs_dir, nov_dir, ckpt).awaitTermination()
     again = [tuple(r) for r in read_ngram_novelty(spark, nov_dir).collect()]
     assert again == streamed
+
+
+def test_stream_anchor_field_matches_batch(spark, tiny_pages_path):
+    """Anchor field streamed in two page micro-batches folds to
+    row-identical batch anchor_terms output, INCLUDING targets whose
+    inbound anchors arrive in different batches; replaying with the
+    same checkpoint adds nothing (per-batch overwrite idempotence)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.anchors import anchor_terms
+    from searchengine_spark.streaming.anchors import (
+        read_anchor_field,
+        stream_anchor_occurrences,
+    )
+
+    pages_in = os.path.join(STREAMDIR, "anchors_pages")
+    anchors_dir = os.path.join(STREAMDIR, "anchors_part")
+    ckpt = os.path.join(STREAMDIR, "anchors_ckpt")
+    for d in (pages_in, anchors_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(pages_in)
+
+    tbl = pq.read_table(tiny_pages_path)
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), os.path.join(pages_in, "b0.parquet"))
+    stream_anchor_occurrences(
+        spark, pages_in, anchors_dir, ckpt
+    ).awaitTermination()
+    first = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in read_anchor_field(spark, anchors_dir).collect()
+    }
+    pq.write_table(tbl.slice(half), os.path.join(pages_in, "b1.parquet"))
+    stream_anchor_occurrences(
+        spark, pages_in, anchors_dir, ckpt
+    ).awaitTermination()
+    folded = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in read_anchor_field(spark, anchors_dir).collect()
+    }
+
+    batch = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in anchor_terms(
+            spark, spark.read.parquet(tiny_pages_path)
+        ).collect()
+    }
+    assert folded == batch
+    # cross-batch: some target's count GREW past its first-batch value
+    # (its inbound anchors span both batches) — a per-batch aggregation
+    # would have frozen it at the batch-0 count
+    grown = [k for k, v in folded.items() if k in first and v > first[k]]
+    assert grown, "fixture link graph has no cross-batch anchor target"
+
+    # replay with the same checkpoint: nothing new, fold identical
+    stream_anchor_occurrences(
+        spark, pages_in, anchors_dir, ckpt
+    ).awaitTermination()
+    again = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in read_anchor_field(spark, anchors_dir).collect()
+    }
+    assert again == batch
