@@ -132,6 +132,13 @@ BENCH_QUERIES = [
     "q116_chunk_quality",
     "q117_langid_confusion",
     "q118_robots_gate",
+    "q119_anchor_field",
+    "q120_source_overlap_oph",
+    "q121_bm25f",
+    "q122_bfs_layers",
+    # q123 rides q38 -> q17's pair set, degenerate at sf0.1 (see q17's
+    # note above) — gated at sf0.01 only; its 10x datapoint lives in
+    # tools/pipeline_scale_proof.py over the non-degenerate corpus.
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)
