@@ -1479,3 +1479,85 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# q124: ANN recall@k audit — the acceptance gate a production pipeline
+# runs before trusting an approximate index: per-query overlap between
+# the IVF shortlist top-k (q21) and the exhaustive top-k (q20), plus a
+# macro row (query_id = -1) with the corpus-level recall. pytest bounds
+# the IVF recall once at fixture scale; THIS entry makes the audit a
+# reusable, oracle-gated operator you can run against any corpus drop
+# (recall decays silently as the vector distribution drifts from the
+# centroids — the audit is how you notice).
+#
+# Scale shape: the expensive inputs are q20/q21 themselves (their own
+# entries document the broadcast/probe designs); the audit on top is
+# two (query_id, vec_id)-keyed hash joins and a |queries|-row agg —
+# noise. At real scale you run it on a SAMPLED query set against the
+# full index: the audit composes unchanged because recall is per-query.
+# --------------------------------------------------------------------------
+
+
+def q124_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q20_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = q21_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    hit = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+        )
+    )
+    rows = per.select(
+        "query_id",
+        "k",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_k"),
+    )
+    macro = per.agg(
+        F.sum("k").alias("k"), F.sum("n_hit").alias("n_hit")
+    ).select(
+        F.lit(-1).cast("long").alias("query_id"),
+        "k",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_k"),
+    )
+    return rows.unionAll(macro).orderBy("query_id")
+
+
+QUERIES["q124_ann_recall_audit"] = q124_ann_recall_audit
+
+ORACLE["q124_ann_recall_audit"] = f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({ORACLE["q20_ann_bruteforce"]})
+),
+approx AS (
+  SELECT query_id, vec_id FROM ({ORACLE["q21_ann_ivf"]})
+),
+hit AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+),
+per AS (
+  SELECT kk.query_id, kk.k, coalesce(h.n_hit, 0)::BIGINT AS n_hit
+  FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id) kk
+  LEFT JOIN hit h USING (query_id)
+)
+SELECT query_id, k, n_hit, n_hit::DOUBLE / k AS recall_at_k FROM per
+UNION ALL
+SELECT -1::BIGINT, sum(k)::BIGINT, sum(n_hit)::BIGINT,
+       sum(n_hit)::BIGINT::DOUBLE / sum(k)::BIGINT
+FROM per
+ORDER BY query_id
+"""
