@@ -1342,3 +1342,103 @@ FROM scored ORDER BY doc_id, chunk_id
 
 
 ORACLE["q116_chunk_quality"] = _q116_oracle()
+
+
+# --------------------------------------------------------------------------
+# q125: curation funnel report — the per-source attrition table every
+# dataset card publishes (Gopher/RefinedWeb style): how many docs each
+# source loses at each gate of q40's pipeline, in q40's gate order
+# (lang -> quality -> repetition -> exact dedup). q40 emits the
+# SURVIVORS; this emits the per-stage counts that justify them — the
+# diagnostic that tells you WHICH gate is eating a feed before you
+# re-tune thresholds.
+#
+# Scale shape: the same map-only flag expressions as q40 (lang argmax,
+# 9dp-rounded quality, repetition fractions) plus q15's md5-keyed
+# first-occurrence join; gates fold to int flags IN ROW, then ONE
+# |sources|-row conditional-sum agg — the report adds no shuffle beyond
+# the gates themselves. Gate flags are cumulative (gN implies gN-1), so
+# the columns read as a funnel directly.
+# --------------------------------------------------------------------------
+
+
+def q125_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import q15_dedup_exact
+    from .textstats import pred_lang_col, quality_col
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    base = docs.select(
+        "doc_id",
+        "source",
+        pred_lang_col().alias("pred_lang"),
+        quality_col().alias("quality"),
+    )
+    rep = q36_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    ded = q15_dedup_exact(spark, sf_dir).select("doc_id", "canonical_id")
+    g1 = F.col("pred_lang").isin(*CURATE_LANGS)
+    g2 = g1 & (F.col("quality") >= CURATE_MIN_QUALITY)
+    g3 = g2 & (F.col("rep_keep") == 1)
+    g4 = g3 & (F.col("doc_id") == F.col("canonical_id"))
+    flagged = (
+        base.join(rep, "doc_id")
+        .join(ded, "doc_id")
+        .select(
+            "source",
+            g1.cast("long").alias("g1"),
+            g2.cast("long").alias("g2"),
+            g3.cast("long").alias("g3"),
+            g4.cast("long").alias("g4"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("g1").alias("after_lang"),
+            F.sum("g2").alias("after_quality"),
+            F.sum("g3").alias("after_repetition"),
+            F.sum("g4").alias("after_dedup"),
+        )
+        .withColumn(
+            "survival_rate",
+            F.col("after_dedup").cast("double") / F.col("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q125_curation_funnel"] = q125_curation_funnel
+
+ORACLE["q125_curation_funnel"] = f"""
+WITH lang AS (SELECT doc_id, pred_lang FROM ({_TS_ORACLE["q22_lang_id"]})),
+qual AS (SELECT doc_id, quality FROM ({_TS_ORACLE["q23_quality"]})),
+rep AS (SELECT doc_id, keep AS rep_keep FROM ({ORACLE["q36_repetition_filter"]})),
+ded AS (SELECT doc_id, canonical_id FROM ({_DEDUP_ORACLE["q15_dedup_exact"]})),
+d AS (SELECT doc_id, source FROM documents),
+g AS (
+  SELECT d.source,
+         CASE WHEN pred_lang IN ({", ".join(f"'{l}'" for l in CURATE_LANGS)})
+              THEN 1 ELSE 0 END AS g1,
+         CASE WHEN pred_lang IN ({", ".join(f"'{l}'" for l in CURATE_LANGS)})
+               AND quality >= {CURATE_MIN_QUALITY}
+              THEN 1 ELSE 0 END AS g2,
+         CASE WHEN pred_lang IN ({", ".join(f"'{l}'" for l in CURATE_LANGS)})
+               AND quality >= {CURATE_MIN_QUALITY} AND rep_keep = 1
+              THEN 1 ELSE 0 END AS g3,
+         CASE WHEN pred_lang IN ({", ".join(f"'{l}'" for l in CURATE_LANGS)})
+               AND quality >= {CURATE_MIN_QUALITY} AND rep_keep = 1
+               AND d.doc_id = canonical_id
+              THEN 1 ELSE 0 END AS g4
+  FROM d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+         JOIN rep USING (doc_id) JOIN ded USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(g1)::BIGINT AS after_lang,
+       sum(g2)::BIGINT AS after_quality,
+       sum(g3)::BIGINT AS after_repetition,
+       sum(g4)::BIGINT AS after_dedup,
+       sum(g4)::BIGINT::DOUBLE / count(*) AS survival_rate
+FROM g GROUP BY source ORDER BY source
+"""

@@ -120,6 +120,13 @@ ORACLE_CHECKED = [
     "q116_chunk_quality",
     "q117_langid_confusion",
     "q118_robots_gate",
+    "q119_anchor_field",
+    "q120_source_overlap_oph",
+    "q121_bm25f",
+    "q122_bfs_layers",
+    "q123_leakage_safe_split",
+    "q124_ann_recall_audit",
+    "q125_curation_funnel",
 ]
 
 
@@ -1040,3 +1047,49 @@ def test_leakage_safe_split_invariants(spark):
             else "val" if b == SPLIT_TRAIN_LT else "test"
         )
         assert splits == {want}, (cid, splits, want)
+
+
+def test_curation_funnel_is_monotone_and_matches_q40(spark):
+    """q125: funnel columns are monotone non-increasing per source
+    (cumulative gates), and the total after_dedup-before-quota equals
+    the survivor count q40 would produce without its quota gate —
+    cross-checked by recomputing q40's predicate set minus quota."""
+    from pyspark.sql import functions as F
+    from searchengine_spark.pipelines.curation import (
+        CURATE_LANGS,
+        CURATE_MIN_QUALITY,
+        _tok_arr,
+        q36_repetition_filter,
+        q125_curation_funnel,
+    )
+    from searchengine_spark.pipelines.dedup import q15_dedup_exact
+    from searchengine_spark.pipelines.textstats import (
+        load_docs,
+        pred_lang_col,
+        quality_col,
+    )
+
+    rows = q125_curation_funnel(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        seq = [r["n_docs"], r["after_lang"], r["after_quality"],
+               r["after_repetition"], r["after_dedup"]]
+        assert seq == sorted(seq, reverse=True), r
+
+    docs = load_docs(spark, SF_DIR).withColumn("toks", _tok_arr())
+    base = docs.select(
+        "doc_id", pred_lang_col().alias("pl"), quality_col().alias("q")
+    )
+    rep = q36_repetition_filter(spark, SF_DIR).select("doc_id", "keep")
+    ded = q15_dedup_exact(spark, SF_DIR).select("doc_id", "canonical_id")
+    expect = (
+        base.join(rep, "doc_id").join(ded, "doc_id")
+        .filter(
+            F.col("pl").isin(*CURATE_LANGS)
+            & (F.col("q") >= CURATE_MIN_QUALITY)
+            & (F.col("keep") == 1)
+            & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .count()
+    )
+    assert sum(r["after_dedup"] for r in rows) == expect
