@@ -60,6 +60,8 @@ OPS = [
     "q121_bm25f",
     "q122_bfs_layers",
     "q123_leakage_safe_split",
+    "q124_ann_recall_audit",
+    "q125_curation_funnel",
 ]
 
 
