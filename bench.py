@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "q122_bfs_layers",
     "q124_ann_recall_audit",
     "q125_curation_funnel",
+    "q126_ann_ndcg_audit",
+    "q127_stopword_discovery",
     # q123 rides q38 -> q17's pair set, degenerate at sf0.1 (see q17's
     # note above) — gated at sf0.01 only; its 10x datapoint lives in
     # tools/pipeline_scale_proof.py over the non-degenerate corpus.

@@ -44,6 +44,8 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
+    "q127_stopword_discovery",
+    "q126_ann_ndcg_audit",
     "q125_curation_funnel",
     "q124_ann_recall_audit",
     "q123_leakage_safe_split",

@@ -1473,3 +1473,67 @@ FROM (
 WHERE rank <= {BM25F_K}
 ORDER BY rank
 """
+
+
+# --------------------------------------------------------------------------
+# q127: stopword discovery — derive the stoplist FROM the corpus
+# instead of shipping one: terms whose document frequency exceeds
+# STOPDISC_DF_RATIO of all docs, with their token-mass coverage (the
+# share of the whole token stream a WAND/stop-list/tiered-index
+# decision about this term affects — exactly how the engine's
+# stop-shingle caps in q83 and the salting threshold in the indexer
+# pick their hot keys). The gate compares exact integers (df·den >=
+# n_docs·num), never a float threshold.
+#
+# Scale shape: one token pass to the (term) hash agg (map-side
+# combinable), corpus scalars as 1-row broadcasts; the qualifying set
+# is by definition tiny (high-df terms), so the final sort is over a
+# handful of rows.
+# --------------------------------------------------------------------------
+
+STOPDISC_DF_RATIO = (2, 5)  # df / n_docs >= 2/5
+
+
+def q127_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    n_row = load_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    tot_row = toks.agg(F.count("*").alias("n_tokens"))
+    num, den = STOPDISC_DF_RATIO
+    wc = toks.groupBy("term").agg(
+        F.count("*").alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        wc.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(tot_row))
+        .filter(F.col("df") * den >= F.col("n_docs") * num)
+        .select(
+            "term",
+            "df",
+            "cf",
+            (F.col("df").cast("double") / F.col("n_docs")).alias("df_ratio"),
+            (F.col("cf").cast("double") / F.col("n_tokens")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy(F.desc("cf"), F.asc("term"))
+    )
+
+
+QUERIES["q127_stopword_discovery"] = q127_stopword_discovery
+
+ORACLE["q127_stopword_discovery"] = f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+tot AS (SELECT count(*) AS n_tokens FROM toks),
+wc AS (
+  SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+)
+SELECT term, df, cf,
+       df::DOUBLE / n.n_docs AS df_ratio,
+       cf::DOUBLE / tot.n_tokens AS coverage
+FROM wc CROSS JOIN n CROSS JOIN tot
+WHERE df * {STOPDISC_DF_RATIO[1]} >= n.n_docs * {STOPDISC_DF_RATIO[0]}
+ORDER BY cf DESC, term ASC
+"""

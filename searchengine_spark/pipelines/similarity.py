@@ -1561,3 +1561,100 @@ SELECT -1::BIGINT, sum(k)::BIGINT, sum(n_hit)::BIGINT,
 FROM per
 ORDER BY query_id
 """
+
+
+# --------------------------------------------------------------------------
+# q126: NDCG@k audit — the RANK-AWARE companion to q124's set recall:
+# two approximate lists with the same recall can differ badly in where
+# they place the best hits; NDCG is the metric retrieval teams actually
+# track. Relevance is graded from the exhaustive ranking (gain of the
+# exact rank-r hit = k-r+1, linear gain), DCG discounts by 1/log2(i+1).
+#
+# Cross-engine float discipline: the discount table AND the ideal DCG
+# are PYTHON-computed double literals embedded verbatim in both the
+# Spark plan and the oracle SQL (repr round-trips exactly), so neither
+# engine evaluates a log at query time — no ln() ulp risk. Per-query
+# DCG terms are quantized to DECIMAL(28,12) BEFORE the sum (q27's
+# order-insensitivity rule), cast to double once (unscaled < 2^53 —
+# exact), divided by the literal IDCG.
+#
+# Scale shape: q124's joins plus a |approx hits|-row map — noise on top
+# of q20/q21; runs on a sampled query set unchanged at real scale.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_DISC = [1.0 / _math.log2(i + 1) for i in range(1, TOP_K + 1)]
+# fixed ascending-rank summation order, then embedded as ONE literal
+_NDCG_IDCG = 0.0
+for _i in range(1, TOP_K + 1):
+    _NDCG_IDCG += (TOP_K - _i + 1) * _NDCG_DISC[_i - 1]
+
+_QDEC = "decimal(28,12)"
+
+
+def q126_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q20_ann_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rank").alias("exact_rank")
+    )
+    approx = q21_ann_ivf(spark, sf_dir).select("query_id", "vec_id", "rank")
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rank")
+    )
+    gain = (F.lit(TOP_K) - F.col("exact_rank") + 1).cast("double")
+    terms = (
+        approx.join(exact, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            F.round(
+                F.when(
+                    F.col("exact_rank").isNotNull(), gain * disc
+                ).otherwise(F.lit(0.0)),
+                12,
+            )
+            .cast(_QDEC)
+            .alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(F.sum("term").alias("dcg_dec"))
+        .select(
+            "query_id",
+            F.col("dcg_dec").cast("double").alias("dcg"),
+            (
+                F.col("dcg_dec").cast("double") / F.lit(_NDCG_IDCG)
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["q126_ann_ndcg_audit"] = q126_ann_ndcg_audit
+
+_NDCG_DISC_SQL = " ".join(
+    f"WHEN {i + 1} THEN {d!r}" for i, d in enumerate(_NDCG_DISC)
+)
+
+ORACLE["q126_ann_ndcg_audit"] = f"""
+WITH exact AS (
+  SELECT query_id, vec_id, rank AS exact_rank
+  FROM ({ORACLE["q20_ann_bruteforce"]})
+),
+approx AS (
+  SELECT query_id, vec_id, rank FROM ({ORACLE["q21_ann_ivf"]})
+),
+terms AS (
+  SELECT a.query_id,
+         round(CASE WHEN e.exact_rank IS NOT NULL
+                    THEN ({TOP_K} - e.exact_rank + 1)::DOUBLE
+                         * (CASE a.rank {_NDCG_DISC_SQL} END)
+                    ELSE 0.0 END, 12)::DECIMAL(28,12) AS term
+  FROM approx a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+)
+SELECT query_id,
+       sum(term)::DECIMAL(28,12)::DOUBLE AS dcg,
+       sum(term)::DECIMAL(28,12)::DOUBLE / {_NDCG_IDCG!r} AS ndcg
+FROM terms GROUP BY query_id ORDER BY query_id
+"""
