@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q125_curation_funnel",
     "q126_ann_ndcg_audit",
     "q127_stopword_discovery",
+    "q128_embedding_drift",
     # q123 rides q38 -> q17's pair set, degenerate at sf0.1 (see q17's
     # note above) — gated at sf0.01 only; its 10x datapoint lives in
     # tools/pipeline_scale_proof.py over the non-degenerate corpus.

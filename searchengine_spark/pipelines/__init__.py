@@ -44,6 +44,7 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r4, never driver-sampled ---
+    "q128_embedding_drift",
     "q127_stopword_discovery",
     "q126_ann_ndcg_audit",
     "q125_curation_funnel",

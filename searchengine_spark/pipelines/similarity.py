@@ -1658,3 +1658,130 @@ SELECT query_id,
        sum(term)::DECIMAL(28,12)::DOUBLE / {_NDCG_IDCG!r} AS ndcg
 FROM terms GROUP BY query_id ORDER BY query_id
 """
+
+
+# --------------------------------------------------------------------------
+# q128: embedding drift detector — per-dimension moment comparison
+# between two corpus halves (vec_id parity = the deterministic stand-in
+# for "previous snapshot vs new drop"): per (half, dim) mean and E[x²]
+# via DECIMAL(28,12)-quantized sums (q115/q67's order-insensitive
+# discipline), pivoted wide, flagged when the mean shifts > 0.05 or the
+# std ratio leaves [0.8, 1.25]. This is the gate that catches an
+# encoder-version mixup or a normalization change BEFORE the drifted
+# vectors poison SemDeDup / filtered-ANN centroids trained on the old
+# distribution.
+#
+# Scale shape: one embeddings pass exploded to (half, dim, x) — the
+# shuffle key is (half, dim), 2·EMB_DIM groups, map-side combinable
+# decimal partials; everything after the first agg is O(dim) rows.
+# Std-ratio compares multiply instead of divide (no 0-division branch).
+# --------------------------------------------------------------------------
+
+DRIFT_MEAN_SHIFT = 0.05
+DRIFT_STD_RATIO = 1.25
+
+
+def q128_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_emb(spark, sf_dir)
+    dims = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("v").alias("pos", "x"),
+    ).select("half", (F.col("pos") + 1).alias("dim"), "x")
+    st = dims.groupBy("half", "dim").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("x").cast(_QDEC)).cast("double") / F.count("*"), 9
+        ).alias("mean"),
+        F.round(
+            F.sum(F.round(F.col("x") * F.col("x"), 12).cast(_QDEC)).cast(
+                "double"
+            )
+            / F.count("*"),
+            9,
+        ).alias("ex2"),
+    )
+
+    def _side(col: str, half: int) -> F.Column:
+        return F.max(F.when(F.col("half") == half, F.col(col)))
+
+    wide = st.groupBy("dim").agg(
+        _side("n", 0).alias("n_a"),
+        _side("n", 1).alias("n_b"),
+        _side("mean", 0).alias("mean_a"),
+        _side("mean", 1).alias("mean_b"),
+        _side("ex2", 0).alias("ex2_a"),
+        _side("ex2", 1).alias("ex2_b"),
+    )
+    std_a = F.sqrt(
+        F.greatest(
+            F.col("ex2_a") - F.col("mean_a") * F.col("mean_a"), F.lit(0.0)
+        )
+    )
+    std_b = F.sqrt(
+        F.greatest(
+            F.col("ex2_b") - F.col("mean_b") * F.col("mean_b"), F.lit(0.0)
+        )
+    )
+    shift = F.col("mean_b") - F.col("mean_a")
+    return (
+        wide.select(
+            "dim",
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            shift.alias("mean_shift"),
+            std_a.alias("std_a"),
+            std_b.alias("std_b"),
+            (
+                (F.abs(shift) > DRIFT_MEAN_SHIFT)
+                | (std_b > std_a * F.lit(DRIFT_STD_RATIO))
+                | (std_b * F.lit(DRIFT_STD_RATIO) < std_a)
+            )
+            .cast("int")
+            .alias("drifted"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES["q128_embedding_drift"] = q128_embedding_drift
+
+ORACLE["q128_embedding_drift"] = f"""
+WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT vec_id % 2 AS half, i AS dim, v[i] AS x
+  FROM e2, unnest(generate_series(1, len(v))) AS u(i)
+),
+st AS (
+  SELECT half, dim, count(*) AS n,
+         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+           AS mean,
+         round(CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*), 9) AS ex2
+  FROM dims GROUP BY half, dim
+),
+w AS (
+  SELECT dim,
+         max(CASE WHEN half = 0 THEN n END) AS n_a,
+         max(CASE WHEN half = 1 THEN n END) AS n_b,
+         max(CASE WHEN half = 0 THEN mean END) AS mean_a,
+         max(CASE WHEN half = 1 THEN mean END) AS mean_b,
+         max(CASE WHEN half = 0 THEN ex2 END) AS ex2_a,
+         max(CASE WHEN half = 1 THEN ex2 END) AS ex2_b
+  FROM st GROUP BY dim
+)
+SELECT dim, n_a, n_b, mean_a, mean_b,
+       mean_b - mean_a AS mean_shift,
+       sqrt(greatest(ex2_a - mean_a * mean_a, 0.0)) AS std_a,
+       sqrt(greatest(ex2_b - mean_b * mean_b, 0.0)) AS std_b,
+       CASE WHEN abs(mean_b - mean_a) > {DRIFT_MEAN_SHIFT}::DOUBLE
+              OR sqrt(greatest(ex2_b - mean_b * mean_b, 0.0))
+                 > sqrt(greatest(ex2_a - mean_a * mean_a, 0.0))
+                   * {DRIFT_STD_RATIO}::DOUBLE
+              OR sqrt(greatest(ex2_b - mean_b * mean_b, 0.0))
+                 * {DRIFT_STD_RATIO}::DOUBLE
+                 < sqrt(greatest(ex2_a - mean_a * mean_a, 0.0))
+            THEN 1 ELSE 0 END AS drifted
+FROM w ORDER BY dim
+"""

@@ -129,6 +129,7 @@ ORACLE_CHECKED = [
     "q125_curation_funnel",
     "q126_ann_ndcg_audit",
     "q127_stopword_discovery",
+    "q128_embedding_drift",
 ]
 
 

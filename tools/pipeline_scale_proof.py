@@ -62,6 +62,9 @@ OPS = [
     "q123_leakage_safe_split",
     "q124_ann_recall_audit",
     "q125_curation_funnel",
+    "q126_ann_ndcg_audit",
+    "q127_stopword_discovery",
+    "q128_embedding_drift",
 ]
 
 
