@@ -1096,3 +1096,44 @@ def test_curation_funnel_is_monotone_and_matches_q40(spark):
         .count()
     )
     assert sum(r["after_dedup"] for r in rows) == expect
+
+
+def test_bfs_layers_matches_python_reference(spark):
+    """Property: bfs_layers equals a pure-Python BFS on seeded random
+    digraphs (5 draws, up to 30 nodes / 80 edges, 1-3 seeds, hop bound
+    3). One Spark run per draw keeps the property affordable; the draws
+    are seeded so failures reproduce."""
+    import random
+    from collections import deque
+
+    from searchengine_spark.pipelines.graph import bfs_layers
+
+    for trial in range(5):
+        rng = random.Random(f"bfs:{trial}")
+        n = rng.randrange(5, 31)
+        edges = sorted(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(10, 81))}
+        )
+        seeds = sorted(rng.sample(range(n), rng.randrange(1, 4)))
+        max_hops = 3
+
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+        want, dq = {s: 0 for s in seeds}, deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if want[u] >= max_hops:
+                continue
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+
+        e_df = spark.createDataFrame(edges, ["src", "dst"])
+        s_df = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        got = {
+            r["node"]: r["hop"]
+            for r in bfs_layers(e_df, s_df, max_hops).collect()
+        }
+        assert got == want, (trial, n, seeds, got, want)
