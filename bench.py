@@ -149,6 +149,22 @@ BENCH_QUERIES = [
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)
 
 
+def _consume(df) -> int:
+    """Force FULL evaluation of every output column. A bare ``count()``
+    lets Catalyst prune expensive columns out of the timed plan
+    (measured: the ANN recall audit read 2.1 s under count() but 52 s
+    when its values were actually consumed) — xxhash64 over the row
+    struct makes every field load-bearing. Returns the row count."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: hash sums overflow int64 under ANSI mode
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
+    ).collect()[0]
+    return row["n"]
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -410,7 +426,7 @@ def main() -> None:
         registry = all_queries()
         for name in BENCH_QUERIES:
             t0 = time.time()
-            registry[name](spark, sf_dir).count()
+            _consume(registry[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
     finally:
         spark.stop()

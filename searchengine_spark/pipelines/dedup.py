@@ -356,6 +356,8 @@ def q18_simhash(
 # --------------------------------------------------------------------------
 
 def _dot(a: Column, b: Column) -> Column:
+    # HOF fold, deliberately — see similarity._dot (unrolling measured
+    # slower; the scale lever is pair count, not per-pair dot cost)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -414,18 +416,18 @@ def q33_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("centv"),
         F.col("nrm").alias("centn"),
     )
-    from pyspark.sql import Window
+    from .similarity import topn_assign
 
-    asgn = e.select(
-        "vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    ).crossJoin(F.broadcast(cents)).withColumn(
+    base = e.select("vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    asgn = base.crossJoin(F.broadcast(cents)).withColumn(
         "sim", _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assigned = (
-        asgn.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") <= NEARDUP_NPROBE)
-        .select("vec_id", "cv", "cn", "cent_id")
+    # top-NEARDUP_NPROBE cells per vector as an ObjectHashAggregate
+    # (see similarity.topn_assign: a window — or a max(struct) — would
+    # SORT the |vecs|x|cents| pair table); payload vectors rejoin from
+    # `base` by vec_id, so the arrays never cross a sort
+    assigned = topn_assign(
+        asgn, "vec_id", "cent_id", base, n=NEARDUP_NPROBE
     )
     cand = (
         assigned.select("cent_id", F.col("vec_id").alias("vec_a"))

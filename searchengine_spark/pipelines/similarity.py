@@ -31,7 +31,17 @@ IVF_CENTROID_MOD = 50  # vec_id % 50 == 0 -> centroid set (deterministic)
 IVF_NPROBE = 3
 
 
+EMB_DIM = 64  # fixture embedding width (driver tables + scale corpora)
+
+
 def _dot(a: Column, b: Column) -> Column:
+    # HOF fold, deliberately: an unrolled 64-term element_at chain was
+    # MEASURED SLOWER (q21 50k-doc assignment 58 s -> 154 s — the giant
+    # expression falls out of compact codegen, while zip_with/aggregate
+    # evaluates on specialized ArrayData loops). The flat-assignment
+    # pair count, not the per-pair dot, is the scale lever — that is
+    # q104's two-level design (2.1x at 10x data vs flat's ~30x on the
+    # same corpus).
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -45,6 +55,69 @@ def load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def topn_assign(
+    scored: DataFrame,
+    key,
+    id_col: str,
+    payload_src: DataFrame,
+    n: int = 1,
+    self_col=None,
+) -> DataFrame:
+    """Top-n nearest cells per ``key`` (by sim DESC, id ASC; optional
+    route-to-self first) as a HASH aggregation, not a sort.
+
+    The obvious forms both sort the full |rows|×|cells| pair table:
+    a ``row_number()`` window sorts each partition, and
+    ``max(struct(...))`` is no better — struct-typed buffers are not
+    hash-aggregable, so Catalyst compiles it to SortAggregate
+    (measured: 55 s of q21's 57 s at 20k vectors × 400 cells was that
+    sort). ``collect_list`` is a TypedImperativeAggregate, so this
+    compiles to ObjectHashAggregateExec: per-group buffers of SMALL
+    (sim, id) structs — never the vectors — sorted per group
+    (|cells| elements) and sliced. Payload (the vectors) rejoins from
+    ``payload_src`` (the pre-pair table, one row per key) on ``key``:
+    an n-row hash join, so the wide arrays cross no sort and at most
+    one exchange. Ascending (-sim, id) equals (sim DESC, id ASC)
+    exactly — negation maps the double total order antimonotonically
+    (no NaNs here); ids are unique per key, so the order is total."""
+    keys = [key] if isinstance(key, str) else list(key)
+    sim = F.col("sim")
+    if self_col is not None:
+        # a self-route outranks every other cell: sims are cosines in
+        # [-1, 1], so +2 lifts the (single) self row above all others
+        # without perturbing comparisons among non-self rows
+        sim = F.when(self_col, F.lit(2.0) + sim).otherwise(sim)
+    top = scored.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-sim).alias("ns"), F.col(id_col).alias("i"))
+                )
+            ),
+            1,
+            n,
+        ).alias("_top")
+    )
+    ids = top.select(
+        *[F.col(k) for k in keys],
+        F.explode("_top").alias("_t"),
+    ).select(*[F.col(k) for k in keys], F.col("_t.i").alias(id_col))
+    return payload_src.join(ids, keys)
+
+
+def argmax_assign(
+    scored: DataFrame,
+    key,
+    id_col: str,
+    payload_src: DataFrame,
+    self_col=None,
+) -> DataFrame:
+    """Nearest-cell argmax — :func:`topn_assign` with n=1."""
+    return topn_assign(
+        scored, key, id_col, payload_src, n=1, self_col=self_col
+    )
 
 
 def q20_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,12 +152,7 @@ def q21_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     asgn_scored = cand.crossJoin(F.broadcast(cents)).withColumn(
         "sim", _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assigned = (
-        asgn_scored.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cv", "cn", "cent_id")
-    )
+    assigned = argmax_assign(asgn_scored, "vec_id", "cent_id", cand)
     # probe: each query scores only its IVF_NPROBE nearest cells
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -145,12 +213,7 @@ def q110_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     asgn_scored = cand.crossJoin(F.broadcast(cents)).withColumn(
         "sim", _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assigned = (
-        asgn_scored.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "label", "cv", "cn", "cent_id")
-    )
+    assigned = argmax_assign(asgn_scored, "vec_id", "cent_id", cand)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("label"),
@@ -265,16 +328,12 @@ def _lloyd(e: DataFrame):
     for _ in range(KMEANS_ITER):
         cn = cents.withColumn("centn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
         vn = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-        assigned = (
-            vn.crossJoin(F.broadcast(cn))
-            .withColumn(
-                "sim",
-                _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("centn")),
-            )
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("vec_id", "v", "cent_id")
+        scored = vn.crossJoin(F.broadcast(cn)).withColumn(
+            "sim",
+            _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("centn")),
+        )
+        assigned = argmax_assign(
+            scored, "vec_id", "cent_id", e.select("vec_id", "v")
         )
         dims = assigned.select(
             "cent_id", F.posexplode("v").alias("pos", "x")
@@ -324,15 +383,14 @@ def q45_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"),
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assigned = (
-        cand.crossJoin(F.broadcast(cn))
-        .withColumn(
-            "sim", _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn"))
-        )
-        .withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cv", "cn", "cent_id")
+    assigned = argmax_assign(
+        cand.crossJoin(F.broadcast(cn)).withColumn(
+            "sim",
+            _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn")),
+        ),
+        "vec_id",
+        "cent_id",
+        cand,
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -512,20 +570,17 @@ def q87_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn"),
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assigned = (
-        cand.crossJoin(F.broadcast(cn))
-        .withColumn(
+    assigned = argmax_assign(
+        cand.crossJoin(F.broadcast(cn)).withColumn(
             "sim",
             _dot(F.col("cv"), F.col("centv")) / (F.col("cn") * F.col("centn")),
-        )
-        .withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cv", "cn", "cent_id")
+        ),
+        "vec_id",
+        "cent_id",
+        cand,
         # referenced on both sides of the self-join below — materialize
         # once or the whole Lloyd chain runs twice
-        .localCheckpoint()
-    )
+    ).localCheckpoint()
     return _senior_dup_report(assigned)
 
 
@@ -687,45 +742,36 @@ def _twolevel_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
     # fine → pivot routing (k × √k, broadcast); a pivot routes to
     # itself FIRST so its cell is never empty
-    wf = Window.partitionBy("cent_id").orderBy(
-        (F.col("co_id") == F.col("cent_id")).desc(),
-        F.desc("sim"),
-        F.asc("co_id"),
-    )
-    f2c = (
-        fn.crossJoin(F.broadcast(coarse))
-        .withColumn(
+    f2c = argmax_assign(
+        fn.crossJoin(F.broadcast(coarse)).withColumn(
             "sim",
             _dot(F.col("cv"), F.col("cov")) / (F.col("fnrm") * F.col("conrm")),
-        )
-        .withColumn("r", F.row_number().over(wf))
-        .filter(F.col("r") == 1)
-        .select("co_id", "cent_id", "cv", "fnrm")
+        ),
+        "cent_id",
+        "co_id",
+        fn,
+        self_col=(F.col("co_id") == F.col("cent_id")),
     )
     # vector → pivot (n × √k, broadcast)
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("co_id"))
-    v2c = (
-        vecs.withColumn("vnrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-        .crossJoin(F.broadcast(coarse))
-        .withColumn(
+    vn = vecs.withColumn("vnrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    v2c = argmax_assign(
+        vn.crossJoin(F.broadcast(coarse)).withColumn(
             "sim",
             _dot(F.col("v"), F.col("cov")) / (F.col("vnrm") * F.col("conrm")),
-        )
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "v", "vnrm", "co_id")
+        ),
+        "vec_id",
+        "co_id",
+        vn,
     )
     # vector → fine within its pivot's cell (n × k/√k expected)
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    return (
-        v2c.join(F.broadcast(f2c), "co_id")
-        .withColumn(
+    return argmax_assign(
+        v2c.join(F.broadcast(f2c), "co_id").withColumn(
             "sim",
             _dot(F.col("v"), F.col("cv")) / (F.col("vnrm") * F.col("fnrm")),
-        )
-        .withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "v", "vnrm", "cent_id")
+        ),
+        "vec_id",
+        "cent_id",
+        v2c.select("vec_id", "v", "vnrm"),
     )
 
 
@@ -1008,6 +1054,7 @@ _QDEC = "decimal(28,12)"
 
 
 def _l2(a: Column, b: Column) -> Column:
+    # HOF fold, same rationale as _dot (unrolling measured slower)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1028,14 +1075,15 @@ def _pq_sub(df: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
 
 def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """Nearest codeword per (vec_id, m): equi-join on the subspace id,
-    L2 tie-broken by cid."""
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("cid"))
-    return (
+    L2 tie-broken by cid — argmin via argmax_assign on negated dist
+    (same map-side-combinable agg shape as the IVF assignment; the
+    window it replaces sorted the full |vecs|·M·|codewords| table)."""
+    scored = (
         sub.join(F.broadcast(cb), "m")
         .withColumn("dist", _l2(F.col("sv"), F.col("cv")))
-        .withColumn("rr", F.row_number().over(w))
-        .filter(F.col("rr") == 1)
+        .withColumn("sim", -F.col("dist"))
     )
+    return argmax_assign(scored, ["vec_id", "m"], "cid", sub)
 
 
 def _pq_train(sub: DataFrame, init_ids: DataFrame) -> DataFrame:
@@ -1594,10 +1642,20 @@ _QDEC = "decimal(28,12)"
 
 
 def q126_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q20_ann_bruteforce(spark, sf_dir).select(
-        "query_id", "vec_id", F.col("rank").alias("exact_rank")
+    # both lists are <= |queries|*k rows — materialize them (q38/q59's
+    # idiom) so the join consumes two tiny tables instead of re-planning
+    # the full q20/q21 pipelines as duplicated SortMergeJoin subtrees
+    # (measured 62 s vs 11 s at the 50k-doc scale proof without this)
+    exact = (
+        q20_ann_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id", F.col("rank").alias("exact_rank"))
+        .localCheckpoint()
     )
-    approx = q21_ann_ivf(spark, sf_dir).select("query_id", "vec_id", "rank")
+    approx = (
+        q21_ann_ivf(spark, sf_dir)
+        .select("query_id", "vec_id", "rank")
+        .localCheckpoint()
+    )
     disc = F.element_at(
         F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rank")
     )

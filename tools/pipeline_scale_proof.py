@@ -245,14 +245,19 @@ def main() -> None:
     }
     try:
         # untimed warm-up at a tiny scale (JIT + python workers)
+        import bench as _bench
+
         warm = gen_scale(500)
         for op in OPS:
-            registry[op](spark, warm).count()
+            _bench._consume(registry[op](spark, warm))
         for op in OPS:
             legs = {}
             for n, d in dirs.items():
                 t0 = time.time()
-                rows = registry[op](spark, d).count()
+                # _consume, not count(): count() lets Catalyst prune
+                # expensive columns out of the timed plan (q124 read
+                # 2.1 s under count() vs 52 s consumed)
+                rows = _bench._consume(registry[op](spark, d))
                 legs[f"t_{n}"] = round(time.time() - t0, 2)
                 legs[f"rows_{n}"] = rows
             legs["ratio"] = round(
