@@ -148,6 +148,61 @@ BENCH_QUERIES = [
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)
 
+# the driver greps the LAST stdout line and json-parses it; these keys are
+# what BASELINE.md / the per-round BENCH_r{N}.json comparison consumes.
+# bench.py refuses to exit 0 unless the line it is about to print
+# round-trips through json.loads with all of them present — a future leg
+# explosion (the BENCH_r03 defect: 71 per-query legs outgrew the driver's
+# stdout tail) or a non-serializable value fails HERE, not in the artifact.
+HEADLINE_REQUIRED_KEYS = frozenset(
+    {
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "sf",
+        "n_pages",
+        "index_docs_per_sec",
+        "scaling_efficiency",
+    }
+)
+# past this, a driver with a bounded stdout tail may truncate the line's
+# head — the exact BENCH_r03 failure. The headline stays compact (per-query
+# detail lives in the sidecar); 8 KiB is ~6x the current line.
+HEADLINE_MAX_BYTES = 8192
+
+
+def validate_headline(line: str) -> dict:
+    """Parse-proof the headline line ``main`` is about to print. Returns
+    the parsed dict; raises ValueError on any contract violation."""
+    obj = json.loads(line)
+    if not isinstance(obj, dict):
+        raise ValueError("headline must be a JSON object")
+    missing = HEADLINE_REQUIRED_KEYS - obj.keys()
+    if missing:
+        raise ValueError(f"headline missing keys: {sorted(missing)}")
+    if obj["metric"] != "bench_total_wall":
+        raise ValueError(f"unexpected metric {obj['metric']!r}")
+    if not isinstance(obj["value"], (int, float)) or obj["value"] <= 0:
+        raise ValueError(f"non-positive total wall {obj['value']!r}")
+    if not isinstance(obj["queries"], dict) or not obj["queries"]:
+        raise ValueError("queries must be a non-empty dict")
+    nonnum = {
+        k: v
+        for k, v in obj["queries"].items()
+        if not isinstance(v, (int, float))
+    }
+    if nonnum:
+        raise ValueError(f"non-numeric query timings: {nonnum}")
+    if "\n" in line.strip():
+        raise ValueError("headline must be a single line")
+    if len(line.encode()) > HEADLINE_MAX_BYTES:
+        raise ValueError(
+            f"headline {len(line.encode())} B exceeds "
+            f"{HEADLINE_MAX_BYTES} B — move detail to the sidecar"
+        )
+    return obj
+
 
 def _consume(df) -> int:
     """Force FULL evaluation of every output column. A bare ``count()``
@@ -455,30 +510,30 @@ def main() -> None:
     with open(sidecar, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail))
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": headline_legs,
-                "sf": sf,
-                "n_pages": n_pages,
-                "n_topk_rows": n_topk,
-                "n_contract_queries": len(BENCH_QUERIES),
-                "contract_queries_wall": round(
-                    sum(v for k, v in timings.items() if k.startswith("q")), 3),
-                "queries_detail_file": "bench_queries.json",
-                "index_docs_per_sec": round(dps_head, 1),
-                "index_docs_per_sec_4n": round(dps_high, 1),
-                "index_docs_per_sec_n": round(dps_low, 1),
-                "cpus": cpus,
-                "scaling_cores_n": scale_n,
-                "scaling_cores_4n": scale_4n,
-                "scaling_efficiency": round(scaling_eff, 3),
-            }
-        )
+    headline = json.dumps(
+        {
+            "metric": "bench_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": headline_legs,
+            "sf": sf,
+            "n_pages": n_pages,
+            "n_topk_rows": n_topk,
+            "n_contract_queries": len(BENCH_QUERIES),
+            "contract_queries_wall": round(
+                sum(v for k, v in timings.items() if k.startswith("q")), 3),
+            "queries_detail_file": "bench_queries.json",
+            "index_docs_per_sec": round(dps_head, 1),
+            "index_docs_per_sec_4n": round(dps_high, 1),
+            "index_docs_per_sec_n": round(dps_low, 1),
+            "cpus": cpus,
+            "scaling_cores_n": scale_n,
+            "scaling_cores_4n": scale_4n,
+            "scaling_efficiency": round(scaling_eff, 3),
+        }
     )
+    validate_headline(headline)  # refuse to exit 0 on a broken artifact
+    print(headline)
 
 
 if __name__ == "__main__":

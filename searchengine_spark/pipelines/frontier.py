@@ -207,9 +207,13 @@ def q118_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dis = F.regexp_extract_all(sec, F.lit(r"disallow: ([^\n]*)"), 1)
     delay_s = F.regexp_extract(sec, r"crawl-delay: ([0-9.]*)", 1)
     blocked = F.exists(dis, lambda d: F.col("p").startswith(d))
+    # explicit floor on BOTH engines: Spark's double->int cast truncates
+    # while DuckDB's ::INT rounds half-to-even, so a bare cast diverges
+    # for non-exact products (crawl-delay 2.3 -> 2299 vs 2300). floor()
+    # of the same IEEE product is engine-independent.
     delay_ms = F.when(
         F.coalesce(delay_s, F.lit("")) != "",
-        (delay_s.cast("double") * 1000).cast("int"),
+        F.floor(delay_s.cast("double") * 1000).cast("int"),
     ).otherwise(F.lit(1000))
     return (
         docs.select(
@@ -329,7 +333,7 @@ SELECT doc_id, host_id, path,
        CASE WHEN len(list_filter(dis, x -> starts_with(path, x))) > 0
             THEN 0 ELSE 1 END::INT AS crawl_allowed,
        CASE WHEN coalesce(ds, '') <> ''
-            THEN (CAST(ds AS DOUBLE) * 1000)::INT
+            THEN floor(CAST(ds AS DOUBLE) * 1000)::INT
             ELSE 1000 END::INT AS crawl_delay_ms
 FROM rules ORDER BY doc_id
 """

@@ -1309,9 +1309,12 @@ def q121_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dl_b = toks.groupBy("doc_id").agg(F.count("*").alias("dl_b"))
     # the anchor field feeds THREE subtrees (tf_a, dl_a, total_a);
-    # cache so the explode+distinct+agg pipeline runs once, not 3x
-    # (lazy — no job at plan-construction time)
-    af = anchor_field_full(docs).cache()
+    # lazy localCheckpoint so the explode+distinct+agg pipeline runs
+    # once, not 3x — still no job at plan-construction time, and unlike
+    # cache() the blocks are ContextCleaner-collected when this
+    # invocation's DataFrames go out of scope (repeated registry
+    # invocations don't accumulate CacheManager entries)
+    af = anchor_field_full(docs).localCheckpoint(eager=False)
     tf_a = af.filter(F.col("term").isin(terms)).select(
         F.col("dst_id").alias("doc_id"), "term",
         F.col("n_anchors").alias("tf_a"),

@@ -8,10 +8,17 @@ the same iteration shape over a graph derived from the driver tables —
 the bipartite part↔supplier graph of ``lineitem`` — with a DuckDB
 oracle (iterations unrolled as CTEs).
 
-Determinism across parallelism: per-edge contributions are quantized to
-DECIMAL(28,12) *before* the per-node sum, so partial/final aggregation
-order cannot change a single bit (float sums are order-sensitive; this
-is the same order-insensitivity rule SURVEY §7.3 imposes on the index).
+Determinism across parallelism AND across engines: ranks are carried as
+exact int64 fixed-point at 1e-12 (``u`` = rank × 10^12) and per-edge
+contributions are floor((17·u) / (20·outdeg)) — 0.85 is exactly 17/20,
+so every iteration is pure integer arithmetic: bit-identical in any
+engine, and the per-node sum is order-insensitive at any parallelism
+(the same rule SURVEY §7.3 imposes on the index). The earlier
+DECIMAL(28,12) form quantized a DOUBLE product with round(x, 12), which
+diverges between Spark (exact-binary HALF_UP) and DuckDB (scaled float
+round) by 1 ulp of 1e-12 near quantization boundaries — invisible at
+sf0.01, but sf0.1's in-degrees hit boundaries every run. Integer floor
+division has no boundary to disagree on.
 """
 
 from __future__ import annotations
@@ -29,6 +36,17 @@ BASE = 0.15
 SUPP_OFFSET = 1_000_000  # supplier node ids, disjoint from part ids
 QDEC = "decimal(28,12)"
 
+# int64 fixed-point scale for the PageRank iterations: rank 1.0 = 10^12.
+# Headroom: ranks are bounded by base + damping·(max in-degree)·... and
+# measure ~15 at sf0.1; 17·u stays far below 2^63 for any rank < 5·10^5,
+# and u < 2^53 keeps the final u/10^12 double conversion exact.
+PR_SCALE = 10**12
+PR_BASE_U = int(round(BASE * PR_SCALE))  # 0.15 -> 150_000_000_000
+PR_ONE_U = PR_SCALE
+# 0.85·u/outdeg as exact integer floor division: 17/20 == 0.85 exactly
+_PR_CONTRIB = "(17 * u) div (20 * outdeg)"
+_PR_CONTRIB_SQL = "(17 * r.u) // (20 * o.outdeg)"
+
 
 def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric bipartite edges part <-> supplier from lineitem."""
@@ -42,46 +60,38 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = edges(spark, sf_dir).cache()
+    e = edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    ranks = nodes.withColumn("u", F.lit(PR_ONE_U).cast("long"))
     for _ in range(N_ITERS):
+        # exact integer fixed-point contribution (see module docstring):
+        # floor((17·u)/(20·outdeg)) — `div` is Spark's integral division,
+        # floor for the non-negative operands here, matching DuckDB's //
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .join(outdeg, "src")
-            .select(
-                "dst",
-                F.round(
-                    F.lit(DAMPING) * F.col("rank") / F.col("outdeg"), 12
-                ).cast(QDEC).alias("c"),
-            )
+            .select("dst", F.expr(_PR_CONTRIB).alias("c"))
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        # the rank is kept in exact decimal and ALSO as the double the
-        # next iteration consumes; the final 9-dp rounding happens on
-        # the DECIMAL (HALF_UP in both engines) — ranks are exact
-        # 12-decimal values, so rounding the nearest-DOUBLE instead
-        # lands on .5 ties that Spark and DuckDB break differently
-        # sum(DECIMAL(28,12)) is DECIMAL(38,12); cast back to (28,12)
-        # (values are tiny) so the + stays within precision 38 on BOTH
-        # engines — Spark would otherwise silently reduce the scale
-        rank_dec = F.lit(BASE).cast(QDEC) + F.coalesce(
-            F.col("s"), F.lit(0).cast(QDEC)
-        ).cast(QDEC)
         ranks = nodes.join(
             incoming, nodes.node == incoming.dst, "left"
         ).select(
             "node",
-            rank_dec.cast("double").alias("rank"),
-            rank_dec.alias("rank_dec"),
+            (
+                F.lit(PR_BASE_U) + F.coalesce(F.col("s"), F.lit(0))
+            ).cast("long").alias("u"),
         )
+    # u < 2^53, 10^12 < 2^53: both conversions are exact and the single
+    # IEEE division is correctly rounded in every engine — no round()
+    # (whose .5-tie handling differs between Spark and DuckDB) anywhere.
     return ranks.select(
-        "node", F.round("rank_dec", 9).cast("double").alias("rank")
+        "node",
+        (F.col("u").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
     ).orderBy("node")
 
 
@@ -94,10 +104,11 @@ def q27_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Seeds here: part nodes with node % PPR_SEED_MOD == 0.
 #
 # Scale shape: identical to q27 — per round one equi-join + one
-# DECIMAL(28,12)-quantized per-node sum; the seed indicator is a pure
-# expression on the node id (on a real graph, a broadcast seed list).
-# Contributions quantize BEFORE the sum, so ranks are bit-stable at
-# any parallelism; unreachable nodes settle at exactly 0.
+# per-node int64 sum; the seed indicator is a pure expression on the
+# node id (on a real graph, a broadcast seed list). Contributions are
+# exact integer fixed-point (see module docstring), so ranks are
+# bit-stable at any parallelism AND across engines; unreachable nodes
+# settle at exactly 0.
 # --------------------------------------------------------------------------
 
 PPR_SEED_MOD = 10
@@ -106,7 +117,7 @@ PPR_SEED_MOD = 10
 def q112_personalized_pagerank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    e = edges(spark, sf_dir).cache()
+    e = edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -116,36 +127,29 @@ def q112_personalized_pagerank(
     seed = (F.col("node") < SUPP_OFFSET) & (
         F.col("node") % PPR_SEED_MOD == 0
     )
-    base_dec = (
-        F.when(seed, F.lit(BASE)).otherwise(F.lit(0.0)).cast(QDEC)
+    base_u = F.when(seed, F.lit(PR_BASE_U)).otherwise(F.lit(0))
+    ranks = nodes.withColumn(
+        "u", F.when(seed, F.lit(PR_ONE_U)).otherwise(F.lit(0)).cast("long")
     )
-    ranks = nodes.withColumn("rank", F.when(seed, 1.0).otherwise(0.0))
     for _ in range(N_ITERS):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .join(outdeg, "src")
-            .select(
-                "dst",
-                F.round(
-                    F.lit(DAMPING) * F.col("rank") / F.col("outdeg"), 12
-                ).cast(QDEC).alias("c"),
-            )
+            .select("dst", F.expr(_PR_CONTRIB).alias("c"))
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        rank_dec = base_dec + F.coalesce(
-            F.col("s"), F.lit(0).cast(QDEC)
-        ).cast(QDEC)
         ranks = nodes.join(
             incoming, nodes.node == incoming.dst, "left"
         ).select(
             "node",
-            rank_dec.cast("double").alias("rank"),
-            rank_dec.alias("rank_dec"),
+            (base_u + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("u"),
         )
     return ranks.select(
         "node",
         seed.cast("int").alias("is_seed"),
-        F.round("rank_dec", 9).cast("double").alias("ppr"),
+        (F.col("u").cast("double") / F.lit(float(PR_SCALE))).alias("ppr"),
     ).orderBy("node")
 
 
@@ -193,7 +197,7 @@ def q58_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """(node, degree, n_triangles) from distinct undirected (pa < pb)
     edges, via degree-ordered orientation."""
-    pairs = pairs.cache()
+    pairs = pairs.localCheckpoint(eager=False)
     deg = (
         pairs.select(F.col("pa").alias("v"))
         .unionAll(pairs.select(F.col("pb").alias("v")))
@@ -266,7 +270,7 @@ def q59_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hits_scores(e: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     """(node, kind, score) from distinct bipartite (hub, auth) edges;
     each side L1-normalized per half-round."""
-    e = e.cache()
+    e = e.localCheckpoint(eager=False)
     hubs = e.select("hub").distinct().withColumn("h", F.lit(1.0))
     auths = None
     for _ in range(iters):
@@ -319,19 +323,19 @@ QUERIES = {
 _PPR_SEED_SQL = f"(node < {SUPP_OFFSET} AND node % {PPR_SEED_MOD} = 0)"
 
 
+# DuckDB sum(BIGINT) widens to HUGEINT; the ::BIGINT cast keeps u an
+# int64 like Spark's (values are ~10^13, nowhere near the edge). // is
+# DuckDB's floor division — identical to Spark's `div` on non-negative
+# operands.
 def _ppr_iteration_sql(prev: str, cur: str) -> str:
     return f"""
 {cur} AS (
   SELECT n.node,
-         CAST(CASE WHEN {_PPR_SEED_SQL.replace("node", "n.node")}
-                   THEN 0.15 ELSE 0.0 END::DECIMAL(28,12)
-              + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12)
-              AS DOUBLE) AS rank,
-         CASE WHEN {_PPR_SEED_SQL.replace("node", "n.node")}
-              THEN 0.15 ELSE 0.0 END::DECIMAL(28,12)
-           + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12) AS rank_dec
+         (CASE WHEN {_PPR_SEED_SQL.replace("node", "n.node")}
+               THEN {PR_BASE_U} ELSE 0 END
+          + coalesce(s.s, 0))::BIGINT AS u
   FROM nodes n LEFT JOIN (
-    SELECT e.dst, sum(CAST(round(0.85 * r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
+    SELECT e.dst, sum({_PR_CONTRIB_SQL}) AS s
     FROM e JOIN {prev} r ON e.src = r.node
            JOIN outdeg o ON e.src = o.src
     GROUP BY e.dst
@@ -342,14 +346,9 @@ def _ppr_iteration_sql(prev: str, cur: str) -> str:
 def _iteration_sql(prev: str, cur: str) -> str:
     return f"""
 {cur} AS (
-  SELECT n.node,
-         CAST(0.15::DECIMAL(28,12)
-              + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12)
-              AS DOUBLE) AS rank,
-         0.15::DECIMAL(28,12)
-           + coalesce(s.s, 0::DECIMAL(28,12))::DECIMAL(28,12) AS rank_dec
+  SELECT n.node, ({PR_BASE_U} + coalesce(s.s, 0))::BIGINT AS u
   FROM nodes n LEFT JOIN (
-    SELECT e.dst, sum(CAST(round(0.85 * r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
+    SELECT e.dst, sum({_PR_CONTRIB_SQL}) AS s
     FROM e JOIN {prev} r ON e.src = r.node
            JOIN outdeg o ON e.src = o.src
     GROUP BY e.dst
@@ -373,9 +372,9 @@ e AS (
 ),
 nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+r0 AS (SELECT node, {PR_ONE_U}::BIGINT AS u FROM nodes),
 {_ITER_CTES}
-SELECT node, CAST(round(rank_dec, 9) AS DOUBLE) AS rank
+SELECT node, CAST(u AS DOUBLE) / CAST('1e12' AS DOUBLE) AS rank
 FROM r{N_ITERS} ORDER BY node
 """,
 }
@@ -400,12 +399,12 @@ e AS (
 nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 r0 AS (SELECT node,
-              CASE WHEN {_PPR_SEED_SQL} THEN 1.0 ELSE 0.0 END::DOUBLE AS rank
+              CASE WHEN {_PPR_SEED_SQL} THEN {PR_ONE_U} ELSE 0 END::BIGINT AS u
        FROM nodes),
 {_PPR_ITER_CTES}
 SELECT node,
        CASE WHEN {_PPR_SEED_SQL} THEN 1 ELSE 0 END::INT AS is_seed,
-       CAST(round(rank_dec, 9) AS DOUBLE) AS ppr
+       CAST(u AS DOUBLE) / CAST('1e12' AS DOUBLE) AS ppr
 FROM r{N_ITERS} ORDER BY node
 """
 
@@ -511,7 +510,7 @@ BFS_SEED_MOD = 97  # seeds: part nodes with id % 97 == 0
 
 
 def q122_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = edges(spark, sf_dir).cache()
+    e = edges(spark, sf_dir).localCheckpoint(eager=False)
     seeds = (
         e.select(F.col("src").alias("node"))
         .filter(

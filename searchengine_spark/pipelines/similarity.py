@@ -1690,8 +1690,13 @@ def q126_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q126_ann_ndcg_audit"] = q126_ann_ndcg_audit
 
+# float constants embedded via CAST('<repr>' AS DOUBLE): strtod parsing
+# is correctly rounded at ANY digit count, so the parity can't silently
+# break if a TOP_K bump pushes a repr's unscaled value past 2^53 (bare
+# decimal literals go through DuckDB DECIMAL and double-round there)
 _NDCG_DISC_SQL = " ".join(
-    f"WHEN {i + 1} THEN {d!r}" for i, d in enumerate(_NDCG_DISC)
+    f"WHEN {i + 1} THEN CAST('{d!r}' AS DOUBLE)"
+    for i, d in enumerate(_NDCG_DISC)
 )
 
 ORACLE["q126_ann_ndcg_audit"] = f"""
@@ -1713,7 +1718,8 @@ terms AS (
 )
 SELECT query_id,
        sum(term)::DECIMAL(28,12)::DOUBLE AS dcg,
-       sum(term)::DECIMAL(28,12)::DOUBLE / {_NDCG_IDCG!r} AS ndcg
+       sum(term)::DECIMAL(28,12)::DOUBLE
+         / CAST('{_NDCG_IDCG!r}' AS DOUBLE) AS ndcg
 FROM terms GROUP BY query_id ORDER BY query_id
 """
 

@@ -44,13 +44,32 @@ def stream_anchor_occurrences(
 ):
     """availableNow stream over a pages directory: write each
     micro-batch's (doc_id, term) anchor-occurrence partial to
-    ``anchors_dir/occ/batch=<id>`` (overwrite — replay-idempotent).
-    Returns the StreamingQuery."""
+    ``anchors_dir/occ/batch=stream-<ckpt-hash>-<id>`` (overwrite —
+    replay-idempotent). Returns the StreamingQuery.
+
+    The partial dir embeds the checkpoint identity exactly like
+    ``streaming/ingest``'s chunk names: batch ids are only unique PER
+    CHECKPOINT, and the COUNT fold in ``read_anchor_field`` is not
+    idempotent under cross-run collisions — a re-ingest with a fresh
+    checkpoint over the same anchors_dir would overwrite only its own
+    low batch ids and leave stale higher-numbered partials from the
+    prior run to be double-counted. With the ckpt tag in the name, a
+    second run's partials land in their own directories and a replay of
+    the SAME (checkpoint, batch) overwrites the same dir (exactly-once
+    over at-least-once)."""
     s = spark.readStream.schema(schema).parquet(pages_dir)
+
+    import hashlib
+
+    ck_tag = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         anchor_occurrences(batch_df).write.mode("overwrite").parquet(
-            os.path.join(anchors_dir, "occ", f"batch={batch_id:08d}")
+            os.path.join(
+                anchors_dir, "occ", f"batch=stream-{ck_tag}-{batch_id:08d}"
+            )
         )
 
     return (

@@ -647,3 +647,37 @@ def test_stream_anchor_field_matches_batch(spark, tiny_pages_path):
         for r in read_anchor_field(spark, anchors_dir).collect()
     }
     assert again == batch
+
+    # cross-checkpoint non-clobber: a SECOND ingest run (fresh checkpoint,
+    # different pages) into the same anchors_dir restarts its batch ids at
+    # 0 — its batch-0 partial must land in its own ckpt-tagged dir, NOT
+    # overwrite the first run's batch-0 (which held the b0 half). Under a
+    # bare batch=<id> layout the b0 contribution would be destroyed and
+    # some counts would DROP; with ckpt-tagged dirs every count is
+    # monotone (old partials survive) and the b1 half is counted once more.
+    pages_in2 = os.path.join(STREAMDIR, "anchors_pages2")
+    ckpt2 = os.path.join(STREAMDIR, "anchors_ckpt2")
+    for d in (pages_in2, ckpt2):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(pages_in2)
+    pq.write_table(tbl.slice(half), os.path.join(pages_in2, "b1.parquet"))
+    stream_anchor_occurrences(
+        spark, pages_in2, anchors_dir, ckpt2
+    ).awaitTermination()
+    merged = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in read_anchor_field(spark, anchors_dir).collect()
+    }
+    assert all(merged[k] >= v for k, v in batch.items()), (
+        "second checkpoint's batch-0 clobbered the first run's partials"
+    )
+    b1_only = {
+        (r["doc_id"], r["term"]): r["n_anchors"]
+        for r in anchor_terms(
+            spark, spark.read.parquet(os.path.join(pages_in2, "b1.parquet"))
+        ).collect()
+    }
+    assert merged == {
+        k: batch.get(k, 0) + b1_only.get(k, 0)
+        for k in set(batch) | set(b1_only)
+    }
