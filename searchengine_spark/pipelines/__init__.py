@@ -43,6 +43,8 @@ _MODULES = [
 # refreshes the oldest scoreboard rows instead of re-checking what just
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
+    # --- new in r5, never driver-sampled ---
+    "q129_source_wilson",
     # --- new in r4, never driver-sampled ---
     "q128_embedding_drift",
     "q127_stopword_discovery",

@@ -196,8 +196,16 @@ def q58_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """(node, degree, n_triangles) from distinct undirected (pa < pb)
-    edges, via degree-ordered orientation."""
-    pairs = pairs.localCheckpoint(eager=False)
+    edges, via degree-ordered orientation.
+
+    ``pairs`` feeds THREE consumers (degrees, orientation, the semi-join
+    verify) — cache(), not localCheckpoint: the edge table is the BIG
+    frame here, and a lazy localCheckpoint stores it as raw rows with no
+    columnar compression and no plan statistics (measured 9.7 s → 40.7 s
+    at sf0.1). The result is eagerly localCheckpointed instead (per-node
+    rows, tiny) so the cache can be released before returning — repeated
+    registry invocations leave nothing pinned."""
+    pairs = pairs.cache()
     deg = (
         pairs.select(F.col("pa").alias("v"))
         .unionAll(pairs.select(F.col("pb").alias("v")))
@@ -227,7 +235,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
-    return (
+    out = (
         deg.select(F.col("v").alias("node"), "deg")
         .join(per_node, "node", "left")
         .select(
@@ -237,8 +245,13 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
                 "n_triangles"
             ),
         )
-        .orderBy("node")
+        # eager: materialize the per-node counts NOW so the big cached
+        # edge table can be unpersisted before returning (q59's idiom —
+        # iterative/multi-pass graph entries run jobs at construction)
+        .localCheckpoint()
     )
+    pairs.unpersist()
+    return out.orderBy("node")
 
 
 # --------------------------------------------------------------------------
@@ -269,8 +282,16 @@ def q59_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hits_scores(e: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     """(node, kind, score) from distinct bipartite (hub, auth) edges;
-    each side L1-normalized per half-round."""
-    e = e.localCheckpoint(eager=False)
+    each side L1-normalized per half-round.
+
+    ``e`` feeds two joins per round — cache(), not a lazy
+    localCheckpoint: raw-row checkpoint storage loses columnar
+    compression on the big edge table (measured 8.4 s → 12.7 s at
+    sf0.1). The per-round hub/auth scores ARE eagerly
+    localCheckpointed, so by loop exit nothing lazy references ``e``
+    and it can be unpersisted — repeated registry invocations leave
+    no CacheManager entries behind."""
+    e = e.cache()
     hubs = e.select("hub").distinct().withColumn("h", F.lit(1.0))
     auths = None
     for _ in range(iters):
@@ -296,6 +317,7 @@ def hits_scores(e: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             "hub",
             (F.col("hr").cast("double") / F.col("sh").cast("double")).alias("h"),
         ).localCheckpoint()
+    e.unpersist()
     return (
         hubs.select(
             F.col("hub").alias("node"),

@@ -692,6 +692,69 @@ def q88_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q129: Wilson-lower-bound source ranking — the statistically sound
+# version of q88's mean-based source score. A source with 3/3 docs
+# passing the quality gate must NOT outrank one with 940/1000: ranking
+# by the Wilson score interval's lower bound (Wilson 1927; the
+# standard fix, e.g. Reddit's comment ranking) discounts small samples
+# by exactly their binomial uncertainty. This is the ordering a
+# curation pipeline uses to allocate token budget across thousands of
+# long-tail sources where per-source doc counts span six orders of
+# magnitude.
+#
+# Scale shape: q23's map-only quality expressions + ONE hash agg keyed
+# by source (integer count/sum partials, map-side combinable) →
+# |sources| rows; the Wilson expression and the rank window run on
+# that tiny table.
+#
+# Cross-engine float discipline: the bound is ONE IEEE expression over
+# exact-integer inputs (n_pass, n_docs), written with the identical
+# operation tree on both engines — every intermediate is then
+# bit-identical (sqrt is IEEE-correctly-rounded everywhere), so the
+# output needs NO rounding and the rank compare is exact. z and z²
+# are embedded as repr literals via CAST('<repr>' AS DOUBLE) on the
+# DuckDB side (strtod == Python float repr round-trip).
+# --------------------------------------------------------------------------
+
+WILSON_Z = 1.96  # 95% two-sided
+WILSON_Z2 = WILSON_Z * WILSON_Z
+
+
+def q129_source_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    per_doc = docs.select("source", quality_col().alias("quality"))
+    g = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("quality") >= F.lit(LOWQ_T)).cast("long")
+        ).alias("n_pass"),
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_pass").cast("double") / n
+    z = F.lit(WILSON_Z)
+    z2 = F.lit(WILSON_Z2)
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - z * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    w = Window.orderBy(F.desc("wilson_lb"), F.asc("source"))
+    return (
+        g.select(
+            "source",
+            "n_docs",
+            "n_pass",
+            p.alias("pass_rate"),
+            lb.alias("wilson_lb"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # q94: one BPE merge round — count adjacent character-pair occurrences
 # weighted by word frequency, the inner loop of byte-pair-encoding
 # tokenizer training (Sennrich 2016). The load-bearing scale trick is
@@ -1027,6 +1090,7 @@ QUERIES = {
     "q108_mojibake_audit": q108_mojibake_audit,
     "q109_threshold_sweep": q109_threshold_sweep,
     "q117_langid_confusion": q117_langid_confusion,
+    "q129_source_wilson": q129_source_wilson,
 }
 
 # Reusable (doc_id, quality) CTE chain — q23's expressions verbatim (the
@@ -1358,6 +1422,40 @@ SELECT source, n_docs,
        CASE WHEN n_low * 100 >= {LOWQ_PCT} * n_docs THEN 1 ELSE 0 END AS blocked
 FROM g ORDER BY source
 """
+# q129: the Wilson expression must be the IDENTICAL operation tree as
+# the Spark side — bit-identity needs every IEEE op to match, so the
+# parenthesization below mirrors the F.Column expression verbatim.
+ORACLE["q129_source_wilson"] = f"""
+WITH {{qcte}},
+g AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN quality >= {LOWQ_T}::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+           AS n_pass
+  FROM qual GROUP BY source
+),
+wil AS (
+  SELECT source, n_docs, n_pass,
+         CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate,
+         (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          + CAST('{WILSON_Z2!r}' AS DOUBLE) / (2.0 * CAST(n_docs AS DOUBLE))
+          - CAST('{WILSON_Z!r}' AS DOUBLE) * sqrt(
+              (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+               + CAST('{WILSON_Z2!r}' AS DOUBLE)
+                 / (4.0 * CAST(n_docs AS DOUBLE)))
+              / CAST(n_docs AS DOUBLE)))
+         / (1.0 + CAST('{WILSON_Z2!r}' AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           AS wilson_lb
+  FROM g
+)
+SELECT source, n_docs, n_pass, pass_rate, wilson_lb,
+       row_number() OVER (ORDER BY wilson_lb DESC, source)::INT AS rank
+FROM wil ORDER BY rank
+"""
+ORACLE["q129_source_wilson"] = ORACLE["q129_source_wilson"].format(
+    qcte=QUALITY_CTES_SQL.format(stops=_sql_list(STOPWORDS)).strip()
+)
+
 # q94: pair counting over the vocabulary — range(1, length) is
 # end-exclusive in DuckDB, so it enumerates starts 1..len-1 directly.
 ORACLE["q94_bpe_pairs"] = f"""

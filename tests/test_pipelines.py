@@ -130,6 +130,7 @@ ORACLE_CHECKED = [
     "q126_ann_ndcg_audit",
     "q127_stopword_discovery",
     "q128_embedding_drift",
+    "q129_source_wilson",
 ]
 
 
@@ -1096,6 +1097,35 @@ def test_curation_funnel_is_monotone_and_matches_q40(spark):
         .count()
     )
     assert sum(r["after_dedup"] for r in rows) == expect
+
+
+def test_wilson_lb_discounts_small_samples(spark):
+    """q129 property: the Wilson lower bound is a true lower bound
+    (lb <= pass_rate, lb in [0,1]) and matches a pure-Python evaluation
+    of the same closed form; the rank ordering is total (1..n with no
+    gaps) even under pass_rate ties."""
+    import math
+
+    from searchengine_spark.pipelines.textstats import (
+        WILSON_Z,
+        WILSON_Z2,
+        q129_source_wilson,
+    )
+
+    rows = q129_source_wilson(spark, SF_DIR).collect()
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 0.0 <= r["wilson_lb"] <= r["pass_rate"] <= 1.0, r
+        n, p = float(r["n_docs"]), r["n_pass"] / r["n_docs"]
+        want = (
+            p
+            + WILSON_Z2 / (2.0 * n)
+            - WILSON_Z * math.sqrt(
+                (p * (1.0 - p) + WILSON_Z2 / (4.0 * n)) / n
+            )
+        ) / (1.0 + WILSON_Z2 / n)
+        assert r["wilson_lb"] == want, (r, want)
 
 
 def test_bfs_layers_matches_python_reference(spark):
