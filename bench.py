@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     # q123 rides q38 -> q17's pair set, degenerate at sf0.1 (see q17's
     # note above) — gated at sf0.01 only; its 10x datapoint lives in
     # tools/pipeline_scale_proof.py over the non-degenerate corpus.
+    "q129_source_wilson",
+    "q130_label_propagation",
+    "q131_temperature_mixture",
+    # q132_lsh_audit's truth side is the exhaustive O(n^2) Jaccard —
+    # fixture-degenerate at sf0.1 exactly like q16 (every doc pair
+    # collides on the 31-word vocabulary) — gated at sf0.01 only.
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q132_lsh_audit",
+    "q131_temperature_mixture",
+    "q130_label_propagation",
     "q129_source_wilson",
     # --- new in r4, never driver-sampled ---
     "q128_embedding_drift",

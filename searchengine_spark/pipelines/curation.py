@@ -1442,3 +1442,90 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(g4)::BIGINT::DOUBLE / count(*) AS survival_rate
 FROM g GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# q131: temperature-scaled source mixture weights (alpha = 0.5) — the
+# standard multilingual/multi-source LM sampling rule (Conneau & Lample
+# 2019; mT5's alpha-sampling): sampling weight per source proportional
+# to (token mass)^alpha, which up-weights small sources relative to
+# proportional sampling without letting any source dominate. q48 samples
+# at a FIXED per-source budget; this computes the budget VECTOR itself.
+#
+# Cross-engine exactness: alpha = 0.5 makes the power a single IEEE
+# sqrt (correctly rounded in every engine); the weight denominator is a
+# sum of floor(sqrt(...)) INTEGERS (exact, order-insensitive at any
+# parallelism — never a float sum), and each output float is one
+# identical IEEE expression tree over exact int64 inputs, so Spark and
+# DuckDB agree bit-for-bit with no round() anywhere (CLAUDE.md rule).
+#
+# Scale shape: one corpus scan -> |sources|-row census; the sqrt/total
+# ride a 1-row broadcast. Map-only at 100 TB beyond the census agg.
+# --------------------------------------------------------------------------
+
+TEMP_MIX_BUDGET = 100_000  # global training-token budget to allocate
+
+
+def q131_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_docs(spark, sf_dir).select(
+        "source", F.size(_tok_arr()).cast("long").alias("ntok")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    # integer-valued sqrt weight: floor of the correctly-rounded IEEE
+    # sqrt — both engines compute the identical double, so the floor is
+    # identical; summing the resulting int64s is exact in any order
+    per_src = per_src.withColumn(
+        "w_sqrt",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+    )
+    tot = per_src.agg(F.sum("w_sqrt").alias("w_total"))
+    weight = F.col("w_sqrt").cast("double") / F.col("w_total").cast("double")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "w_sqrt",
+            weight.alias("weight"),
+            (weight * F.lit(float(TEMP_MIX_BUDGET))).alias("alloc_tokens"),
+            (
+                (weight * F.lit(float(TEMP_MIX_BUDGET)))
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q131_temperature_mixture"] = q131_temperature_mixture
+
+ORACLE["q131_temperature_mixture"] = f"""
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ntok
+  FROM documents
+),
+census AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens
+  FROM d GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS w_sqrt
+  FROM census
+),
+tot AS (SELECT sum(w_sqrt)::BIGINT AS w_total FROM w)
+SELECT source, n_docs, n_tokens, w_sqrt,
+       w_sqrt::DOUBLE / w_total::DOUBLE AS weight,
+       (w_sqrt::DOUBLE / w_total::DOUBLE) * CAST('{float(TEMP_MIX_BUDGET)}' AS DOUBLE)
+         AS alloc_tokens,
+       ((w_sqrt::DOUBLE / w_total::DOUBLE) * CAST('{float(TEMP_MIX_BUDGET)}' AS DOUBLE))
+         / n_tokens::DOUBLE AS epochs
+FROM w CROSS JOIN tot
+ORDER BY source
+"""

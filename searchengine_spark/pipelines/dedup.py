@@ -189,7 +189,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("doc_id").agg(*aggs)
 
 
-def q17_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) distinct LSH candidate pairs — docs sharing at
+    least one identical MinHash band. q17's pre-verify stage, shared
+    with the q132 banding audit."""
     sigs = minhash_signatures(spark, sf_dir)
     # one explode, not a N_BANDS-way unionAll: a union of N selects over
     # the same subtree makes Spark recompute the signature aggregation N
@@ -212,12 +215,16 @@ def q17_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("bv.band_key").alias("band_key"))
     l = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     r = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    cand = (
+    return (
         l.join(r, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def q17_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_candidates(spark, sf_dir)
     # verify candidates with exact jaccard
     s = doc_token_sets(spark, sf_dir)
     num, den = JACCARD_THRESHOLD
@@ -1844,4 +1851,114 @@ SELECT doc_id, source, cluster_id,
             WHEN h = {SPLIT_TRAIN_LT} THEN 'val'
             ELSE 'test' END AS split
 FROM asg ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q132: MinHash-LSH banding audit — precision/recall of the banded
+# candidate generation against the exhaustive Jaccard truth set (the
+# dedup family's q124: before trusting the scale path on a new corpus,
+# measure what the banding misses). FN are true near-dup pairs whose
+# signatures never share a band (MinHash is probabilistic — unlike
+# q32's pigeonhole banding there is NO losslessness guarantee to lean
+# on); FP here counts candidate pairs below the Jaccard threshold,
+# i.e. the wasted exact-verify work, since q17's verify stage removes
+# them from the final answer. Output is ONE row of exact int64 counts
+# plus precision/recall as single IEEE divisions.
+#
+# The truth side is the O(n²) exhaustive comparison, so this is an
+# AUDIT entry (sampled corpus / acceptance gate), size-guarded like
+# q16/q18/q19 — production dedup runs q17 unaudited once accepted.
+# --------------------------------------------------------------------------
+
+
+def q132_lsh_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = EXHAUSTIVE_MAX_DOCS,
+) -> DataFrame:
+    _guard_exhaustive(
+        load_docs(spark, sf_dir).count(),
+        "q132_lsh_audit", "q17_minhash_lsh (unaudited)", max_docs,
+    )
+    truth = q16_ngram_jaccard(spark, sf_dir, max_docs=None).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    cand = lsh_candidates(spark, sf_dir).withColumn("c", F.lit(1))
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("c").isNotNull()).cast("int")
+        ).cast("long").alias("tp"),
+        F.sum(
+            (F.col("t").isNull() & F.col("c").isNotNull()).cast("int")
+        ).cast("long").alias("fp"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("c").isNull()).cast("int")
+        ).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("n_cand") > 0,
+            F.col("tp").cast("double") / F.col("n_cand").cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("tp").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
+    )
+
+
+QUERIES["q132_lsh_audit"] = q132_lsh_audit
+
+ORACLE["q132_lsh_audit"] = f"""
+WITH {_TOKSETS_CTE},
+truth AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tsn a JOIN tsn b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks)) * {JACCARD_THRESHOLD[1]}
+        >= (a.n + b.n - len(list_intersect(a.toks, b.toks))) * {JACCARD_THRESHOLD[0]}
+),
+terms AS (
+  SELECT doc_id, {_H} % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toksets)
+),
+sigs AS (
+  SELECT doc_id, {_SIG_EXPRS}
+  FROM terms GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+j AS (
+  SELECT coalesce(t.t, 0) AS t, coalesce(c.c, 0) AS c
+  FROM (SELECT doc_a, doc_b, 1 AS t FROM truth) t
+  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS c FROM cand) c
+    USING (doc_a, doc_b)
+),
+a AS (
+  SELECT sum(t)::BIGINT AS n_truth, sum(c)::BIGINT AS n_cand,
+         sum(t * c)::BIGINT AS tp,
+         sum(CASE WHEN t = 0 AND c = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN t = 1 AND c = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM j
+)
+SELECT n_truth, n_cand, tp, fp, fn,
+       CASE WHEN n_cand > 0
+            THEN tp::DOUBLE / n_cand::DOUBLE END AS precision,
+       CASE WHEN n_truth > 0
+            THEN tp::DOUBLE / n_truth::DOUBLE END AS recall
+FROM a
 """

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import _tables
@@ -570,6 +570,129 @@ def bfs_layers(e: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
 
 
 QUERIES["q122_bfs_layers"] = q122_bfs_layers
+
+# --------------------------------------------------------------------------
+# q130: synchronous label-propagation communities (Raghavan et al. 2007)
+# over the co-purchase graph — the community-detection primitive a
+# training-data pipeline runs to group near-duplicate *clusters* into
+# topical families (q38's connected components merge everything
+# touching; LPA splits a connected graph into dense cells). Each node
+# adopts the most frequent label among its neighbors, ties broken by
+# the smallest label — a deterministic total rule, so the fixed-round
+# unroll is bit-identical in any engine and at any parallelism (no
+# randomized visit order, which classic async LPA needs; synchronous
+# min-tie LPA is the portable variant).
+#
+# Scale shape per round: one int64 equi-join (edges × labels), one
+# (node, label)-keyed hash count, one per-node top-1. The count agg
+# collapses hub neighborhoods BEFORE the top-1, so per-node state is
+# |distinct neighbor labels|, not degree; the top-1 is a window here
+# (one extra hash shuffle on node) — at 100 TB swap it for
+# max_by(label, (cnt, -label)) in the same agg pass. Rounds are
+# localCheckpointed (q59/q122 idiom) so lineage stays O(rounds).
+# --------------------------------------------------------------------------
+
+LPA_ITERS = 2
+
+
+def q130_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(copurchase_edges(spark, sf_dir))
+
+
+def label_propagation(pairs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(node, community, community_size) after ``iters`` synchronous
+    label-propagation rounds over distinct undirected (pa < pb) edges."""
+    e = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .cache()
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        cnt = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            # materialize each round: `labels` feeds the next round's join
+            # and the final size agg — without this the unrolled lineage
+            # recomputes earlier rounds per consumer
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("community_size")
+    )
+    out = labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+    e.unpersist()
+    return out.orderBy("node")
+
+
+QUERIES["q130_label_propagation"] = q130_label_propagation
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur}c AS (
+  SELECT e.dst AS node, l.label, count(*) AS cnt
+  FROM e JOIN {prev} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+),
+{cur} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY cnt DESC, label ASC
+           ) AS rn
+    FROM {cur}c
+  ) WHERE rn = 1
+)"""
+
+
+_LPA_CTES = ",".join(
+    _lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ITERS)
+)
+
+ORACLE["q130_label_propagation"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+{_LPA_CTES},
+sizes AS (
+  SELECT label, count(*) AS community_size
+  FROM l{LPA_ITERS} GROUP BY label
+)
+SELECT l.node, l.label AS community, s.community_size
+FROM l{LPA_ITERS} l JOIN sizes s USING (label)
+ORDER BY node
+"""
+
 
 ORACLE["q122_bfs_layers"] = f"""
 WITH RECURSIVE li AS (

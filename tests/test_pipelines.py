@@ -131,6 +131,9 @@ ORACLE_CHECKED = [
     "q127_stopword_discovery",
     "q128_embedding_drift",
     "q129_source_wilson",
+    "q130_label_propagation",
+    "q131_temperature_mixture",
+    "q132_lsh_audit",
 ]
 
 
@@ -1167,3 +1170,82 @@ def test_bfs_layers_matches_python_reference(spark):
             for r in bfs_layers(e_df, s_df, max_hops).collect()
         }
         assert got == want, (trial, n, seeds, got, want)
+
+
+def test_label_propagation_properties(spark):
+    """q130 invariants: every graph node gets exactly one community,
+    community_size is consistent with the assignment, and every
+    community label is itself a node of the graph (labels only ever
+    copy existing node ids)."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.graph import (
+        copurchase_edges,
+        q130_label_propagation,
+    )
+
+    rows = q130_label_propagation(spark, SF_DIR).collect()
+    assert rows
+    nodes = {r["node"] for r in rows}
+    edges = copurchase_edges(spark, SF_DIR).collect()
+    graph_nodes = {e["pa"] for e in edges} | {e["pb"] for e in edges}
+    assert nodes == graph_nodes
+    assert len(rows) == len(nodes)  # one community per node
+    sizes = Counter(r["community"] for r in rows)
+    for r in rows:
+        assert r["community"] in graph_nodes
+        assert r["community_size"] == sizes[r["community"]], r
+
+
+def test_temperature_mixture_properties(spark):
+    """q131 invariants: w_sqrt is the exact integer sqrt of the token
+    mass, weights are a probability vector, and the token allocation
+    exhausts the budget (up to float addition error)."""
+    import math
+
+    from searchengine_spark.pipelines.curation import (
+        TEMP_MIX_BUDGET,
+        q131_temperature_mixture,
+    )
+
+    rows = q131_temperature_mixture(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["w_sqrt"] == math.isqrt(r["n_tokens"]), r
+        assert 0.0 < r["weight"] < 1.0
+        assert r["alloc_tokens"] == r["weight"] * float(TEMP_MIX_BUDGET)
+        assert r["epochs"] == r["alloc_tokens"] / float(r["n_tokens"])
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    assert (
+        abs(sum(r["alloc_tokens"] for r in rows) - TEMP_MIX_BUDGET) < 1e-3
+    )
+    # alpha=0.5 up-weights small sources: under EXACT sqrt, epochs
+    # (sampling pressure) are monotone non-increasing in token mass.
+    # The integer sqrt floors, so for n_a < n_b:
+    #   eps_a = c*isqrt(n_a)/n_a > c*(sqrt(n_a)-1)/n_a
+    #         = (c/sqrt(n_a)) * (1 - 1/sqrt(n_a))
+    #         >= eps_b * (1 - 1/isqrt(n_a))
+    # i.e. inversions are bounded by one isqrt unit of the smaller mass.
+    by_mass = sorted(rows, key=lambda r: r["n_tokens"])
+    for a, b in zip(by_mass, by_mass[1:]):
+        assert a["epochs"] >= b["epochs"] * (1.0 - 1.0 / a["w_sqrt"]), (a, b)
+
+
+def test_lsh_audit_ties_to_production_path(spark):
+    """q132 invariants: the confusion counts are self-consistent, and
+    tp equals the production q17 answer size — q17's verified output IS
+    truth ∩ candidates, so the audit's tp must match it exactly."""
+    from searchengine_spark.pipelines.dedup import (
+        q17_minhash_lsh,
+        q132_lsh_audit,
+    )
+
+    (row,) = q132_lsh_audit(spark, SF_DIR).collect()
+    assert row["tp"] + row["fp"] == row["n_cand"]
+    assert row["tp"] + row["fn"] == row["n_truth"]
+    n17 = q17_minhash_lsh(spark, SF_DIR).count()
+    assert n17 == row["tp"]
+    if row["n_cand"]:
+        assert 0.0 <= row["precision"] <= 1.0
+    if row["n_truth"]:
+        assert 0.0 <= row["recall"] <= 1.0
