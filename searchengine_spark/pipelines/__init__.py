@@ -44,63 +44,14 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q135_kcore",
+    "q134_percolate",
+    "q133_hostrank",
     "q132_lsh_audit",
     "q131_temperature_mixture",
     "q130_label_propagation",
     "q129_source_wilson",
-    # --- new in r4, never driver-sampled ---
-    "q128_embedding_drift",
-    "q127_stopword_discovery",
-    "q126_ann_ndcg_audit",
-    "q125_curation_funnel",
-    "q124_ann_recall_audit",
-    "q123_leakage_safe_split",
-    "q122_bfs_layers",
-    "q121_bm25f",
-    "q120_source_overlap_oph",
-    "q119_anchor_field",
-    "q118_robots_gate",
-    "q116_chunk_quality",
-    "q117_langid_confusion",
-    "q115_class_cohesion",
-    "q114_hybrid_retrieval",
-    "q113_budget_waterfill",
-    "q112_personalized_pagerank",
-    "q110_filtered_ann",
-    "q111_facet_counts",
-    "q106_dup_span_extents",
-    "q107_snapshot_diff",
-    "q108_mojibake_audit",
-    "q109_threshold_sweep",
-    "q101_chunk_dedup",
-    "q105_ngram_novelty",
-    "q104_semdedup_twolevel",
-    "q98_url_dedup",
-    "q99_prefix_dedup",
-    "q100_boilerplate_shingles",
-    "q102_tokenizer_fertility",
-    "q103_contamination_rate",
-    # --- last verified r1 ---
-    "q26_multimodal_meta",
-    "q27_pagerank",
-    # --- last verified r2 ---
-    "q03_window_topk",
-    "q04_set_ops",
-    "q05_semi_anti",
-    "q06_filter_pushdown",
-    "q07_sessionize",
-    "q08_window_agg",
-    "q09_asof_join",
-    "q10_sample_take",
-    "q11_wordcount",
-    "q12_tfidf",
-    "q13_bm25_topk",
-    "q14_phrase_match",
-    "q15_dedup_exact",
-    "q16_ngram_jaccard",
-    "q17_minhash_lsh",
-    "q18_simhash",
-    "q19_embedding_neardup",
+    # --- last verified r2 (the 28 rows VERDICT r4 item 4 wants refreshed) ---
     "q20_ann_bruteforce",
     "q21_ann_ivf",
     "q22_lang_id",
@@ -129,6 +80,58 @@ _CHECK_FIRST = [
     "q68_incremental_merge",
     "q69_rolling_window",
     "q76_retention_cohorts",
+    # --- last verified r3 ---
+    "q01_fold_agg",
+    "q02_join_revenue",
+    "q28_postings_roundtrip",
+    "q29_porter_stems",
+    "q30_cube",
+    "q31_approx_distinct",
+    "q35_source_quota_sample",
+    "q36_repetition_filter",
+    "q37_pii_redact",
+    "q40_curate_pipeline",
+    "q41_decontaminate",
+    "q42_pack_sequences",
+    "q44_portable_hll",
+    "q47_cms_heavy_hitters",
+    "q48_mixture_sample",
+    "q49_skew_salted_join",
+    "q50_bloom_join_prune",
+    "q52_hist_quantiles",
+    "q53_stratified_sample",
+    "q57_priority_sample",
+    "q58_triangles",
+    "q59_hits",
+    "q60_pmi_collocations",
+    "q70_ngram_lm",
+    "q71_bucketed_join",
+    "q72_partition_pruning",
+    "q73_formats_roundtrip",
+    "q74_multimodal_features",
+    "q75_frame_sample",
+    "q77_prefix_autocomplete",
+    "q78_spell_correct",
+    "q79_crawl_frontier",
+    "q80_kwic_snippets",
+    "q81_host_collapse",
+    "q82_proximity_rank",
+    "q83_shingle_containment",
+    "q84_query_expansion",
+    "q85_dup_source_matrix",
+    "q86_burst_detect",
+    "q87_semdedup",
+    "q88_source_quality",
+    "q89_canonical_rep",
+    "q90_keywords",
+    "q91_more_like_this",
+    "q92_rank_fusion",
+    "q93_lm_dirichlet",
+    "q94_bpe_pairs",
+    "q95_zipf_fit",
+    "q96_passage_chunks",
+    "q97_source_kl",
+    # (r4-verified rows fall through to natural registry order)
 ]
 
 

@@ -1540,3 +1540,126 @@ FROM wc CROSS JOIN n CROSS JOIN tot
 WHERE df * {STOPDISC_DF_RATIO[1]} >= n.n_docs * {STOPDISC_DF_RATIO[0]}
 ORDER BY cf DESC, term ASC
 """
+
+
+# --------------------------------------------------------------------------
+# q134: standing-query percolation (inverse search / alerting — the
+# Elasticsearch-percolator shape). The engine's normal path routes ONE
+# query against a big index; an alerting tier inverts it: a fixed rule
+# set of standing queries is matched against every incoming document
+# ("which alerts does this doc trigger?"). The rule set here is mined
+# deterministically from the corpus itself — the PERC_TOP_TERMS
+# highest-df terms (tie-break term ASC, a total order) become the
+# singleton rules and every (r_i < r_j) pair becomes an AND rule — so
+# the entry needs no external data and both engines derive the
+# identical rule table.
+#
+# Scale shape: the rule-term table is tiny and BROADCAST into one pass
+# over the distinct (doc, term) list — m is |docs|·|rule terms| rows at
+# worst; AND-pair matching is a per-doc self-join bounded by
+# PERC_TOP_TERMS² (constant per doc, never a corpus × rules blow-up);
+# two hash aggs collapse to |rules| rows. At 100 TB with a real rule
+# set the same plan holds: rules broadcast, matching stays map-side,
+# the only shuffle is the |rules|-keyed count. Pure integer outputs —
+# no float portability hazards.
+# --------------------------------------------------------------------------
+
+PERC_TOP_TERMS = 8
+
+
+def percolate_rules(docs: DataFrame) -> DataFrame:
+    """Mine the deterministic standing-rule member table from a corpus:
+    (term, rule_id, term_a, term_b, arity) — one row per (rule, member
+    term). Singleton rules are the PERC_TOP_TERMS highest-df terms
+    (tie-break term ASC); every (r_i < r_j) pair is an AND rule with
+    rule_id = PERC_TOP_TERMS·r_i + r_j. The table is O(top²) rows —
+    always broadcastable."""
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    df_t = dt.groupBy("term").agg(F.count("*").alias("df"))
+    top = df_t.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+        PERC_TOP_TERMS
+    )
+    w_r = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    ranked = top.withColumn("r", F.row_number().over(w_r)).select(
+        "term", "r"
+    )
+    singles = ranked.select(
+        "term",
+        F.col("r").cast("long").alias("rule_id"),
+        F.col("term").alias("term_a"),
+        F.lit("").alias("term_b"),
+        F.lit(1).alias("arity"),
+    )
+    a = ranked.select(F.col("term").alias("ta"), F.col("r").alias("ra"))
+    b = ranked.select(F.col("term").alias("tb"), F.col("r").alias("rb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ra") < F.col("rb"))
+        .select(
+            F.explode(F.array(F.col("ta"), F.col("tb"))).alias("term"),
+            (
+                F.lit(PERC_TOP_TERMS) * F.col("ra") + F.col("rb")
+            ).cast("long").alias("rule_id"),
+            F.col("ta").alias("term_a"),
+            F.col("tb").alias("term_b"),
+            F.lit(2).alias("arity"),
+        )
+    )
+    return singles.unionAll(pairs)
+
+
+def percolate_alerts(docs: DataFrame, rules: DataFrame) -> DataFrame:
+    """(doc_id, term_a, term_b) for every standing rule each document
+    satisfies — the per-document alert stream. Rules broadcast; one
+    distinct-token pass over the docs; matching never leaves the doc's
+    own rows (a doc is row-atomic, which is why the streaming twin is
+    exactly batch-equivalent per micro-batch)."""
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    m = dt.join(F.broadcast(rules), "term")
+    return (
+        m.groupBy("doc_id", "rule_id", "term_a", "term_b", "arity")
+        .agg(F.count("*").alias("nm"))
+        .filter(F.col("nm") == F.col("arity"))
+        .select("doc_id", "term_a", "term_b")
+    )
+
+
+def q134_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    rules = percolate_rules(docs)
+    return (
+        percolate_alerts(docs, rules)
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("term_a", "term_b")
+    )
+
+
+QUERIES["q134_percolate"] = q134_percolate
+
+ORACLE["q134_percolate"] = f"""
+WITH {_TOKENS_CTE},
+dtoks AS (SELECT DISTINCT doc_id, term FROM toks),
+dfs AS (SELECT term, count(*) AS df FROM dtoks GROUP BY term),
+top AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM dfs ORDER BY df DESC, term ASC LIMIT {PERC_TOP_TERMS}
+),
+m AS (SELECT t.doc_id, p.term, p.r FROM dtoks t JOIN top p USING (term)),
+singles AS (
+  SELECT term AS term_a, '' AS term_b, count(*)::BIGINT AS n_docs
+  FROM m GROUP BY term
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.r < b.r
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT * FROM singles UNION ALL SELECT * FROM pairs
+) ORDER BY term_a, term_b
+"""

@@ -719,3 +719,316 @@ bfs(node, hop) AS (
 SELECT node, min(hop)::INT AS hop
 FROM bfs GROUP BY node ORDER BY hop, node
 """
+
+
+# --------------------------------------------------------------------------
+# q133: host-level authority — supernode-collapsed WEIGHTED PageRank.
+# A web ranking pipeline runs authority at host granularity next to
+# doc-level PageRank (host rank bootstraps never-before-crawled pages
+# and damps single-page link spam: a page inherits its host's prior).
+# The reference blends only doc-level rank (SearchEngine scores one
+# crawl's pages); this is the scale-out companion the same corpus needs
+# at web size. Here the "host" of a part node is its brand and of a
+# supplier node its nation — the host key of the synthetic graph — and
+# the collapse is exactly a URL→host collapse: map each endpoint
+# through the member→host table, aggregate edge multiplicity into a
+# weight, drop intra-host (nepotistic) edges.
+#
+# Scale shape: ONE hash agg keyed by (hsrc, hdst) collapses the
+# doc-level edge list (linear, map-side combinable: |hosts|² keys);
+# the power iteration then runs on the HOST graph — for the real web
+# ~10^8 hosts vs ~10^11 docs, three orders smaller — and the member
+# join-back is a broadcast of |hosts| rows. Determinism: same exact
+# int64 fixed-point rule as q27, extended to weights — per-source
+# v = (17·u) div (20·wdeg) is floored ONCE, then each edge contributes
+# w·v, so every value is pure integer arithmetic (w·v ≤ u·(17/20)·
+# (w/wdeg) ≤ u ≈ |hosts|·10^12 — no int64 overflow at any scale where
+# |hosts|·10^12 < 2^63/17), bit-identical across engines and at any
+# parallelism.
+# --------------------------------------------------------------------------
+
+HOST_NATION_OFFSET = 100  # nation-host ids, disjoint from brand hosts 11-55
+
+
+def member_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, host): part nodes -> brand digits, supplier nodes (q27's
+    SUPP_OFFSET id space) -> nation + HOST_NATION_OFFSET."""
+    part = _tables.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("node"),
+        F.substring("p_brand", 7, 2).cast("int").alias("host"),
+    )
+    supp = _tables.load(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") + SUPP_OFFSET).alias("node"),
+        (F.col("s_nationkey").cast("int") + HOST_NATION_OFFSET).alias(
+            "host"
+        ),
+    )
+    return part.unionAll(supp)
+
+
+def q133_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _tables.load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").cast("long").alias("part"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    hmap = member_hosts(spark, sf_dir)
+    # collapse: member edge list -> weighted host pairs (one hash agg;
+    # hmap is |members|-small here and |hosts|-broadcast at web scale)
+    hpair = (
+        li.join(hmap.withColumnRenamed("node", "part"), "part")
+        .withColumnRenamed("host", "hsrc")
+        .join(
+            hmap.withColumnRenamed("node", "supp").withColumnRenamed(
+                "host", "hdst"
+            ),
+            "supp",
+        )
+        .filter(F.col("hsrc") != F.col("hdst"))  # drop nepotistic links
+        .groupBy("hsrc", "hdst")
+        .agg(F.count("*").alias("w"))
+    )
+    he = hpair.unionAll(
+        hpair.select(
+            F.col("hdst").alias("hsrc"), F.col("hsrc").alias("hdst"), "w"
+        )
+    ).localCheckpoint(eager=False)
+    hnodes = he.select(F.col("hsrc").alias("host")).distinct()
+    wdeg = he.groupBy("hsrc").agg(F.sum("w").alias("wdeg"))
+    ranks = hnodes.withColumn("u", F.lit(PR_ONE_U).cast("long"))
+    for _ in range(N_ITERS):
+        contrib = (
+            he.join(ranks, he.hsrc == ranks.host)
+            .join(wdeg, "hsrc")
+            .select(
+                "hdst",
+                F.expr("w * ((17 * u) div (20 * wdeg))").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("hdst").agg(F.sum("c").alias("s"))
+        ranks = hnodes.join(
+            incoming, hnodes.host == incoming.hdst, "left"
+        ).select(
+            "host",
+            (F.lit(PR_BASE_U) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("u"),
+        )
+    hostrank = ranks.select(
+        "host",
+        (F.col("u").cast("double") / F.lit(float(PR_SCALE))).alias(
+            "host_rank"
+        ),
+    )
+    # member join-back: every graph node inherits its host's authority —
+    # a broadcast join of |hosts| rows against the member list
+    members = (
+        li.select(F.col("part").alias("node"))
+        .unionAll(li.select(F.col("supp").alias("node")))
+        .distinct()
+    )
+    return (
+        members.join(hmap, "node")
+        .join(F.broadcast(hostrank), "host")
+        .select("node", "host", "host_rank")
+        .orderBy("node")
+    )
+
+
+QUERIES["q133_hostrank"] = q133_hostrank
+
+
+def _hostrank_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.host, ({PR_BASE_U} + coalesce(s.s, 0))::BIGINT AS u
+  FROM hnodes n LEFT JOIN (
+    SELECT e.hdst, sum(e.w * ((17 * r.u) // (20 * d.wdeg)))::BIGINT AS s
+    FROM he e JOIN {prev} r ON e.hsrc = r.host
+              JOIN wdeg d ON e.hsrc = d.hsrc
+    GROUP BY e.hdst
+  ) s ON n.host = s.hdst
+)"""
+
+
+_HOSTRANK_CTES = ",".join(
+    _hostrank_round_sql(f"h{i}", f"h{i + 1}") for i in range(N_ITERS)
+)
+
+ORACLE["q133_hostrank"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_partkey::BIGINT AS part,
+                  l_suppkey::BIGINT + {SUPP_OFFSET} AS supp
+  FROM lineitem
+),
+hmap AS (
+  SELECT p_partkey::BIGINT AS node,
+         CAST(substr(p_brand, 7, 2) AS INT) AS host
+  FROM part
+  UNION ALL
+  SELECT s_suppkey::BIGINT + {SUPP_OFFSET},
+         s_nationkey::INT + {HOST_NATION_OFFSET}
+  FROM supplier
+),
+hpair AS (
+  SELECT hp.host AS hsrc, hs.host AS hdst, count(*)::BIGINT AS w
+  FROM li JOIN hmap hp ON li.part = hp.node
+          JOIN hmap hs ON li.supp = hs.node
+  WHERE hp.host <> hs.host
+  GROUP BY 1, 2
+),
+he AS (
+  SELECT hsrc, hdst, w FROM hpair
+  UNION ALL
+  SELECT hdst, hsrc, w FROM hpair
+),
+hnodes AS (SELECT DISTINCT hsrc AS host FROM he),
+wdeg AS (SELECT hsrc, sum(w)::BIGINT AS wdeg FROM he GROUP BY hsrc),
+h0 AS (SELECT host, {PR_ONE_U}::BIGINT AS u FROM hnodes),
+{_HOSTRANK_CTES},
+members AS (
+  SELECT DISTINCT node FROM (
+    SELECT part AS node FROM li UNION ALL SELECT supp FROM li
+  )
+)
+SELECT m.node, hm.host,
+       CAST(r.u AS DOUBLE) / CAST('1e12' AS DOUBLE) AS host_rank
+FROM members m JOIN hmap hm ON m.node = hm.node
+               JOIN h{N_ITERS} r ON hm.host = r.host
+ORDER BY m.node
+"""
+
+
+# --------------------------------------------------------------------------
+# q135: k-core peeling over the co-purchase graph — the dense-subgraph
+# primitive a webspam pipeline runs on the host graph (link farms are
+# high-k cores; spam-mass detection seeds from them) and a curation
+# pipeline runs on the near-dup graph (a dup CLUSTER from q38 is any
+# connected blob; a dup CORE is mutually-linked enough to be template
+# spam). Synchronous peel: each round removes every node whose degree
+# over SURVIVING edges is < K — the parallel variant of Matula-Beck
+# peeling. K is DATA-DERIVED as floor(0.8 · avg degree) in exact
+# integer arithmetic ((4·Σdeg) div (5·|V|), identical in both
+# engines), so the peel discriminates at ANY corpus scale — a fixed
+# literal K degenerates as density grows with SF, and K at or above
+# the mean cascades a homogeneous graph to an empty core (measured:
+# 9/10·avg empties all three fixtures; 4/5·avg cores 44–79%). Fixed KCORE_ROUNDS unroll (the q27 / q59 / q130
+# idiom: bounded lineage, oracle-expressible); converges to the true
+# K-core as rounds grow and the round count is part of the contract.
+#
+# Scale shape per round: two semi-joins of the edge list against the
+# survivor set + one per-node count — all equi-joins on int64 keys;
+# K rides a 1-row broadcast (never a driver collect); the survivor set
+# shrinks monotonically so later rounds cost less (q122's
+# shrinking-frontier property). Pure integer outputs.
+# --------------------------------------------------------------------------
+
+KCORE_ROUNDS = 3
+
+
+def q135_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore_peel(copurchase_edges(spark, sf_dir))
+
+
+def kcore_peel(pairs: DataFrame, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """(node, degree, k, in_core) after ``rounds`` synchronous peels at
+    the data-derived threshold k = (4·Σdeg) div (5·|V|) over distinct
+    undirected (pa < pb) edges. ``degree`` is the ORIGINAL degree;
+    ``in_core`` marks round-``rounds`` survivors."""
+    e = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg0 = e.groupBy("src").agg(F.count("*").alias("degree"))
+    # k = (4·Σdeg) div (5·|V|), exact int64 — materialized once
+    # (1 row) because every round's filter references it
+    k_row = (
+        deg0.agg(
+            F.sum("degree").cast("long").alias("sd"),
+            F.count("*").alias("nv"),
+        )
+        .select(F.expr("(4 * sd) div (5 * nv)").cast("long").alias("k"))
+        .localCheckpoint()
+    )
+    alive = (
+        deg0.crossJoin(F.broadcast(k_row))
+        .filter(F.col("degree") >= F.col("k"))
+        .select(F.col("src").alias("node"))
+    )
+    for _ in range(rounds - 1):
+        live_e = e.join(
+            alive.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        deg = live_e.groupBy("src").agg(F.count("*").alias("d"))
+        # materialize each round: `alive` feeds both semi-joins of the
+        # next round (q130's idiom)
+        alive = (
+            deg.crossJoin(F.broadcast(k_row))
+            .filter(F.col("d") >= F.col("k"))
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+    return (
+        deg0.select(F.col("src").alias("node"), "degree")
+        .crossJoin(F.broadcast(k_row))
+        .join(alive.withColumn("in_core", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            "degree",
+            "k",
+            F.coalesce(F.col("in_core"), F.lit(0)).cast("int").alias(
+                "in_core"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+QUERIES["q135_kcore"] = q135_kcore
+
+
+def _kcore_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT e.src AS node FROM e
+  JOIN {prev} a ON e.src = a.node
+  JOIN {prev} b ON e.dst = b.node
+  GROUP BY e.src HAVING count(*) >= (SELECT k FROM kv)
+)"""
+
+
+_KCORE_CTES = ",".join(
+    _kcore_round_sql(f"a{i}", f"a{i + 1}") for i in range(KCORE_ROUNDS - 1)
+)
+
+ORACLE["q135_kcore"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+deg0 AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+kv AS (
+  SELECT ((4 * (SELECT sum(degree) FROM deg0))
+          // (5 * (SELECT count(*) FROM deg0)))::BIGINT AS k
+),
+a0 AS (SELECT src AS node FROM deg0 WHERE degree >= (SELECT k FROM kv)),
+{_KCORE_CTES}
+SELECT d.src AS node, d.degree, (SELECT k FROM kv) AS k,
+       CASE WHEN s.node IS NULL THEN 0 ELSE 1 END::INT AS in_core
+FROM deg0 d LEFT JOIN a{KCORE_ROUNDS - 1} s ON d.src = s.node
+ORDER BY node
+"""

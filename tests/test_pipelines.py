@@ -134,6 +134,9 @@ ORACLE_CHECKED = [
     "q130_label_propagation",
     "q131_temperature_mixture",
     "q132_lsh_audit",
+    "q133_hostrank",
+    "q134_percolate",
+    "q135_kcore",
 ]
 
 
@@ -1249,3 +1252,130 @@ def test_lsh_audit_ties_to_production_path(spark):
         assert 0.0 <= row["precision"] <= 1.0
     if row["n_truth"]:
         assert 0.0 <= row["recall"] <= 1.0
+
+
+def test_hostrank_matches_python_reference(spark):
+    """q133: the collapsed weighted PageRank must equal an exact-integer
+    Python replay of the same rule over the same host graph — catching
+    any floor/overflow/ordering divergence in the distributed plan."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.graph import (
+        N_ITERS,
+        PR_BASE_U,
+        PR_ONE_U,
+        PR_SCALE,
+        member_hosts,
+        q133_hostrank,
+        SUPP_OFFSET,
+    )
+    from searchengine_spark.pipelines import _tables
+    from pyspark.sql import functions as F
+
+    hm = {
+        r["node"]: r["host"]
+        for r in member_hosts(spark, SF_DIR).collect()
+    }
+    li = (
+        _tables.load(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_partkey").cast("long").alias("part"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+        .collect()
+    )
+    w: dict[tuple[int, int], int] = defaultdict(int)
+    members = set()
+    for r in li:
+        members.add(r["part"])
+        members.add(r["supp"])
+        hs, hd = hm[r["part"]], hm[r["supp"]]
+        if hs != hd:
+            w[(hs, hd)] += 1
+    he: dict[tuple[int, int], int] = defaultdict(int)
+    for (s, d), wt in w.items():
+        he[(s, d)] += wt
+        he[(d, s)] += wt
+    wdeg: dict[int, int] = defaultdict(int)
+    for (s, _d), wt in he.items():
+        wdeg[s] += wt
+    hosts = set(wdeg)
+    u = {h: PR_ONE_U for h in hosts}
+    for _ in range(N_ITERS):
+        inc: dict[int, int] = defaultdict(int)
+        for (s, d), wt in he.items():
+            inc[d] += wt * ((17 * u[s]) // (20 * wdeg[s]))
+        u = {h: PR_BASE_U + inc.get(h, 0) for h in hosts}
+    want = {
+        m: (hm[m], u[hm[m]] / float(PR_SCALE))
+        for m in members
+    }
+    got = {
+        r["node"]: (r["host"], r["host_rank"])
+        for r in q133_hostrank(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_percolate_rule_consistency(spark):
+    """q134 invariants: the rule table is 8 singletons + 28 AND pairs
+    over the top-df terms, every AND count is bounded by both of its
+    singleton counts, and each singleton count equals the term's df."""
+    from searchengine_spark.pipelines.fulltext import (
+        PERC_TOP_TERMS,
+        q11_wordcount,
+        q134_percolate,
+    )
+
+    rows = q134_percolate(spark, SF_DIR).collect()
+    singles = {r["term_a"]: r["n_docs"] for r in rows if r["term_b"] == ""}
+    pairs = {
+        (r["term_a"], r["term_b"]): r["n_docs"]
+        for r in rows
+        if r["term_b"] != ""
+    }
+    assert len(singles) == PERC_TOP_TERMS
+    assert len(pairs) <= PERC_TOP_TERMS * (PERC_TOP_TERMS - 1) // 2
+    for (a, b), n in pairs.items():
+        assert a in singles and b in singles
+        assert n <= min(singles[a], singles[b]), (a, b)
+    dfs = {r["term"]: r["df"] for r in q11_wordcount(spark, SF_DIR).collect()}
+    for t, n in singles.items():
+        assert n == dfs[t], t
+
+
+def test_kcore_matches_python_reference(spark):
+    """q135: the distributed synchronous peel must equal an exact
+    Python replay of the same rule (same k, same round count) over the
+    same edge set."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.graph import (
+        KCORE_ROUNDS,
+        copurchase_edges,
+        q135_kcore,
+    )
+
+    pairs = [
+        (r["pa"], r["pb"])
+        for r in copurchase_edges(spark, SF_DIR).collect()
+    ]
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg0 = {v: len(ns) for v, ns in adj.items()}
+    k = (4 * sum(deg0.values())) // (5 * len(deg0))
+    alive = {v for v, d in deg0.items() if d >= k}
+    for _ in range(KCORE_ROUNDS - 1):
+        alive = {
+            v for v in alive if len(adj[v] & alive) >= k
+        }
+    want = {v: (deg0[v], k, 1 if v in alive else 0) for v in deg0}
+    got = {
+        r["node"]: (r["degree"], r["k"], r["in_core"])
+        for r in q135_kcore(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert 0 < len(alive) < len(deg0)  # non-degenerate at fixture scale
