@@ -1663,3 +1663,94 @@ SELECT * FROM (
   SELECT * FROM singles UNION ALL SELECT * FROM pairs
 ) ORDER BY term_a, term_b
 """
+
+
+# --------------------------------------------------------------------------
+# q138: postings-compression audit — per-term delta-gap + varint size
+# estimate, the storage-planning query behind the engine's own
+# compressed salted index (indexer.py packs doc-id-sorted posting blobs;
+# this entry measures WHY that layout compresses: sorted ids make gaps
+# small, and varint bytes grow with log(gap), so bytes/posting is the
+# metric that decides block size and salting width before a reindex).
+#
+# Exactness: gaps are int64 differences over the per-term doc_id order
+# (strictly positive — (doc_id, term) is DISTINCT); varint bytes is an
+# integer CASE ladder over exact power-of-two thresholds (never a float
+# log — log2() at exact powers of two is the classic cross-engine ulp
+# trap); the ratio is one IEEE division over exact ints.
+#
+# Scale shape: one distinct-(doc,term) pass, then a (term)-partitioned
+# window ordered by doc_id — the SAME shuffle the postings build pays,
+# so the audit costs one index-build map phase. Hot-term skew is real
+# at 100 TB and is the very thing the production index range-salts
+# (indexer.salt_expr); the audit runs pre-salt to measure it — per-term
+# output is |vocab| rows.
+# --------------------------------------------------------------------------
+
+# varint (LEB128) byte count thresholds: k bytes encode gaps < 2^(7k)
+_VARINT_STEPS = [(k, 1 << (7 * k)) for k in range(1, 9)]
+
+
+def q138_postings_compression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = dt.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + F.lit(1),
+        ).cast("long").alias("gap"),
+    )
+    vb = F.lit(9)
+    for k, lim in reversed(_VARINT_STEPS):
+        vb = F.when(F.col("gap") < F.lit(lim), F.lit(k)).otherwise(vb)
+    per_term = gaps.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(vb).cast("long").alias("varint_bytes"),
+        F.max("gap").cast("long").alias("max_gap"),
+    )
+    return per_term.select(
+        "term",
+        "df",
+        (F.col("df") * F.lit(8)).cast("long").alias("raw_bytes"),
+        "varint_bytes",
+        "max_gap",
+        (
+            F.col("varint_bytes").cast("double")
+            / (F.col("df") * F.lit(8)).cast("double")
+        ).alias("compress_ratio"),
+    ).orderBy("term")
+
+
+QUERIES["q138_postings_compression"] = q138_postings_compression
+
+_VARINT_CASE_SQL = "CASE " + " ".join(
+    f"WHEN gap < {lim} THEN {k}" for k, lim in _VARINT_STEPS
+) + " ELSE 9 END"
+
+ORACLE["q138_postings_compression"] = f"""
+WITH {_TOKENS_CTE},
+dtoks AS (SELECT DISTINCT doc_id, term FROM toks),
+gaps AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id + 1)::BIGINT AS gap
+  FROM dtoks
+),
+pt AS (
+  SELECT term,
+         count(*)::BIGINT AS df,
+         sum({_VARINT_CASE_SQL})::BIGINT AS varint_bytes,
+         max(gap)::BIGINT AS max_gap
+  FROM gaps GROUP BY term
+)
+SELECT term, df, (df * 8)::BIGINT AS raw_bytes, varint_bytes, max_gap,
+       CAST(varint_bytes AS DOUBLE) / CAST(df * 8 AS DOUBLE)
+         AS compress_ratio
+FROM pt ORDER BY term
+"""

@@ -1032,3 +1032,198 @@ SELECT d.src AS node, d.degree, (SELECT k FROM kv) AS k,
 FROM deg0 d LEFT JOIN a{KCORE_ROUNDS - 1} s ON d.src = s.node
 ORDER BY node
 """
+
+
+# --------------------------------------------------------------------------
+# q136: degree assortativity (Newman 2002) over the co-purchase graph —
+# the one-number structural audit a webgraph pipeline runs before
+# trusting degree-based heuristics (hub caps, salting thresholds,
+# degree-ordered triangle orientation all assume roughly-neutral degree
+# mixing; a strongly disassortative graph breaks the O(m^1.5) wedge
+# bound's constants). r = Pearson correlation of the endpoint degrees
+# over every DIRECTED representation of each undirected edge; by the
+# symmetry of that representation Σx = Σy and Σx² = Σy², so
+# r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — no sqrt needed.
+#
+# Cross-engine exactness: all five sufficient statistics are exact
+# int64 sums (degrees are ints; Σxy at sf0.1 ≈ 1e9, far under 2^63 —
+# the 100 TB path swaps the partials to DECIMAL(38,0), nothing else
+# changes); `assortativity` is ONE identical IEEE tree over those
+# exact integers — each input < 2^53 casts exactly, so both engines
+# produce the bit-identical double without any round().
+#
+# Scale shape: one (node) hash agg for degrees, one broadcast-joinable
+# degree attach per endpoint (|nodes| rows each side — at real scale a
+# shuffle-hash join on int64 keys), then ONE 1-row global agg with
+# map-side combine. No window, no driver loop, nothing quadratic.
+# --------------------------------------------------------------------------
+
+
+def q136_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = copurchase_edges(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("pa").alias("v"))
+        .unionAll(pairs.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    e = pairs.join(
+        deg.select(F.col("v").alias("pa"), F.col("deg").alias("da")), "pa"
+    ).join(
+        deg.select(F.col("v").alias("pb"), F.col("deg").alias("db")), "pb"
+    )
+    # both directed orientations of each undirected edge
+    d = e.select(F.col("da").alias("x"), F.col("db").alias("y")).unionAll(
+        e.select(F.col("db").alias("x"), F.col("da").alias("y"))
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    return s.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.expr("m div 2").cast("long").alias("n_edges"),
+        "sum_x",
+        "sum_xy",
+        "sum_xx",
+        (
+            (
+                F.col("m").cast("double") * F.col("sum_xy").cast("double")
+                - F.col("sum_x").cast("double") * F.col("sum_x").cast("double")
+            )
+            / (
+                F.col("m").cast("double") * F.col("sum_xx").cast("double")
+                - F.col("sum_x").cast("double") * F.col("sum_x").cast("double")
+            )
+        ).alias("assortativity"),
+    )
+
+
+QUERIES["q136_assortativity"] = q136_assortativity
+
+ORACLE["q136_assortativity"] = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+deg AS (
+  SELECT v, count(*)::BIGINT AS deg
+  FROM (SELECT pa AS v FROM und UNION ALL SELECT pb AS v FROM und)
+  GROUP BY v
+),
+d AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM und JOIN deg da ON und.pa = da.v JOIN deg db ON und.pb = db.v
+  UNION ALL
+  SELECT db.deg AS x, da.deg AS y
+  FROM und JOIN deg da ON und.pa = da.v JOIN deg db ON und.pb = db.v
+),
+s AS (
+  SELECT count(*)::BIGINT AS m,
+         sum(x)::BIGINT AS sum_x,
+         sum(x * y)::BIGINT AS sum_xy,
+         sum(x * x)::BIGINT AS sum_xx
+  FROM d
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (m // 2)::BIGINT AS n_edges,
+       sum_x, sum_xy, sum_xx,
+       (CAST(m AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+       / (CAST(m AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+         AS assortativity
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q137: co-citation relatedness (Small 1973 — the "related pages"
+# feature: two nodes are related when the same documents cite them
+# both). Citers here are orders, cited nodes suppliers; a citer's
+# out-degree is bounded by order size (~7), so the per-citer pair
+# explode is LINEAR in citations — the property that makes co-citation
+# tractable where a supplier-rooted projection (out-degree ~600 at
+# sf0.1) would be quadratic. Score is cosine-normalized co-citation
+# count c/√(na·nb); ranking and the LIMIT cut use the exact-integer
+# (cocite DESC, sa, sb) total order, never the float.
+#
+# 100 TB shape: one (citer) self-join with bounded fan-out, one
+# (sa, sb) hash agg with map-side combine, two |cited|-row count
+# attaches (broadcast here; shuffle-hash on int64 at real scale),
+# TakeOrderedAndProject for the cut. On a real webgraph the bounded-
+# fan-out premise is enforced by a hub cap on citer out-degree (the
+# stop-shingle idiom, q100) — orders are capped by construction.
+# --------------------------------------------------------------------------
+
+COCITE_MIN = 2  # min shared citers to call a pair related
+COCITE_TOP = 200
+
+
+def q137_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cite = (
+        _tables.load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("supp"),
+        )
+        .distinct()
+    )
+    n_cites = cite.groupBy("supp").agg(F.count("*").cast("long").alias("n"))
+    a = cite.select("ok", F.col("supp").alias("sa"))
+    b = cite.select("ok", F.col("supp").alias("sb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("cocite"))
+        .filter(F.col("cocite") >= COCITE_MIN)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(n_cites.select(F.col("supp").alias("sa"),
+                                       F.col("n").alias("na"))), "sa"
+        )
+        .join(
+            F.broadcast(n_cites.select(F.col("supp").alias("sb"),
+                                       F.col("n").alias("nb"))), "sb"
+        )
+        .select(
+            "sa", "sb", "cocite", "na", "nb",
+            (
+                F.col("cocite").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("score"),
+        )
+    )
+    return out.orderBy(
+        F.col("cocite").desc(), F.col("sa").asc(), F.col("sb").asc()
+    ).limit(COCITE_TOP)
+
+
+QUERIES["q137_cocitation"] = q137_cocitation
+
+ORACLE["q137_cocitation"] = f"""
+WITH cite AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey::BIGINT AS supp FROM lineitem
+),
+nc AS (SELECT supp, count(*)::BIGINT AS n FROM cite GROUP BY supp),
+pairs AS (
+  SELECT a.supp AS sa, b.supp AS sb, count(*)::BIGINT AS cocite
+  FROM cite a JOIN cite b ON a.ok = b.ok AND a.supp < b.supp
+  GROUP BY 1, 2
+  HAVING count(*) >= {COCITE_MIN}
+)
+SELECT sa, sb, cocite, na.n AS na, nb.n AS nb,
+       CAST(cocite AS DOUBLE)
+       / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS score
+FROM pairs JOIN nc na ON pairs.sa = na.supp JOIN nc nb ON pairs.sb = nb.supp
+ORDER BY cocite DESC, sa ASC, sb ASC
+LIMIT {COCITE_TOP}
+"""

@@ -137,6 +137,9 @@ ORACLE_CHECKED = [
     "q133_hostrank",
     "q134_percolate",
     "q135_kcore",
+    "q136_assortativity",
+    "q137_cocitation",
+    "q138_postings_compression",
 ]
 
 
@@ -1379,3 +1382,138 @@ def test_kcore_matches_python_reference(spark):
     }
     assert got == want
     assert 0 < len(alive) < len(deg0)  # non-degenerate at fixture scale
+
+
+def test_assortativity_matches_python_reference(spark):
+    """q136: the one-row sufficient statistics and the final Pearson
+    must equal an exact Python replay over the collected edge set."""
+    from searchengine_spark.pipelines.graph import (
+        copurchase_edges,
+        q136_assortativity,
+    )
+
+    pairs = [
+        (r["pa"], r["pb"])
+        for r in copurchase_edges(spark, SF_DIR).collect()
+    ]
+    from collections import defaultdict
+
+    deg: dict[int, int] = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    xs = []
+    for a, b in pairs:
+        xs.append((deg[a], deg[b]))
+        xs.append((deg[b], deg[a]))
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    want_r = (float(m) * float(sxy) - float(sx) * float(sx)) / (
+        float(m) * float(sxx) - float(sx) * float(sx)
+    )
+    row = q136_assortativity(spark, SF_DIR).collect()[0]
+    assert (
+        row["n_nodes"], row["n_edges"], row["sum_x"], row["sum_xy"],
+        row["sum_xx"],
+    ) == (len(deg), len(pairs), sx, sxy, sxx)
+    assert row["assortativity"] == want_r
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_cocitation_bounds_and_counts(spark):
+    """q137 invariants: every pair's co-citation count is bounded by
+    both endpoints' citation counts, scores are in (0, 1], the output
+    respects the (cocite DESC, sa, sb) total order, and counts tie to
+    an exact Python replay over the collected citation list."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines import _tables
+    from searchengine_spark.pipelines.graph import (
+        COCITE_MIN,
+        COCITE_TOP,
+        q137_cocitation,
+    )
+    from pyspark.sql import functions as F
+
+    rows = q137_cocitation(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= COCITE_TOP
+    keys = [(-r["cocite"], r["sa"], r["sb"]) for r in rows]
+    assert keys == sorted(keys)
+
+    cites = [
+        (r["ok"], r["supp"])
+        for r in _tables.load(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("supp"),
+        )
+        .distinct()
+        .collect()
+    ]
+    n_cites: dict[int, int] = defaultdict(int)
+    by_ok: dict[int, list[int]] = defaultdict(list)
+    for ok, s in cites:
+        n_cites[s] += 1
+        by_ok[ok].append(s)
+    co: dict[tuple[int, int], int] = defaultdict(int)
+    for ss in by_ok.values():
+        ss = sorted(ss)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                co[(ss[i], ss[j])] += 1
+    for r in rows:
+        assert r["na"] == n_cites[r["sa"]] and r["nb"] == n_cites[r["sb"]]
+        assert r["cocite"] == co[(r["sa"], r["sb"])] >= COCITE_MIN
+        assert r["cocite"] <= min(r["na"], r["nb"])
+        assert 0.0 < r["score"] <= 1.0
+
+
+def test_postings_compression_matches_python_reference(spark):
+    """q138: per-term varint byte totals equal an exact Python LEB128
+    replay over the collected distinct (doc_id, term) postings."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.fulltext import (
+        load_docs,
+        q138_postings_compression,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_docs(spark, SF_DIR)
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .collect()
+    )
+    postings: dict[str, list[int]] = defaultdict(list)
+    for r in dt:
+        postings[r["term"]].append(r["doc_id"])
+
+    def leb128_bytes(g: int) -> int:
+        n = 1
+        while g >= 1 << (7 * n) and n < 9:
+            n += 1
+        return n
+
+    want = {}
+    for term, ids in postings.items():
+        ids.sort()
+        gaps = [ids[0] + 1] + [
+            b - a for a, b in zip(ids, ids[1:])
+        ]
+        vb = sum(leb128_bytes(g) for g in gaps)
+        want[term] = (len(ids), len(ids) * 8, vb, max(gaps))
+    got = {
+        r["term"]: (r["df"], r["raw_bytes"], r["varint_bytes"], r["max_gap"])
+        for r in q138_postings_compression(spark, SF_DIR).collect()
+    }
+    assert got == want
+    for r in q138_postings_compression(spark, SF_DIR).collect():
+        assert r["df"] <= r["varint_bytes"] <= 9 * r["df"]
+        assert r["compress_ratio"] == r["varint_bytes"] / float(r["raw_bytes"])
