@@ -164,13 +164,17 @@ def _bucket(col: str = "term", n_buckets: int = catalog.N_BUCKETS):
 
 
 def term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
-    """Bucket assignment for query terms (tiny Spark job — keeps the hash
-    definition in one place, the JVM)."""
-    if not terms:
-        return {}
-    df = spark.createDataFrame([(t,) for t in terms], ["term"])
-    rows = df.select("term", _bucket("term", n_buckets).alias("bucket")).collect()
-    return {r["term"]: r["bucket"] for r in rows}
+    """Bucket assignment for query terms — driver-side via the pinned
+    XXH64 replica (xxh64.py). This used to run a tiny Spark job to keep
+    the hash in the JVM, but that job cost ~0.4 s of scheduling per
+    request — the largest slice of the solo-serving plan phase
+    (tools/solo_serve_profile.py). The replica is bit-pinned against
+    `F.xxhash64` by tests/test_ids.py; the build side (`_bucket`) stays
+    JVM-evaluated, so any drift would break rank identity loudly.
+    Python's % on a positive modulus is exactly Spark's pmod."""
+    from .xxhash64 import spark_xxhash64_str
+
+    return {t: spark_xxhash64_str(t) % n_buckets for t in terms}
 
 
 # ---------------------------------------------------------------------------

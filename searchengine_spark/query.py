@@ -74,6 +74,14 @@ def parse_exclusions(q: dict) -> list[str]:
     return parse_query(raw)
 
 
+# per-postings-root cache of the INFERRED segment schema: inference
+# re-reads parquet footers on every request (~0.1-0.7 s of the solo
+# plan phase, tools/solo_serve_profile.py) for a schema that is fixed
+# by the code version (catalog.INDEX_FORMAT) — within one process it
+# cannot change, so infer once and pass it explicitly thereafter.
+_SEGMENT_SCHEMA_CACHE: dict[str, "T.StructType"] = {}
+
+
 def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame:
     """Bucket-pruned read of posting segments for the given terms.
     Layout: postings/group=<g>/bucket=<b>/ (group = build resume unit,
@@ -89,7 +97,13 @@ def load_segments(spark: SparkSession, root: str, terms: list[str]) -> DataFrame
     ]
     if not paths:
         return spark.read.parquet(postings_root).filter(F.lit(False))
-    df = spark.read.option("basePath", postings_root).parquet(*paths)
+    reader = spark.read.option("basePath", postings_root)
+    cached = _SEGMENT_SCHEMA_CACHE.get(postings_root)
+    if cached is not None:
+        df = reader.schema(cached).parquet(*paths)
+    else:
+        df = reader.parquet(*paths)
+        _SEGMENT_SCHEMA_CACHE[postings_root] = df.schema
     return df.filter(F.col("term").isin(terms))
 
 
