@@ -150,6 +150,15 @@ BENCH_QUERIES = [
     # q132_lsh_audit's truth side is the exhaustive O(n^2) Jaccard —
     # fixture-degenerate at sf0.1 exactly like q16 (every doc pair
     # collides on the 31-word vocabulary) — gated at sf0.01 only.
+    "q133_hostrank",
+    "q134_percolate",
+    "q135_kcore",
+    "q136_assortativity",
+    "q137_cocitation",
+    "q138_postings_compression",
+    "q139_hyperball",
+    "q140_champion_lists",
+    "q141_clustering_coefficient",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

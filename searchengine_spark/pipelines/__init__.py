@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q141_clustering_coefficient",
+    "q140_champion_lists",
+    "q139_hyperball",
     "q138_postings_compression",
     "q137_cocitation",
     "q136_assortativity",

@@ -1754,3 +1754,101 @@ SELECT term, df, (df * 8)::BIGINT AS raw_bytes, varint_bytes, max_gap,
          AS compress_ratio
 FROM pt ORDER BY term
 """
+
+
+# --------------------------------------------------------------------------
+# q140: champion lists (Manning/Raghavan/Schütze IR §7.1.3; "fancy
+# lists" in early Google, impact-ordered tiers in MaxScore systems) —
+# the index-side precompute that caps per-term scoring work: for EVERY
+# term, the top CHAMP_M docs by that term's BM25 impact, materialized
+# at build time so a serving tier can answer cheap queries from the
+# champion tier alone and fall back to full postings only when tiers
+# run dry. Complements q138 (storage audit) as the serving-side index
+# product.
+#
+# Shape: the same tf/dl/df aggregations the BM25 entries pay (corpus
+# scalars as 1-row broadcasts, never a driver job), then ONE
+# (term)-partitioned row_number window — per-term lists are posting
+# lists, so the window shuffle IS the postings-build shuffle; at 100 TB
+# the hot-term partitions are the same ones the production index
+# range-salts, and the tier cut (rank ≤ M) makes the OUTPUT constant
+# per term. Score expression is q13's exact IEEE tree (identical in
+# both engines, 9dp-rounded on both per the q13/q44 precedent);
+# the cut uses (impact DESC, doc_id ASC) — a total order.
+# --------------------------------------------------------------------------
+
+CHAMP_M = 5  # champion-tier depth per term
+
+
+def q140_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats_row = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        load_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    hits = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats_row))
+        .withColumn(
+            "impact",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.lit(K1 + 1.0)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("impact"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("tier_rank", F.row_number().over(w))
+        .filter(F.col("tier_rank") <= CHAMP_M)
+        .select(
+            "term",
+            "tier_rank",
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("impact", 9).alias("impact"),
+        )
+        .orderBy("term", "tier_rank")
+    )
+
+
+QUERIES["q140_champion_lists"] = q140_champion_lists
+
+ORACLE["q140_champion_lists"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * ({K1} + 1.0) * tf.tf
+           / (tf.tf + {K1} * ((1.0 - {B}) + {B} * dl.dl / ad.avgdl)) AS impact
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+  CROSS JOIN n CROSS JOIN ad
+)
+SELECT term, tier_rank, doc_id, tf::BIGINT AS tf,
+       round(impact, 9) AS impact
+FROM (
+  SELECT term, doc_id, tf, impact,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY impact DESC, doc_id ASC) AS tier_rank
+  FROM hits
+)
+WHERE tier_rank <= {CHAMP_M}
+ORDER BY term, tier_rank
+"""

@@ -1227,3 +1227,241 @@ FROM pairs JOIN nc na ON pairs.sa = na.supp JOIN nc nb ON pairs.sb = nb.supp
 ORDER BY cocite DESC, sa ASC, sb ASC
 LIMIT {COCITE_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q139: neighborhood-function estimation — HyperBall (Boldi/Rosa/Vigna
+# WSDM'11): per node, estimate |ball(v, r)| by giving every node an HLL
+# register set seeded with its own id and MAX-merging registers along
+# edges for r rounds. THE web-graph reach/centrality primitive — exact
+# per-node ball counting is Θ(n·ball) state, the sketch is O(n·2^p) and
+# every round is ONE equi-join + ONE (node, bucket) MAX agg (MAX is
+# commutative/associative/idempotent: partial register tables from any
+# partitioning merge exactly — q44's portability argument).
+#
+# Cross-engine exactness: registers derive from the portable md5-based
+# 60-bit hash (q44's recipe) and merge as integers — bit-identical
+# anywhere; the estimate is the Flajolet formula (linear-counting
+# branch for small balls) with float constants embedded ::DOUBLE and
+# the result rounded to 9dp on BOTH engines (q44's precedent).
+# p=6 (64 registers) keeps per-node state ≤ 64 rows — at 100 TB the
+# register table is |nodes|·≤64 rows per round, shuffled on (node),
+# and rounds localCheckpoint so lineage stays O(rounds).
+# --------------------------------------------------------------------------
+
+HB_P = 6
+HB_M = 1 << HB_P
+HB_W = 60 - HB_P
+HB_ALPHA = 0.7213 / (1 + 1.079 / HB_M)
+HB_ROUNDS = 2
+
+
+def _hb_regs0(nodes: DataFrame) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = h.bitwiseAND(F.lit((1 << HB_W) - 1))
+    rho = F.when(w == 0, F.lit(HB_W + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), HB_W, "0"), "1")
+    )
+    return nodes.select(
+        "node", F.shiftright(h, HB_W).alias("bucket"), rho.alias("mrho")
+    )
+
+
+def q139_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = copurchase_edges(spark, sf_dir)
+    e = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    regs = _hb_regs0(nodes)
+    for _ in range(HB_ROUNDS):
+        prop = e.join(regs, e.src == regs.node).select(
+            F.col("dst").alias("node"), "bucket", "mrho"
+        )
+        regs = (
+            regs.unionAll(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("mrho").alias("mrho"))
+            .localCheckpoint(eager=False)
+        )
+    term = F.pow(F.lit(2.0), F.lit(HB_W + 1) - F.col("mrho")).cast("long")
+    s = regs.groupBy("node").agg(
+        F.sum(term).cast("long").alias("s_present"),
+        F.count("*").cast("long").alias("n_present"),
+    )
+    s_all = F.col("s_present") + (
+        F.lit(HB_M) - F.col("n_present")
+    ) * F.lit(1 << (HB_W + 1))
+    v = F.lit(HB_M) - F.col("n_present")
+    raw = (
+        F.lit(HB_ALPHA)
+        * F.lit(float(HB_M))
+        * F.lit(float(HB_M))
+        * F.pow(F.lit(2.0), F.lit(HB_W + 1))
+        / s_all
+    )
+    est = F.when(
+        (raw <= 2.5 * HB_M) & (v > 0),
+        F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / v),
+    ).otherwise(raw)
+    return (
+        s.join(deg, "node")
+        .select(
+            "node",
+            "degree",
+            F.col("n_present").alias("regs_present"),
+            # UNROUNDED: both engines compute the identical IEEE tree
+            # over identical integer inputs — bit-identity is stronger
+            # than round(x, 9), whose half-ulp ties diverge between
+            # engines (CLAUDE.md q67 lesson; hit at sf0.1 here)
+            est.alias("ball2_est"),
+        )
+        .orderBy("node")
+    )
+
+
+QUERIES["q139_hyperball"] = q139_hyperball
+
+
+def _hb_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node, bucket, max(mrho) AS mrho FROM (
+    SELECT e.dst AS node, r.bucket, r.mrho
+    FROM e JOIN {prev} r ON e.src = r.node
+    UNION ALL
+    SELECT node, bucket, mrho FROM {prev}
+  ) GROUP BY node, bucket
+)"""
+
+
+_HB_CTES = ",".join(
+    _hb_round_sql(f"g{i}", f"g{i + 1}") for i in range(HB_ROUNDS)
+)
+
+ORACLE["q139_hyperball"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+deg AS (SELECT src AS dnode, count(*)::BIGINT AS degree FROM e GROUP BY src),
+h AS (
+  SELECT node,
+         ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM nodes
+),
+g0 AS (
+  SELECT node, h >> {HB_W} AS bucket,
+         CASE WHEN (h & {(1 << HB_W) - 1}) = 0 THEN {HB_W + 1}
+              ELSE strpos(lpad(bin(h & {(1 << HB_W) - 1}), {HB_W}, '0'), '1')
+         END AS mrho
+  FROM h
+),
+{_HB_CTES},
+s AS (
+  SELECT node,
+         sum(CAST(pow(2.0, {HB_W + 1} - mrho) AS BIGINT))::BIGINT AS s_present,
+         count(*)::BIGINT AS n_present
+  FROM g{HB_ROUNDS} GROUP BY node
+),
+fin AS (
+  SELECT node, n_present,
+         CASE WHEN {HB_ALPHA!r}::DOUBLE * {float(HB_M)!r}::DOUBLE
+                   * {float(HB_M)!r}::DOUBLE * pow(2.0, {HB_W + 1})
+                   / (s_present + ({HB_M} - n_present) * {1 << (HB_W + 1)})
+                   <= {2.5 * HB_M!r}::DOUBLE
+                   AND ({HB_M} - n_present) > 0
+              THEN {float(HB_M)!r}::DOUBLE
+                   * ln({float(HB_M)!r}::DOUBLE / ({HB_M} - n_present))
+              ELSE {HB_ALPHA!r}::DOUBLE * {float(HB_M)!r}::DOUBLE
+                   * {float(HB_M)!r}::DOUBLE * pow(2.0, {HB_W + 1})
+                   / (s_present + ({HB_M} - n_present) * {1 << (HB_W + 1)})
+         END AS est
+  FROM s
+)
+SELECT f.node, d.degree, f.n_present AS regs_present,
+       f.est AS ball2_est
+FROM fin f JOIN deg d ON f.node = d.dnode
+ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# q141: local clustering coefficient (Watts/Strogatz 1998) — the
+# per-node "how clique-like is my neighborhood" metric a webspam
+# pipeline reads next to degree (link farms show near-1.0 clustering at
+# high degree; organic hubs sit near 0). Pure composition: q58's
+# degree-ordered triangle counts (O(m^1.5), the scale path) + one
+# map-only expression — c = 2·tri / (deg·(deg−1)), a single IEEE
+# division over exact ints, CASE'd to 0 for deg < 2 so there is no
+# 0-division branch to diverge on.
+# --------------------------------------------------------------------------
+
+
+def q141_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tc = triangle_counts(copurchase_edges(spark, sf_dir))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2) * F.col("n_triangles")).cast("double")
+        / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return tc.select(
+        "node", "degree", "n_triangles", coeff.alias("clustering")
+    ).orderBy("node")
+
+
+QUERIES["q141_clustering_coefficient"] = q141_clustering_coefficient
+
+ORACLE["q141_clustering_coefficient"] = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+deg AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+  GROUP BY v
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1
+  JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+),
+pn AS (
+  SELECT node, count(*) AS n
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.v AS node, d.deg::BIGINT AS degree,
+       coalesce(pn.n, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * coalesce(pn.n, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN pn ON pn.node = d.v
+ORDER BY node
+"""

@@ -140,6 +140,9 @@ ORACLE_CHECKED = [
     "q136_assortativity",
     "q137_cocitation",
     "q138_postings_compression",
+    "q139_hyperball",
+    "q140_champion_lists",
+    "q141_clustering_coefficient",
 ]
 
 
@@ -1517,3 +1520,144 @@ def test_postings_compression_matches_python_reference(spark):
     for r in q138_postings_compression(spark, SF_DIR).collect():
         assert r["df"] <= r["varint_bytes"] <= 9 * r["df"]
         assert r["compress_ratio"] == r["varint_bytes"] / float(r["raw_bytes"])
+
+
+def test_hyperball_matches_python_reference(spark):
+    """q139: registers and estimates must equal an exact Python replay
+    of the same md5-hash register construction and MAX-merge rounds;
+    and the sketch must actually approximate the true 2-hop ball
+    (within the p=6 HLL error envelope on the fixture graph)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.graph import (
+        HB_ALPHA,
+        HB_M,
+        HB_ROUNDS,
+        HB_W,
+        copurchase_edges,
+        q139_hyperball,
+    )
+
+    pairs = [
+        (r["pa"], r["pb"])
+        for r in copurchase_edges(spark, SF_DIR).collect()
+    ]
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def reg(v: int) -> tuple[int, int]:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        w = h & ((1 << HB_W) - 1)
+        rho = HB_W + 1 if w == 0 else HB_W - w.bit_length() + 1
+        return h >> HB_W, rho
+
+    regs: dict[int, dict[int, int]] = {
+        v: dict([reg(v)]) for v in adj
+    }
+    for _ in range(HB_ROUNDS):
+        nxt: dict[int, dict[int, int]] = {}
+        for v in adj:
+            m = dict(regs[v])
+            for u in adj[v]:
+                for b, r in regs[u].items():
+                    if m.get(b, 0) < r:
+                        m[b] = r
+            nxt[v] = m
+        regs = nxt
+
+    want = {}
+    for v, m in regs.items():
+        s_all = sum(1 << (HB_W + 1 - r) for r in m.values()) + (
+            HB_M - len(m)
+        ) * (1 << (HB_W + 1))
+        vz = HB_M - len(m)
+        raw = HB_ALPHA * float(HB_M) * float(HB_M) * (2.0 ** (HB_W + 1)) / s_all
+        est = (
+            float(HB_M) * math.log(float(HB_M) / vz)
+            if raw <= 2.5 * HB_M and vz > 0
+            else raw
+        )
+        want[v] = (len(adj[v]), len(m), est)
+    got = {
+        r["node"]: (r["degree"], r["regs_present"], r["ball2_est"])
+        for r in q139_hyperball(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    # accuracy sanity: the estimate tracks the TRUE 2-hop ball within
+    # the p=6 envelope (sigma = 1.04/sqrt(64) = 13%; at sf0.001 every
+    # node's 2-hop ball is the whole dense fixture graph, so all nodes
+    # share ONE sketch draw — bound by 2 sigma, not by averaging)
+    errs = []
+    for v in adj:
+        ball = {v} | adj[v]
+        for u in adj[v]:
+            ball |= adj[u]
+        exact = len(ball)
+        errs.append(abs(got[v][2] - exact) / exact)
+    assert sum(errs) / len(errs) < 0.26
+
+
+def test_champion_lists_tie_to_bm25_topk(spark):
+    """q140: per-term tier depth and ordering invariants, and for the
+    q13 query terms the champion tier must be EXACTLY q13's top-5
+    prefix (same scores, same docs, same order) — the tier answers
+    those queries without touching full postings."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.fulltext import (
+        BM25_QUERY_TERMS,
+        CHAMP_M,
+        q11_wordcount,
+        q13_bm25_topk,
+        q140_champion_lists,
+    )
+
+    rows = q140_champion_lists(spark, SF_DIR).collect()
+    per_term: dict[str, list] = defaultdict(list)
+    for r in rows:
+        per_term[r["term"]].append(r)
+    dfs = {r["term"]: r["df"] for r in q11_wordcount(spark, SF_DIR).collect()}
+    assert set(per_term) == set(dfs)  # every vocab term has a tier
+    for t, lst in per_term.items():
+        assert len(lst) == min(dfs[t], CHAMP_M)
+        assert [r["tier_rank"] for r in lst] == list(range(1, len(lst) + 1))
+        imps = [(-r["impact"], r["doc_id"]) for r in lst]
+        assert imps == sorted(imps)
+    top = defaultdict(list)
+    for r in q13_bm25_topk(spark, SF_DIR).collect():
+        if r["rank"] <= CHAMP_M:
+            top[r["term"]].append((r["rank"], r["doc_id"], r["bm25"]))
+    for t in BM25_QUERY_TERMS:
+        champ = [
+            (r["tier_rank"], r["doc_id"], r["impact"]) for r in per_term[t]
+        ]
+        assert champ == top[t], t
+
+
+def test_clustering_coefficient_composes_triangles(spark):
+    """q141: clustering must equal 2·tri/(deg·(deg−1)) recomputed from
+    q58's own output, be 0 exactly for deg < 2, and live in [0, 1]."""
+    from searchengine_spark.pipelines.graph import (
+        q58_triangles,
+        q141_clustering_coefficient,
+    )
+
+    tri = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in q58_triangles(spark, SF_DIR).collect()
+    }
+    rows = q141_clustering_coefficient(spark, SF_DIR).collect()
+    assert {r["node"] for r in rows} == set(tri)
+    for r in rows:
+        d, t = tri[r["node"]]
+        assert (r["degree"], r["n_triangles"]) == (d, t)
+        if d < 2:
+            assert r["clustering"] == 0.0
+        else:
+            assert r["clustering"] == float(2 * t) / float(d * (d - 1))
+        assert 0.0 <= r["clustering"] <= 1.0
