@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "q139_hyperball",
     "q140_champion_lists",
     "q141_clustering_coefficient",
+    "q142_recrawl_schedule",
+    "q143_pagerank_convergence",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,8 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q143_pagerank_convergence",
+    "q142_recrawl_schedule",
     "q141_clustering_coefficient",
     "q140_champion_lists",
     "q139_hyperball",

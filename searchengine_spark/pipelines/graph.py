@@ -1465,3 +1465,94 @@ SELECT d.v AS node, d.deg::BIGINT AS degree,
 FROM deg d LEFT JOIN pn ON pn.node = d.v
 ORDER BY node
 """
+
+
+# --------------------------------------------------------------------------
+# q143: PageRank convergence audit — per-iteration L1 and L∞ deltas of
+# the rank vector, the monitoring table an iterative job publishes so
+# an operator (or an auto-stopper) can see whether the fixed round
+# budget was enough. The reference's own PageRank stops on an L∞
+# threshold (jobs/PageRank.java:120-142); this entry measures exactly
+# that quantity per round for q27's iteration.
+#
+# Exactness: ranks are q27's exact int64 fixed-point, so deltas are
+# exact integer |u_r − u_{r−1}| sums/maxes — bit-identical anywhere,
+# order-insensitive at any parallelism. Output is N_ITERS rows.
+# Scale shape: q27's per-round join-agg plus one extra |nodes|-row
+# equi-join per round for the delta; the audit rides the iteration it
+# monitors instead of re-running it.
+# --------------------------------------------------------------------------
+
+
+def q143_pagerank_convergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("u", F.lit(PR_ONE_U).cast("long"))
+    deltas: list[DataFrame] = []
+    for i in range(N_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select("dst", F.expr(_PR_CONTRIB).alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        nxt = nodes.join(
+            incoming, nodes.node == incoming.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(PR_BASE_U) + F.coalesce(F.col("s"), F.lit(0))
+            ).cast("long").alias("u"),
+        ).localCheckpoint(eager=False)
+        d = ranks.select("node", F.col("u").alias("up")).join(
+            nxt, "node"
+        ).select(F.abs(F.col("u") - F.col("up")).alias("d"))
+        deltas.append(
+            d.agg(
+                F.lit(i + 1).cast("long").alias("iteration"),
+                F.sum("d").cast("long").alias("l1_delta_u"),
+                F.max("d").cast("long").alias("linf_delta_u"),
+            )
+        )
+        ranks = nxt
+    out = deltas[0]
+    for x in deltas[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("iteration")
+
+
+QUERIES["q143_pagerank_convergence"] = q143_pagerank_convergence
+
+_PRC_DELTAS = " UNION ALL ".join(
+    f"""SELECT {i + 1}::BIGINT AS iteration,
+       sum(abs(b.u - a.u))::BIGINT AS l1_delta_u,
+       max(abs(b.u - a.u))::BIGINT AS linf_delta_u
+FROM r{i} a JOIN r{i + 1} b ON a.node = b.node"""
+    for i in range(N_ITERS)
+)
+
+ORACLE["q143_pagerank_convergence"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_partkey::BIGINT AS part,
+                  l_suppkey::BIGINT + {SUPP_OFFSET} AS supp
+  FROM lineitem
+),
+e AS (
+  SELECT part AS src, supp AS dst FROM li
+  UNION ALL
+  SELECT supp AS src, part AS dst FROM li
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, {PR_ONE_U}::BIGINT AS u FROM nodes),
+{_ITER_CTES}
+{_PRC_DELTAS}
+ORDER BY iteration
+"""

@@ -1436,3 +1436,90 @@ SELECT event_type, b, cnt, trailing_sum,
 FROM w
 ORDER BY event_type, b
 """
+
+
+# --------------------------------------------------------------------------
+# q142: freshness-driven recrawl scheduling (Cho/Garcia-Molina 2003's
+# uniform-vs-proportional insight, integer form) — a crawler's revisit
+# policy needs a per-page change-rate estimate from its own observation
+# log: each monitored entity's observations ordered by time, a "change"
+# = the observed value differing from the previous observation, and the
+# revisit interval = observed span / (changes + 1) — pages that changed
+# on every probe get recrawled at probe cadence, static pages back off
+# to their full span. The priority rank feeds the frontier (q79).
+#
+# Exactness: epoch seconds via unix_timestamp (FLOORS; a double cast
+# would round .5+ fractions across a second boundary — q56's lesson),
+# change flags are integer CASEs on a lag window with the
+# (ts, event_id) total order, the interval is exact integer division,
+# and the rank window tie-breaks (interval ASC, user ASC) — no float
+# anywhere.
+#
+# Scale shape: one (user)-partitioned lag window (the observation log
+# is naturally partitioned by entity) + one (user) hash agg + one rank
+# window over |entities| rows. The log never joins itself.
+# --------------------------------------------------------------------------
+
+
+def q142_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("ep"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    obs = ev.withColumn(
+        "chg",
+        F.when(F.lag("value").over(w).isNull(), F.lit(0))
+        .when(F.col("value") != F.lag("value").over(w), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    per = obs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("chg").cast("long").alias("n_changes"),
+        (F.max("ep") - F.min("ep")).cast("long").alias("span_s"),
+    )
+    out = per.withColumn(
+        "recrawl_interval_s",
+        F.expr("span_s div (n_changes + 1)").cast("long"),
+    )
+    wr = Window.orderBy(F.asc("recrawl_interval_s"), F.asc("user_id"))
+    return out.withColumn(
+        "crawl_rank", F.row_number().over(wr).cast("long")
+    ).orderBy("user_id")
+
+
+QUERIES["q142_recrawl_schedule"] = q142_recrawl_schedule
+
+ORACLE["q142_recrawl_schedule"] = """
+WITH obs AS (
+  SELECT user_id,
+         floor(epoch(ts))::BIGINT AS ep,
+         event_id,
+         value,
+         CASE WHEN lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY floor(epoch(ts))::BIGINT,
+                                             event_id) IS NULL THEN 0
+              WHEN value <> lag(value) OVER (PARTITION BY user_id
+                                             ORDER BY floor(epoch(ts))::BIGINT,
+                                                      event_id) THEN 1
+              ELSE 0 END AS chg
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n_obs,
+         sum(chg)::BIGINT AS n_changes,
+         (max(ep) - min(ep))::BIGINT AS span_s
+  FROM obs GROUP BY user_id
+),
+iv AS (
+  SELECT *, (span_s // (n_changes + 1))::BIGINT AS recrawl_interval_s
+  FROM per
+)
+SELECT user_id, n_obs, n_changes, span_s, recrawl_interval_s,
+       row_number() OVER (ORDER BY recrawl_interval_s ASC,
+                          user_id ASC)::BIGINT AS crawl_rank
+FROM iv ORDER BY user_id
+"""

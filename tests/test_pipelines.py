@@ -143,6 +143,8 @@ ORACLE_CHECKED = [
     "q139_hyperball",
     "q140_champion_lists",
     "q141_clustering_coefficient",
+    "q142_recrawl_schedule",
+    "q143_pagerank_convergence",
 ]
 
 
@@ -1661,3 +1663,99 @@ def test_clustering_coefficient_composes_triangles(spark):
         else:
             assert r["clustering"] == float(2 * t) / float(d * (d - 1))
         assert 0.0 <= r["clustering"] <= 1.0
+
+
+def test_recrawl_schedule_matches_python_reference(spark):
+    """q142: per-entity change counts, spans, intervals, and the
+    priority permutation must equal an exact Python replay over the
+    collected observation log."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.relational import (
+        load,
+        q142_recrawl_schedule,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.expr("unix_timestamp(ts)").alias("ep"),
+            "event_id",
+            "value",
+        )
+        .collect()
+    )
+    logs: dict[int, list] = defaultdict(list)
+    for r in ev:
+        logs[r["user_id"]].append((r["ep"], r["event_id"], r["value"]))
+    want = {}
+    for uid, obs in logs.items():
+        obs.sort(key=lambda t: (t[0], t[1]))
+        changes = sum(
+            1 for a, b in zip(obs, obs[1:]) if b[2] != a[2]
+        )
+        span = obs[-1][0] - obs[0][0]
+        want[uid] = (len(obs), changes, span, span // (changes + 1))
+    order = sorted(want, key=lambda u: (want[u][3], u))
+    ranks = {u: i + 1 for i, u in enumerate(order)}
+    got = {
+        r["user_id"]: (
+            r["n_obs"], r["n_changes"], r["span_s"],
+            r["recrawl_interval_s"], r["crawl_rank"],
+        )
+        for r in q142_recrawl_schedule(spark, SF_DIR).collect()
+    }
+    assert got == {u: (*w, ranks[u]) for u, w in want.items()}
+
+
+def test_pagerank_convergence_ties_to_q27(spark):
+    """q143: an exact-integer Python replay of q27's iteration must
+    reproduce every per-round L1/L∞ delta, and the deltas must shrink
+    monotonically on the fixture graph (the iteration is converging)."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.graph import (
+        N_ITERS,
+        PR_BASE_U,
+        PR_ONE_U,
+        SUPP_OFFSET,
+        q143_pagerank_convergence,
+    )
+    from searchengine_spark.pipelines import _tables
+    from pyspark.sql import functions as F
+
+    li = (
+        _tables.load(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_partkey").cast("long").alias("part"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+        .collect()
+    )
+    e = [(r["part"], r["supp"]) for r in li] + [
+        (r["supp"], r["part"]) for r in li
+    ]
+    outdeg: dict[int, int] = defaultdict(int)
+    for s, _d in e:
+        outdeg[s] += 1
+    nodes = set(outdeg) | {d for _s, d in e}
+    u = {n: PR_ONE_U for n in nodes}
+    want = []
+    for i in range(N_ITERS):
+        inc: dict[int, int] = defaultdict(int)
+        for s, d in e:
+            inc[d] += (17 * u[s]) // (20 * outdeg[s])
+        nxt = {n: PR_BASE_U + inc.get(n, 0) for n in nodes}
+        ds = [abs(nxt[n] - u[n]) for n in nodes]
+        want.append((i + 1, sum(ds), max(ds)))
+        u = nxt
+    got = [
+        (r["iteration"], r["l1_delta_u"], r["linf_delta_u"])
+        for r in q143_pagerank_convergence(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    l1s = [w[1] for w in want]
+    assert l1s == sorted(l1s, reverse=True)
