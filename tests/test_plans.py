@@ -424,13 +424,14 @@ def test_q119_anchor_field_plan(spark):
 def test_q121_bm25f_plan(spark):
     """BM25F: the final pool compiles to TakeOrderedAndProject (never a
     global sort), corpus scalars/df ride as broadcasts, the anchor
-    field is cached (InMemoryRelation) so its explode+distinct+agg
-    pipeline feeds tf_a/dl_a/total_a once, and nothing degenerates to
-    a CartesianProduct."""
+    field is lazily localCheckpointed (an ExistingRDD checkpoint
+    boundary in the plan) so its explode+distinct+agg pipeline feeds
+    tf_a/dl_a/total_a once and the blocks are ContextCleaner-collected,
+    and nothing degenerates to a CartesianProduct."""
     from searchengine_spark.pipelines.fulltext import q121_bm25f
 
     p = plan(q121_bm25f(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastExchange" in p, p
-    assert "InMemoryRelation" in p or "InMemoryTableScan" in p, p
+    assert "ExistingRDD" in p, p
     assert "CartesianProduct" not in p, p
