@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "q141_clustering_coefficient",
     "q142_recrawl_schedule",
     "q143_pagerank_convergence",
+    "q144_session_copairs",
+    "q145_spam_mass",
+    "q146_kneser_ney",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q146_kneser_ney",
+    "q145_spam_mass",
+    "q144_session_copairs",
     "q143_pagerank_convergence",
     "q142_recrawl_schedule",
     "q141_clustering_coefficient",

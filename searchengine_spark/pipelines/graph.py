@@ -1556,3 +1556,143 @@ r0 AS (SELECT node, {PR_ONE_U}::BIGINT AS u FROM nodes),
 {_PRC_DELTAS}
 ORDER BY iteration
 """
+
+
+# --------------------------------------------------------------------------
+# q145: TrustRank spam mass (Gyöngyi/Garcia-Molina/Pedersen VLDB'04) —
+# the webspam audit a search pipeline runs beside ranking: global
+# PageRank measures total authority, trusted-seed PageRank (q112's
+# teleport shape) measures authority reachable from vetted hosts, and
+# the gap — spam mass = (pr − tr)/pr — flags nodes whose rank is
+# mostly endorsed by nobody trustworthy. Reference ties: rides the
+# same 0.85/0.15 iteration as jobs/PageRank.java:96-118.
+#
+# Scale shape: BOTH chains ride ONE equi-join + ONE per-node sum per
+# round (u and v are two int64 columns of the same ranks frame — the
+# composition costs zero extra shuffles over q27 alone). Exact int64
+# fixed-point throughout (u = rank·10¹², contribution
+# (17·u) div (20·outdeg)), so u, v, and the pure-integer flag compare
+# (u−v)·100 ≥ SPAM_PCT·u are bit-stable at any parallelism and across
+# engines; v ≤ u by induction (smaller teleport, same monotone
+# contraction), so mass_u is non-negative. The two ratio columns are
+# one identical IEEE division tree on both engines, emitted UNROUNDED
+# (round(x,9) half-ulp ties diverge cross-engine — CLAUDE.md q67/q139).
+# --------------------------------------------------------------------------
+
+SPAM_PCT = 60  # flag when the untrusted share of rank reaches 60%
+
+
+def q145_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seed = (F.col("node") < SUPP_OFFSET) & (
+        F.col("node") % PPR_SEED_MOD == 0
+    )
+    ranks = nodes.select(
+        "node",
+        F.lit(PR_ONE_U).cast("long").alias("u"),
+        F.when(seed, F.lit(PR_ONE_U))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("v"),
+    )
+    for _ in range(N_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.expr(_PR_CONTRIB).alias("cu"),
+                F.expr("(17 * v) div (20 * outdeg)").alias("cv"),
+            )
+        )
+        incoming = contrib.groupBy("dst").agg(
+            F.sum("cu").alias("su"), F.sum("cv").alias("sv")
+        )
+        ranks = nodes.join(
+            incoming, nodes.node == incoming.dst, "left"
+        ).select(
+            "node",
+            (F.lit(PR_BASE_U) + F.coalesce(F.col("su"), F.lit(0)))
+            .cast("long")
+            .alias("u"),
+            (
+                F.when(seed, F.lit(PR_BASE_U)).otherwise(F.lit(0))
+                + F.coalesce(F.col("sv"), F.lit(0))
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    return ranks.select(
+        "node",
+        seed.cast("int").alias("is_seed"),
+        (F.col("u").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+        (F.col("v").cast("double") / F.lit(float(PR_SCALE))).alias("tr"),
+        (F.col("u") - F.col("v")).cast("long").alias("mass_u"),
+        (
+            (F.col("u") - F.col("v")).cast("double")
+            / F.col("u").cast("double")
+        ).alias("spam_mass"),
+        ((F.col("u") - F.col("v")) * 100 >= F.lit(SPAM_PCT) * F.col("u"))
+        .cast("int")
+        .alias("spam_flag"),
+    ).orderBy("node")
+
+
+QUERIES["q145_spam_mass"] = q145_spam_mass
+
+
+def _spam_iteration_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node,
+         ({PR_BASE_U} + coalesce(s.su, 0))::BIGINT AS u,
+         (CASE WHEN {_PPR_SEED_SQL.replace("node", "n.node")}
+               THEN {PR_BASE_U} ELSE 0 END
+          + coalesce(s.sv, 0))::BIGINT AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum({_PR_CONTRIB_SQL}) AS su,
+                  sum({_PR_CONTRIB_SQL.replace("r.u", "r.v")}) AS sv
+    FROM e JOIN {prev} r ON e.src = r.node
+           JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.dst
+)"""
+
+
+_SPAM_ITER_CTES = ",".join(
+    _spam_iteration_sql(f"r{i}", f"r{i + 1}") for i in range(N_ITERS)
+)
+
+ORACLE["q145_spam_mass"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_partkey::BIGINT AS part,
+                  l_suppkey::BIGINT + {SUPP_OFFSET} AS supp
+  FROM lineitem
+),
+e AS (
+  SELECT part AS src, supp AS dst FROM li
+  UNION ALL
+  SELECT supp AS src, part AS dst FROM li
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, {PR_ONE_U}::BIGINT AS u,
+              CASE WHEN {_PPR_SEED_SQL} THEN {PR_ONE_U} ELSE 0 END::BIGINT AS v
+       FROM nodes),
+{_SPAM_ITER_CTES}
+SELECT node,
+       CASE WHEN {_PPR_SEED_SQL} THEN 1 ELSE 0 END::INT AS is_seed,
+       CAST(u AS DOUBLE) / CAST('1e12' AS DOUBLE) AS pr,
+       CAST(v AS DOUBLE) / CAST('1e12' AS DOUBLE) AS tr,
+       (u - v)::BIGINT AS mass_u,
+       CAST(u - v AS DOUBLE) / CAST(u AS DOUBLE) AS spam_mass,
+       (CASE WHEN (u - v) * 100 >= {SPAM_PCT} * u THEN 1 ELSE 0 END)::INT
+         AS spam_flag
+FROM r{N_ITERS} ORDER BY node
+"""

@@ -1523,3 +1523,158 @@ SELECT user_id, n_obs, n_changes, span_s, recrawl_interval_s,
                           user_id ASC)::BIGINT AS crawl_rank
 FROM iv ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# q144: session co-occurrence pairs — the "related searches" primitive
+# (a query-log miner sessionizes user activity by an inactivity gap,
+# then counts which activity types co-occur within a session and
+# scores the association by lift; the reference serves one query at a
+# time — Mainpage.java:117-132 — this is the log-side analytics a real
+# engine layers on top). Activity stream = the events table; the
+# "query" token is event_type.
+#
+# Scale shape: sessionization is ONE (user)-partitioned lag+cumsum
+# window over the (ep, event_id) total order (the shuffle key is the
+# natural user key); the pair stage self-joins the per-session
+# DISTINCT-type table on (user, sess) — per-session distinct types is
+# bounded by the type vocabulary, so pair volume is |sessions|·t², not
+# |events|²; rollups are |types|- and |types|²-row hash aggs. Totals
+# ride as a 1-row broadcast (q91's idiom — no driver count()). Lift is
+# one identical IEEE expression over exact int64 counts on both
+# engines, emitted UNROUNDED (bit-identity beats round(x,9) — q67).
+# --------------------------------------------------------------------------
+
+SESS_GAP_S = 28_800  # 8 h of inactivity closes a session
+
+
+def q144_session_copairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    brk = F.when(
+        F.lag("ep").over(w).isNull()
+        | (F.col("ep") - F.lag("ep").over(w) > SESS_GAP_S),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn("brk", brk)
+        .withColumn("sess", F.sum("brk").over(w))
+        .select("user_id", "sess", "event_type")
+        .distinct()
+    )
+    totals = sess.groupBy().agg(
+        F.countDistinct(F.struct("user_id", "sess"))
+        .cast("long")
+        .alias("n_sessions")
+    )
+    per_type = sess.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_type")
+    )
+    pairs = (
+        sess.alias("a")
+        .join(
+            sess.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess") == F.col("b.sess"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("etype_a"),
+            F.col("b.event_type").alias("etype_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_co"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("etype_a"),
+                    F.col("n_type").alias("n_a"),
+                )
+            ),
+            "etype_a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("etype_b"),
+                    F.col("n_type").alias("n_b"),
+                )
+            ),
+            "etype_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lift",
+            (F.col("n_co").cast("double") * F.col("n_sessions").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        )
+    )
+    wr = Window.orderBy(
+        F.desc("n_co"), F.asc("etype_a"), F.asc("etype_b")
+    )
+    return out.select(
+        "etype_a",
+        "etype_b",
+        "n_co",
+        "n_a",
+        "n_b",
+        "n_sessions",
+        "lift",
+        F.row_number().over(wr).cast("long").alias("pair_rank"),
+    ).orderBy("etype_a", "etype_b")
+
+
+QUERIES["q144_session_copairs"] = q144_session_copairs
+
+ORACLE["q144_session_copairs"] = f"""
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ep, event_id, event_type
+  FROM events
+),
+b AS (
+  SELECT *,
+         CASE WHEN lag(ep) OVER (PARTITION BY user_id
+                                 ORDER BY ep, event_id) IS NULL
+                OR ep - lag(ep) OVER (PARTITION BY user_id
+                                      ORDER BY ep, event_id)
+                   > {SESS_GAP_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY ep, event_id) AS sess
+  FROM b
+),
+st AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+tot AS (
+  SELECT count(*)::BIGINT AS n_sessions
+  FROM (SELECT DISTINCT user_id, sess FROM st)
+),
+pt AS (
+  SELECT event_type, count(*)::BIGINT AS n_type FROM st GROUP BY event_type
+),
+pr AS (
+  SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+         count(*)::BIGINT AS n_co
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sess = b.sess
+   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT etype_a, etype_b, n_co,
+       pa.n_type AS n_a, pb.n_type AS n_b, tot.n_sessions,
+       (n_co::DOUBLE * n_sessions::DOUBLE)
+         / (pa.n_type::DOUBLE * pb.n_type::DOUBLE) AS lift,
+       row_number() OVER (ORDER BY n_co DESC, etype_a ASC,
+                          etype_b ASC)::BIGINT AS pair_rank
+FROM pr JOIN pt pa ON pr.etype_a = pa.event_type
+        JOIN pt pb ON pr.etype_b = pb.event_type, tot
+ORDER BY etype_a, etype_b
+"""

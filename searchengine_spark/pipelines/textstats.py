@@ -1670,3 +1670,124 @@ SELECT true_lang, pred_lang, n_docs,
                            AS DOUBLE), 9) AS share_of_true
 FROM cells ORDER BY true_lang, pred_lang
 """
+
+
+# --------------------------------------------------------------------------
+# q146: Kneser–Ney bigram statistics (Kneser/Ney ICASSP'95; Chen &
+# Goodman 1998 formulation) — the LM-pipeline companion to q70's add-k
+# trigram model: absolute discounting plus the CONTINUATION unigram
+# (how many distinct left contexts a word follows — "Francisco" is
+# frequent but only ever follows "San", so its continuation mass is
+# tiny). A data-curation pipeline uses these to score corpora for LM
+# training and to build the smoothed n-gram scorers q46 consumes.
+#
+#   p_kn(w2|w1) = (c(w1,w2) − d)/c(w1)
+#               + ((d · N1+(w1,·))/c(w1)) · (N1+(·,w2)/B)
+#
+# with d = 0.75, N1+ = distinct-continuation counts, B = distinct
+# bigram types. Scale shape: one map-only bigram explode, then
+# vocabulary-keyed hash aggs and (w1)/(w2) equi-joins — all shuffle
+# keys are natural; only the 1-row B total broadcasts; output bounded
+# by the KN_MIN_COUNT support filter. Every input to the formula is an
+# exact int64 count, and the formula is ONE identical IEEE tree on
+# both engines (d embedded ::DOUBLE), emitted UNROUNDED (bit-identity
+# beats round(x,9) — the q67/q139 half-ulp rule).
+# --------------------------------------------------------------------------
+
+KN_MIN_COUNT = 30  # report bigrams with support >= 30
+
+
+def q146_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_docs(spark, sf_dir)
+        .select(_tok_arr().alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    pairs = (
+        base.filter(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - 2),
+                    lambda i: F.struct(
+                        F.get("toks", i).alias("w1"),
+                        F.get("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    left = big.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("rdiv"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count("*").cast("long").alias("cont")
+    )
+    btot = big.groupBy().agg(
+        F.count("*").cast("long").alias("n_bigram_types")
+    )
+    d = F.lit(0.75)
+    out = (
+        big.filter(F.col("c2") >= KN_MIN_COUNT)
+        .join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "pkn",
+            (
+                (F.col("c2").cast("double") - d)
+                / F.col("c1").cast("double")
+            )
+            + (
+                (d * F.col("rdiv").cast("double"))
+                / F.col("c1").cast("double")
+            )
+            * (
+                F.col("cont").cast("double")
+                / F.col("n_bigram_types").cast("double")
+            ),
+        )
+    )
+    return out.select(
+        "w1", "w2", "c2", "c1", "rdiv", "cont", "n_bigram_types", "pkn"
+    ).orderBy(F.desc("c2"), "w1", "w2")
+
+
+QUERIES["q146_kneser_ney"] = q146_kneser_ney
+
+ORACLE["q146_kneser_ney"] = f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT toks, len(toks) AS n FROM t),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, unnest(range(1, n)) AS u(i)
+  WHERE n >= 2
+),
+big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY w1, w2
+),
+lft AS (
+  SELECT w1, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS rdiv
+  FROM big GROUP BY w1
+),
+con AS (
+  SELECT w2, count(*)::BIGINT AS cont FROM big GROUP BY w2
+),
+btot AS (SELECT count(*)::BIGINT AS n_bigram_types FROM big)
+SELECT b.w1, b.w2, b.c2, lft.c1, lft.rdiv, con.cont, btot.n_bigram_types,
+       ((b.c2::DOUBLE - 0.75::DOUBLE) / lft.c1::DOUBLE)
+       + ((0.75::DOUBLE * lft.rdiv::DOUBLE) / lft.c1::DOUBLE)
+         * (con.cont::DOUBLE / btot.n_bigram_types::DOUBLE) AS pkn
+FROM big b JOIN lft ON b.w1 = lft.w1
+           JOIN con ON b.w2 = con.w2, btot
+WHERE b.c2 >= {KN_MIN_COUNT}
+ORDER BY b.c2 DESC, b.w1, b.w2
+"""

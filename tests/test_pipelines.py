@@ -145,6 +145,9 @@ ORACLE_CHECKED = [
     "q141_clustering_coefficient",
     "q142_recrawl_schedule",
     "q143_pagerank_convergence",
+    "q144_session_copairs",
+    "q145_spam_mass",
+    "q146_kneser_ney",
 ]
 
 
@@ -1759,3 +1762,177 @@ def test_pagerank_convergence_ties_to_q27(spark):
     assert got == want
     l1s = [w[1] for w in want]
     assert l1s == sorted(l1s, reverse=True)
+
+
+def test_session_copairs_matches_python_reference(spark):
+    """q144: sessionization (8 h gap), per-session distinct types,
+    pair supports, and lift must equal an exact Python replay; lift is
+    compared bit-exact (same IEEE tree)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from searchengine_spark.pipelines.relational import (
+        SESS_GAP_S,
+        load,
+        q144_session_copairs,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.expr("unix_timestamp(ts)").alias("ep"),
+            "event_id",
+            "event_type",
+        )
+        .collect()
+    )
+    logs: dict[int, list] = defaultdict(list)
+    for r in ev:
+        logs[r["user_id"]].append((r["ep"], r["event_id"], r["event_type"]))
+    sessions: list[set] = []
+    for uid, obs in logs.items():
+        obs.sort(key=lambda t: (t[0], t[1]))
+        cur: set = set()
+        last = None
+        for ep, _eid, et in obs:
+            if last is not None and ep - last > SESS_GAP_S:
+                sessions.append(cur)
+                cur = set()
+            cur.add(et)
+            last = ep
+        sessions.append(cur)
+    n_sessions = len(sessions)
+    n_type: dict[str, int] = defaultdict(int)
+    n_co: dict[tuple, int] = defaultdict(int)
+    for s in sessions:
+        for et in s:
+            n_type[et] += 1
+        for a, b in combinations(sorted(s), 2):
+            n_co[(a, b)] += 1
+    order = sorted(n_co, key=lambda p: (-n_co[p], p[0], p[1]))
+    ranks = {p: i + 1 for i, p in enumerate(order)}
+    rows = q144_session_copairs(spark, SF_DIR).collect()
+    assert len(rows) == len(n_co)
+    for r in rows:
+        p = (r["etype_a"], r["etype_b"])
+        assert r["n_co"] == n_co[p]
+        assert r["n_a"] == n_type[p[0]]
+        assert r["n_b"] == n_type[p[1]]
+        assert r["n_sessions"] == n_sessions
+        assert r["pair_rank"] == ranks[p]
+        assert r["lift"] == (
+            float(n_co[p]) * float(n_sessions)
+        ) / (float(n_type[p[0]]) * float(n_type[p[1]]))
+
+
+def test_spam_mass_ties_to_trust_chains(spark):
+    """q145: an exact-integer Python replay of BOTH fixed-point chains
+    (global teleport and seed-only teleport) must reproduce every u, v,
+    mass, ratio, and flag; trusted mass never exceeds global mass."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.graph import (
+        N_ITERS,
+        PPR_SEED_MOD,
+        PR_BASE_U,
+        PR_ONE_U,
+        PR_SCALE,
+        SPAM_PCT,
+        SUPP_OFFSET,
+        q145_spam_mass,
+    )
+    from searchengine_spark.pipelines import _tables
+    from pyspark.sql import functions as F
+
+    li = (
+        _tables.load(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_partkey").cast("long").alias("part"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+        .collect()
+    )
+    e = [(r["part"], r["supp"]) for r in li] + [
+        (r["supp"], r["part"]) for r in li
+    ]
+    outdeg: dict[int, int] = defaultdict(int)
+    for s, _d in e:
+        outdeg[s] += 1
+    nodes = set(outdeg) | {d for _s, d in e}
+
+    def is_seed(n: int) -> bool:
+        return n < SUPP_OFFSET and n % PPR_SEED_MOD == 0
+
+    u = {n: PR_ONE_U for n in nodes}
+    v = {n: PR_ONE_U if is_seed(n) else 0 for n in nodes}
+    for _ in range(N_ITERS):
+        iu: dict[int, int] = defaultdict(int)
+        iv: dict[int, int] = defaultdict(int)
+        for s, d in e:
+            iu[d] += (17 * u[s]) // (20 * outdeg[s])
+            iv[d] += (17 * v[s]) // (20 * outdeg[s])
+        u = {n: PR_BASE_U + iu.get(n, 0) for n in nodes}
+        v = {
+            n: (PR_BASE_U if is_seed(n) else 0) + iv.get(n, 0)
+            for n in nodes
+        }
+    rows = q145_spam_mass(spark, SF_DIR).collect()
+    assert len(rows) == len(nodes)
+    for r in rows:
+        n = r["node"]
+        assert r["is_seed"] == int(is_seed(n))
+        assert v[n] <= u[n]
+        assert r["pr"] == float(u[n]) / float(PR_SCALE)
+        assert r["tr"] == float(v[n]) / float(PR_SCALE)
+        assert r["mass_u"] == u[n] - v[n]
+        assert r["spam_mass"] == float(u[n] - v[n]) / float(u[n])
+        assert r["spam_flag"] == int(
+            (u[n] - v[n]) * 100 >= SPAM_PCT * u[n]
+        )
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """q146: bigram supports, left-context totals, continuation
+    counts, and the interpolated KN probability must equal an exact
+    Python replay (pkn compared bit-exact — identical IEEE tree)."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.textstats import (
+        KN_MIN_COUNT,
+        load_docs,
+        q146_kneser_ney,
+    )
+
+    texts = [r["text"] for r in load_docs(spark, SF_DIR).collect()]
+    c2: dict[tuple, int] = defaultdict(int)
+    for t in texts:
+        toks = [x for x in t.split(" ") if x != ""]
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    c1: dict[str, int] = defaultdict(int)
+    rdiv: dict[str, int] = defaultdict(int)
+    cont: dict[str, int] = defaultdict(int)
+    for (a, b), c in c2.items():
+        c1[a] += c
+        rdiv[a] += 1
+        cont[b] += 1
+    bb = len(c2)
+    want = {p: c for p, c in c2.items() if c >= KN_MIN_COUNT}
+    rows = q146_kneser_ney(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        p = (r["w1"], r["w2"])
+        assert p in want
+        assert r["c2"] == want[p]
+        assert r["c1"] == c1[p[0]]
+        assert r["rdiv"] == rdiv[p[0]]
+        assert r["cont"] == cont[p[1]]
+        assert r["n_bigram_types"] == bb
+        assert r["pkn"] == (
+            (float(want[p]) - 0.75) / float(c1[p[0]])
+        ) + ((0.75 * float(rdiv[p[0]])) / float(c1[p[0]])) * (
+            float(cont[p[1]]) / float(bb)
+        )
