@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "q144_session_copairs",
     "q145_spam_mass",
     "q146_kneser_ney",
+    "q147_crawl_budget",
+    "q148_mmr_diversify",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,8 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q148_mmr_diversify",
+    "q147_crawl_budget",
     "q146_kneser_ney",
     "q145_spam_mass",
     "q144_session_copairs",

@@ -1529,3 +1529,91 @@ SELECT source, n_docs, n_tokens, w_sqrt,
 FROM w CROSS JOIN tot
 ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# q147: crawl-budget apportionment by largest remainder (Hamilton's
+# method) — the frontier-side twin of q113's token waterfilling: a
+# crawler with a global per-cycle fetch budget splits it across hosts
+# proportionally to observed host mass, and the split must be EXACT
+# (allocations sum to the budget, no float drift deciding who gets the
+# marginal fetch). Reference tie: the crawler caps its frontier per
+# iteration (Crawler.java:53-56) but splits naively; this is the
+# proportional policy a production frontier uses.
+#
+# Scale shape: one corpus scan → |sources|-row census (map-side-
+# combinable sum), then pure-integer arithmetic and one |sources|-row
+# remainder-rank window. Everything is exact int64 — base share
+# (B·w) div W, remainder (B·w) mod W, and the top-r "+1" by remainder
+# rank (remainder DESC, source ASC total order) — bit-identical at any
+# parallelism and across engines with no float anywhere. The invariant
+# sum(alloc) == B is pinned by the property test.
+# --------------------------------------------------------------------------
+
+CRAWL_BUDGET = 1_000_000  # fetches to apportion per crawl cycle
+
+
+def q147_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir)
+    src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("w")
+    )
+    tot = src.groupBy().agg(F.sum("w").cast("long").alias("ww"))
+    base = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "base", F.expr(f"({CRAWL_BUDGET} * w) div ww").cast("long")
+        )
+        .withColumn(
+            "rem", F.expr(f"({CRAWL_BUDGET} * w) % ww").cast("long")
+        )
+    )
+    short = base.groupBy().agg(
+        (F.lit(CRAWL_BUDGET) - F.sum("base")).cast("long").alias("r")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    out = (
+        base.withColumn(
+            "rem_rank", F.row_number().over(wr).cast("long")
+        )
+        .crossJoin(F.broadcast(short))
+        .withColumn(
+            "extra",
+            (F.col("rem_rank") <= F.col("r")).cast("int"),
+        )
+        .withColumn(
+            "alloc", (F.col("base") + F.col("extra")).cast("long")
+        )
+    )
+    return out.select(
+        "source", "w", "ww", "base", "rem", "rem_rank", "extra", "alloc"
+    ).orderBy("source")
+
+
+QUERIES["q147_crawl_budget"] = q147_crawl_budget
+
+ORACLE["q147_crawl_budget"] = f"""
+WITH src AS (
+  SELECT source, sum(n_chars)::BIGINT AS w FROM documents GROUP BY source
+),
+tot AS (SELECT sum(w)::BIGINT AS ww FROM src),
+base AS (
+  SELECT source, w, ww,
+         (({CRAWL_BUDGET} * w) // ww)::BIGINT AS base,
+         (({CRAWL_BUDGET} * w) % ww)::BIGINT AS rem
+  FROM src, tot
+),
+short AS (SELECT ({CRAWL_BUDGET} - sum(base))::BIGINT AS r FROM base),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)::BIGINT
+              AS rem_rank
+  FROM base
+)
+SELECT source, w, ww, base, rem, rem_rank,
+       (CASE WHEN rem_rank <= r THEN 1 ELSE 0 END)::INT AS extra,
+       (base + CASE WHEN rem_rank <= r THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM rk, short
+ORDER BY source
+"""

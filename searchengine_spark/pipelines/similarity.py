@@ -1849,3 +1849,180 @@ SELECT dim, n_a, n_b, mean_a, mean_b,
             THEN 1 ELSE 0 END AS drifted
 FROM w ORDER BY dim
 """
+
+
+# --------------------------------------------------------------------------
+# q148: MMR result diversification (Carbonell/Goldstein SIGIR'98
+# maximal marginal relevance) — the serving-side re-ranker between
+# retrieval and presentation: greedily pick K results trading query
+# relevance against redundancy with what is already picked,
+# mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s). The reference serves
+# raw blended order (Mainpage.java:117-132); every production SERP
+# diversifies it.
+#
+# Scale shape: corpus-scale work is ONLY the pool scoring scan (one
+# broadcast-query cosine pass capped by TakeOrderedAndProject to
+# MMR_POOL rows — in production the pool comes from the q21 ANN
+# shortlist instead); the P×P pairwise-sim table and the K unrolled
+# greedy rounds operate on a ≤P-row frame — serving-time constants
+# independent of corpus size. Determinism: rel and pairwise cosines go
+# through the established round-9 cosine gate (bit-identical cross-
+# engine), λ/(1−λ) are embedded ::DOUBLE constants on BOTH sides, the
+# combine is one identical IEEE tree, and every argmax carries the
+# (mmr DESC, doc_id ASC) total order.
+# --------------------------------------------------------------------------
+
+MMR_QID = 3    # query vector for the diversified SERP
+MMR_POOL = 20  # relevance pool fed to the re-ranker
+MMR_K = 8      # results returned
+
+
+def q148_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_emb(spark, sf_dir))
+    qv = e.filter(F.col("vec_id") == MMR_QID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pool = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+                9,
+            ).alias("rel_r"),
+            "v",
+            "nrm",
+        )
+        .orderBy(F.desc("rel_r"), F.asc("doc_id"))
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    a = pool.select(
+        F.col("doc_id").alias("a"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = pool.select(
+        F.col("doc_id").alias("b"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn")),
+                9,
+            ).alias("sim_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    p = pool.select("doc_id", "rel_r")
+    lam, lam1 = F.lit(0.7), F.lit(0.3)
+    sel = None
+    for i in range(1, MMR_K + 1):
+        if sel is None:
+            cand = p.withColumn("maxsim_r", F.lit(0.0))
+        else:
+            picked = sel.select("doc_id")
+            ms = (
+                sim.join(
+                    F.broadcast(
+                        picked.select(F.col("doc_id").alias("b"))
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.max("sim_r").alias("m"))
+            )
+            cand = (
+                p.join(F.broadcast(picked), "doc_id", "left_anti")
+                .join(
+                    F.broadcast(ms),
+                    F.col("doc_id") == F.col("a"),
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    "rel_r",
+                    F.coalesce(F.col("m"), F.lit(0.0)).alias("maxsim_r"),
+                )
+            )
+        pick = (
+            cand.withColumn(
+                "mmr_r",
+                lam * F.col("rel_r") - lam1 * F.col("maxsim_r"),
+            )
+            .orderBy(F.desc("mmr_r"), F.asc("doc_id"))
+            .limit(1)
+            .withColumn("sel_rank", F.lit(i).cast("long"))
+        )
+        sel = (
+            pick
+            if sel is None
+            else sel.unionByName(pick).localCheckpoint(eager=False)
+        )
+    return sel.select(
+        "sel_rank", "doc_id", "rel_r", "maxsim_r", "mmr_r"
+    ).orderBy("sel_rank")
+
+
+QUERIES["q148_mmr_diversify"] = q148_mmr_diversify
+
+
+def _mmr_round_sql(i: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""
+s{i} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT {i}::BIGINT AS sel_rank, doc_id, rel_r, maxsim_r, mmr_r FROM (
+    SELECT c.doc_id, c.rel_r,
+           coalesce(ms.m, 0.0::DOUBLE) AS maxsim_r,
+           0.7::DOUBLE * c.rel_r
+             - 0.3::DOUBLE * coalesce(ms.m, 0.0::DOUBLE) AS mmr_r
+    FROM p c LEFT JOIN (
+      SELECT a, max(sim_r) AS m FROM sim
+      WHERE b IN (SELECT doc_id FROM {prev}) GROUP BY a) ms
+      ON c.doc_id = ms.a
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+    ORDER BY mmr_r DESC, doc_id ASC LIMIT 1)
+)"""
+
+
+_MMR_ROUNDS = ",".join(_mmr_round_sql(i) for i in range(2, MMR_K + 1))
+
+ORACLE["q148_mmr_diversify"] = f"""
+WITH {_EN},
+q AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {MMR_QID}),
+pool AS MATERIALIZED (
+  SELECT c.vec_id AS doc_id,
+         round({_DOT_AB.format(a='q.qv', b='c.v')} / (q.qn * c.nrm), 9)
+           AS rel_r,
+         c.v, c.nrm
+  FROM en c CROSS JOIN q WHERE c.vec_id >= {N_QUERIES}
+  ORDER BY rel_r DESC, doc_id ASC LIMIT {MMR_POOL}
+),
+sim AS MATERIALIZED (
+  SELECT pa.doc_id AS a, pb.doc_id AS b,
+         round({_DOT_AB.format(a='pa.v', b='pb.v')} / (pa.nrm * pb.nrm), 9)
+           AS sim_r
+  FROM pool pa JOIN pool pb ON pa.doc_id <> pb.doc_id
+),
+p AS (SELECT doc_id, rel_r FROM pool),
+s1 AS MATERIALIZED (
+  SELECT 1::BIGINT AS sel_rank, doc_id, rel_r, 0.0::DOUBLE AS maxsim_r,
+         0.7::DOUBLE * rel_r - 0.3::DOUBLE * 0.0::DOUBLE AS mmr_r
+  FROM p
+  ORDER BY 0.7::DOUBLE * rel_r - 0.3::DOUBLE * 0.0::DOUBLE DESC,
+           doc_id ASC
+  LIMIT 1
+),
+{_MMR_ROUNDS}
+SELECT sel_rank, doc_id, rel_r, maxsim_r, mmr_r
+FROM s{MMR_K} ORDER BY sel_rank
+"""

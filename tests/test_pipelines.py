@@ -148,6 +148,8 @@ ORACLE_CHECKED = [
     "q144_session_copairs",
     "q145_spam_mass",
     "q146_kneser_ney",
+    "q147_crawl_budget",
+    "q148_mmr_diversify",
 ]
 
 
@@ -1936,3 +1938,126 @@ def test_kneser_ney_matches_python_reference(spark):
         ) + ((0.75 * float(rdiv[p[0]])) / float(c1[p[0]])) * (
             float(cont[p[1]]) / float(bb)
         )
+
+
+def test_crawl_budget_apportionment_is_exact(spark):
+    """q147: Hamilton largest-remainder replay in exact Python ints —
+    every base/remainder/rank/alloc matches, and the allocations sum
+    EXACTLY to the budget (the property float apportionment breaks)."""
+    from searchengine_spark.pipelines.curation import (
+        CRAWL_BUDGET,
+        load_docs,
+        q147_crawl_budget,
+    )
+    import pyspark.sql.functions as F
+
+    census = {
+        r["source"]: r["w"]
+        for r in load_docs(spark, SF_DIR)
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+        .collect()
+    }
+    ww = sum(census.values())
+    base = {s: (CRAWL_BUDGET * w) // ww for s, w in census.items()}
+    rem = {s: (CRAWL_BUDGET * w) % ww for s, w in census.items()}
+    r = CRAWL_BUDGET - sum(base.values())
+    order = sorted(census, key=lambda s: (-rem[s], s))
+    ranks = {s: i + 1 for i, s in enumerate(order)}
+    rows = q147_crawl_budget(spark, SF_DIR).collect()
+    assert len(rows) == len(census)
+    for row in rows:
+        s = row["source"]
+        extra = int(ranks[s] <= r)
+        assert (
+            row["w"], row["ww"], row["base"], row["rem"],
+            row["rem_rank"], row["extra"], row["alloc"],
+        ) == (census[s], ww, base[s], rem[s], ranks[s], extra,
+              base[s] + extra)
+    assert sum(row["alloc"] for row in rows) == CRAWL_BUDGET
+
+
+def test_mmr_diversify_greedy_replay(spark):
+    """q148: re-derive the pool and pairwise sims with the module's own
+    Spark scoring, then replay the greedy MMR selection in Python —
+    ranks, picks, penalties, and scores must match exactly; the picked
+    set must differ from pure relevance order whenever any penalty is
+    non-zero (the re-ranker actually diversifies)."""
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.similarity import (
+        MMR_K,
+        MMR_POOL,
+        MMR_QID,
+        N_QUERIES,
+        _dot,
+        _with_norm,
+        load_emb,
+        q148_mmr_diversify,
+    )
+
+    e = _with_norm(load_emb(spark, SF_DIR))
+    qv = e.filter(F.col("vec_id") == MMR_QID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pool_rows = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nrm")),
+                9,
+            ).alias("rel_r"),
+            "v",
+            "nrm",
+        )
+        .orderBy(F.desc("rel_r"), F.asc("doc_id"))
+        .limit(MMR_POOL)
+        .collect()
+    )
+    rel = {r["doc_id"]: r["rel_r"] for r in pool_rows}
+    import math
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a["v"], b["v"]):
+            d += x * y
+        return d / (a["nrm"] * b["nrm"])
+
+    # pairwise sims re-rounded through Spark to keep HALF_UP semantics
+    by_id = {r["doc_id"]: r for r in pool_rows}
+    ids = sorted(by_id)
+    sim_df = spark.createDataFrame(
+        [
+            (a, b, cos(by_id[a], by_id[b]))
+            for a in ids
+            for b in ids
+            if a != b
+        ],
+        "a long, b long, s double",
+    ).select("a", "b", F.round("s", 9).alias("sim_r"))
+    sim = {(r["a"], r["b"]): r["sim_r"] for r in sim_df.collect()}
+
+    picked: list[int] = []
+    want = []
+    for i in range(1, MMR_K + 1):
+        best = None
+        for d in ids:
+            if d in picked:
+                continue
+            ms = max((sim[(d, s)] for s in picked), default=0.0)
+            score = 0.7 * rel[d] - 0.3 * ms
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, ms, score)
+        picked.append(best[1])
+        want.append((i, best[1], rel[best[1]], best[2], best[3]))
+    got = [
+        (r["sel_rank"], r["doc_id"], r["rel_r"], r["maxsim_r"], r["mmr_r"])
+        for r in q148_mmr_diversify(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert math.isfinite(sum(w[4] for w in want))
+    # the penalty bites on the fixture: at least one pick has maxsim > 0
+    assert any(w[3] != 0.0 for w in want[1:])
