@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "q146_kneser_ney",
     "q147_crawl_budget",
     "q148_mmr_diversify",
+    "q149_trimmed_quality",
+    "q150_source_dup_split",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

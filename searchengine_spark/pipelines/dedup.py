@@ -1962,3 +1962,85 @@ SELECT n_truth, n_cand, tp, fp, fn,
             THEN tp::DOUBLE / n_truth::DOUBLE END AS recall
 FROM a
 """
+
+
+# --------------------------------------------------------------------------
+# q150: intra- vs cross-source duplication split — the diagnostic a
+# curation pipeline runs before choosing a dedup policy: duplication
+# WITHIN a source is usually boilerplate/templating (fix the
+# extractor), duplication ACROSS sources is syndication/mirroring (fix
+# with corpus-level dedup like q15/q38), and the per-source split says
+# which lever moves which feed. Rides q15's exact-hash grouping.
+#
+# Scale shape: one map-only md5 pass, ONE (hash)-keyed hash agg for
+# the group census (never shuffles text), one (hash) equi-join back,
+# one (source)-keyed rollup — all exact int64 counts, output
+# |sources| rows, bit-identical at any parallelism. The share columns
+# are identical IEEE division trees, emitted UNROUNDED.
+# --------------------------------------------------------------------------
+
+
+def q150_source_dup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    groups = docs.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    j = docs.join(groups, "h")
+    g = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_total") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+        F.sum(
+            F.when(
+                (F.col("n_total") > 1) & (F.col("n_sources") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_intra"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_dup",
+        "n_intra",
+        "n_cross",
+        (F.col("n_dup").cast("double") / F.col("n_docs").cast("double"))
+        .alias("dup_share"),
+        (F.col("n_cross").cast("double") / F.col("n_docs").cast("double"))
+        .alias("cross_share"),
+    ).orderBy("source")
+
+
+QUERIES["q150_source_dup_split"] = q150_source_dup_split
+
+ORACLE["q150_source_dup_split"] = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+grp AS (
+  SELECT h, count(*)::BIGINT AS n_total,
+         count(DISTINCT source)::BIGINT AS n_sources
+  FROM d GROUP BY h
+),
+j AS (SELECT d.source, grp.n_total, grp.n_sources FROM d JOIN grp USING (h)),
+g AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN n_total > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         sum(CASE WHEN n_total > 1 AND n_sources = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS n_intra,
+         sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)::BIGINT AS n_cross
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, n_dup, n_intra, n_cross,
+       CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_share,
+       CAST(n_cross AS DOUBLE) / CAST(n_docs AS DOUBLE) AS cross_share
+FROM g ORDER BY source
+"""

@@ -1791,3 +1791,107 @@ FROM big b JOIN lft ON b.w1 = lft.w1
 WHERE b.c2 >= {KN_MIN_COUNT}
 ORDER BY b.c2 DESC, b.w1, b.w2
 """
+
+
+# --------------------------------------------------------------------------
+# q149: trimmed-mean (winsorized-tail) source quality — the robust
+# companion to q88's plain average: a feed whose mean is dragged by a
+# few spam pages (or inflated by a few gems) should be judged by its
+# central mass, so each source's top and bottom TRIMQ_PCT% of docs by
+# quality are dropped before averaging, and the shift between the two
+# means is itself the diagnostic (a large |shift| = a tail-skewed
+# feed the plain mean misjudges).
+#
+# Scale shape: one map-only quality pass, then ONE (source)-keyed
+# shuffle serving both the rank/count windows and the final agg —
+# per-source work is linear, output |sources| rows. Determinism: the
+# trim boundary is pure integer ((n·pct) div 100) over the
+# (quality, doc_id) total order (quality is the 9dp-rounded cross-
+# engine-identical gate value), sums are DECIMAL(28,12) partials
+# (order-insensitive), one decimal→double cast (VARCHAR route in
+# DuckDB), divide once, round 9; the shift subtracts two identical
+# rounded doubles — identical IEEE tree, emitted UNROUNDED.
+# --------------------------------------------------------------------------
+
+TRIMQ_PCT = 10  # drop this % of docs off EACH quality tail per source
+
+
+def q149_trimmed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    q = docs.select("doc_id", "source", quality_col().alias("quality"))
+    w = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    ws = Window.partitionBy("source")
+    ranked = (
+        q.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(ws))
+        .withColumn(
+            "lo", F.expr(f"(n_docs * {TRIMQ_PCT}) div 100").cast("long")
+        )
+    )
+    keep = (F.col("rk") > F.col("lo")) & (
+        F.col("rk") <= F.col("n_docs") - F.col("lo")
+    )
+    g = ranked.groupBy("source").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(keep, F.col("quality"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,12)")
+        ).alias("tsum"),
+        F.sum(F.col("quality").cast("decimal(28,12)")).alias("fsum"),
+    )
+    mean_all = F.round(
+        F.col("fsum").cast("double") / F.col("n_docs"), 9
+    )
+    mean_trim = F.round(
+        F.col("tsum").cast("double") / F.col("n_kept"), 9
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        mean_all.alias("mean_all"),
+        mean_trim.alias("mean_trimmed"),
+        (mean_trim - mean_all).alias("shift"),
+    ).orderBy("source")
+
+
+QUERIES["q149_trimmed_quality"] = q149_trimmed_quality
+
+ORACLE["q149_trimmed_quality"] = f"""
+WITH {QUALITY_CTES_SQL.format(stops=_sql_list(STOPWORDS))},
+ranked AS (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM qual
+),
+m AS (
+  SELECT *, ((n_docs * {TRIMQ_PCT}) // 100)::BIGINT AS lo,
+         CASE WHEN rk > (n_docs * {TRIMQ_PCT}) // 100
+               AND rk <= n_docs - (n_docs * {TRIMQ_PCT}) // 100
+              THEN 1 ELSE 0 END AS keep
+  FROM ranked
+),
+g AS (
+  SELECT source,
+         max(n_docs)::BIGINT AS n_docs,
+         sum(keep)::BIGINT AS n_kept,
+         sum(CAST(CASE WHEN keep = 1 THEN quality ELSE 0.0 END
+                  AS DECIMAL(28,12))) AS tsum,
+         sum(CAST(quality AS DECIMAL(28,12))) AS fsum
+  FROM m GROUP BY source
+)
+SELECT source, n_docs, n_kept,
+       round(CAST(fsum::VARCHAR AS DOUBLE) / n_docs, 9) AS mean_all,
+       round(CAST(tsum::VARCHAR AS DOUBLE) / n_kept, 9) AS mean_trimmed,
+       round(CAST(tsum::VARCHAR AS DOUBLE) / n_kept, 9)
+         - round(CAST(fsum::VARCHAR AS DOUBLE) / n_docs, 9) AS shift
+FROM g ORDER BY source
+"""

@@ -150,6 +150,8 @@ ORACLE_CHECKED = [
     "q146_kneser_ney",
     "q147_crawl_budget",
     "q148_mmr_diversify",
+    "q149_trimmed_quality",
+    "q150_source_dup_split",
 ]
 
 
@@ -2061,3 +2063,81 @@ def test_mmr_diversify_greedy_replay(spark):
     assert math.isfinite(sum(w[4] for w in want))
     # the penalty bites on the fixture: at least one pick has maxsim > 0
     assert any(w[3] != 0.0 for w in want[1:])
+
+
+def test_trimmed_quality_trim_arithmetic(spark):
+    """q149: kept counts follow the integer trim rule exactly, the
+    trimmed mean averages exactly the middle slice (Python replay
+    within 1e-9 — exactness cross-engine is the oracle gate's job),
+    and shift == mean_trimmed - mean_all bit-exact."""
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.textstats import (
+        TRIMQ_PCT,
+        _tok_arr,
+        load_docs,
+        q149_trimmed_quality,
+        quality_col,
+    )
+
+    per_doc = (
+        load_docs(spark, SF_DIR)
+        .withColumn("toks", _tok_arr())
+        .select("doc_id", "source", quality_col().alias("q"))
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in per_doc:
+        by_src.setdefault(r["source"], []).append((r["q"], r["doc_id"]))
+    rows = q149_trimmed_quality(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(by_src)
+    for r in rows:
+        vals = sorted(by_src[r["source"]])
+        n = len(vals)
+        lo = (n * TRIMQ_PCT) // 100
+        kept = vals[lo : n - lo]
+        assert r["n_docs"] == n
+        assert r["n_kept"] == len(kept) == n - 2 * lo
+        assert abs(r["mean_all"] - sum(v for v, _ in vals) / n) < 1e-9
+        assert (
+            abs(r["mean_trimmed"] - sum(v for v, _ in kept) / len(kept))
+            < 1e-9
+        )
+        assert r["shift"] == r["mean_trimmed"] - r["mean_all"]
+
+
+def test_source_dup_split_matches_python_census(spark):
+    """q150: exact-integer Python replay of the hash census and the
+    per-source intra/cross split; shares compared bit-exact."""
+    import hashlib
+
+    from searchengine_spark.pipelines.textstats import load_docs
+    from searchengine_spark.pipelines.dedup import q150_source_dup_split
+
+    docs = [
+        (r["doc_id"], r["source"], hashlib.md5(r["text"].encode()).hexdigest())
+        for r in load_docs(spark, SF_DIR).collect()
+    ]
+    total: dict[str, int] = {}
+    srcs: dict[str, set] = {}
+    for _d, s, h in docs:
+        total[h] = total.get(h, 0) + 1
+        srcs.setdefault(h, set()).add(s)
+    want: dict[str, list] = {}
+    for _d, s, h in docs:
+        w = want.setdefault(s, [0, 0, 0, 0])
+        w[0] += 1
+        if total[h] > 1:
+            w[1] += 1
+            if len(srcs[h]) == 1:
+                w[2] += 1
+        if len(srcs[h]) > 1:
+            w[3] += 1
+    rows = q150_source_dup_split(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(want)
+    for r in rows:
+        nd, dup, intra, cross = want[r["source"]]
+        assert (r["n_docs"], r["n_dup"], r["n_intra"], r["n_cross"]) == (
+            nd, dup, intra, cross,
+        )
+        assert r["dup_share"] == float(dup) / float(nd)
+        assert r["cross_share"] == float(cross) / float(nd)
