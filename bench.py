@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "q148_mmr_diversify",
     "q149_trimmed_quality",
     "q150_source_dup_split",
+    "q151_neighborhood_function",
+    "q152_item_cosine",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -1696,3 +1696,200 @@ SELECT node,
          AS spam_flag
 FROM r{N_ITERS} ORDER BY node
 """
+
+
+# --------------------------------------------------------------------------
+# q151: neighborhood function / effective-diameter audit (HyperANF,
+# Boldi/Rosa/Vigna WWW'11) — the GLOBAL rollup of q139's per-node
+# balls: N(r) = Σ_v |ball(v, r)| per round, published as the monotone
+# series an analyst reads the effective diameter off (the r where
+# frac_of_final crosses 0.9). This is the distance-distribution
+# primitive of webgraph studies (e.g. the "four degrees" analyses).
+#
+# Scale shape: identical per-round cost to q139 (one equi-join + one
+# (node,bucket) MAX agg per round); the rollup adds ONE 1-row agg per
+# round. Determinism: per-node estimates are q139's exact IEEE tree
+# (any change must touch both); the cross-node reduction quantizes
+# each estimate to EXACT int64 FIRST — floor(est·10⁶), one identical
+# IEEE multiply + floor on both engines — so the sum is order-
+# insensitive integer arithmetic (casting the raw double to DECIMAL
+# diverges cross-engine: Spark quantizes the exact binary, DuckDB the
+# scaled float — CLAUDE.md's q112 trap, reproduced here before the
+# fix). NF_QUANT bounds: sum < n·ball_max·10⁶ must stay under 2^63 —
+# fine to ~10⁷-node graphs; a 10⁹-node deployment drops the quantum.
+# Published floats are identical IEEE trees over the exact integers,
+# UNROUNDED.
+# --------------------------------------------------------------------------
+
+
+def _hb_node_est(regs: DataFrame) -> DataFrame:
+    """Per-node HLL ball estimate from a register table — the SAME
+    expression tree as q139's final select (kept in sync by the q151
+    pytest tying round HB_ROUNDS to q139's output)."""
+    term = F.pow(F.lit(2.0), F.lit(HB_W + 1) - F.col("mrho")).cast("long")
+    s = regs.groupBy("node").agg(
+        F.sum(term).cast("long").alias("s_present"),
+        F.count("*").cast("long").alias("n_present"),
+    )
+    s_all = F.col("s_present") + (
+        F.lit(HB_M) - F.col("n_present")
+    ) * F.lit(1 << (HB_W + 1))
+    v = F.lit(HB_M) - F.col("n_present")
+    raw = (
+        F.lit(HB_ALPHA)
+        * F.lit(float(HB_M))
+        * F.lit(float(HB_M))
+        * F.pow(F.lit(2.0), F.lit(HB_W + 1))
+        / s_all
+    )
+    est = F.when(
+        (raw <= 2.5 * HB_M) & (v > 0),
+        F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / v),
+    ).otherwise(raw)
+    return s.select(
+        "node",
+        est.alias("est"),
+        F.floor(est * F.lit(float(NF_QUANT))).cast("long").alias("est_u"),
+    )
+
+
+NF_QUANT = 1_000_000  # ball-estimate fixed-point quantum (10^6)
+
+
+def q151_neighborhood_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    und = copurchase_edges(spark, sf_dir)
+    e = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    regs = _hb_regs0(nodes)
+    aggs = []
+    for r in range(HB_ROUNDS + 1):
+        if r > 0:
+            prop = e.join(regs, e.src == regs.node).select(
+                F.col("dst").alias("node"), "bucket", "mrho"
+            )
+            regs = (
+                regs.unionAll(prop)
+                .groupBy("node", "bucket")
+                .agg(F.max("mrho").alias("mrho"))
+                .localCheckpoint(eager=False)
+            )
+        aggs.append(
+            _hb_node_est(regs)
+            .groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_nodes"),
+                F.sum("est_u").cast("long").alias("nf_u"),
+            )
+            .withColumn("r", F.lit(r).cast("long"))
+        )
+    u = aggs[0]
+    for a in aggs[1:]:
+        u = u.unionByName(a)
+    fin = F.broadcast(
+        u.filter(F.col("r") == HB_ROUNDS).select(
+            F.col("nf_u").alias("nf_fin_u")
+        )
+    )
+    nd = F.col("n_nodes").cast("double")
+    nf = F.col("nf_u").cast("double") / F.lit(float(NF_QUANT))
+    return (
+        u.crossJoin(fin)
+        .select(
+            "r",
+            "n_nodes",
+            F.col("nf_u"),
+            nf.alias("nf"),
+            (nf / nd).alias("avg_ball"),
+            (nf / (nd * nd)).alias("pair_frac"),
+            (
+                F.col("nf_u").cast("double")
+                / F.col("nf_fin_u").cast("double")
+            ).alias("frac_of_final"),
+        )
+        .orderBy("r")
+    )
+
+
+QUERIES["q151_neighborhood_function"] = q151_neighborhood_function
+
+
+def _hb_est_sql(g: str) -> str:
+    """Per-node est over register table ``g`` — q139's fin CTE shape."""
+    return f"""(
+  SELECT node,
+         CASE WHEN {HB_ALPHA!r}::DOUBLE * {float(HB_M)!r}::DOUBLE
+                   * {float(HB_M)!r}::DOUBLE * pow(2.0, {HB_W + 1})
+                   / (s_present + ({HB_M} - n_present) * {1 << (HB_W + 1)})
+                   <= {2.5 * HB_M!r}::DOUBLE
+                   AND ({HB_M} - n_present) > 0
+              THEN {float(HB_M)!r}::DOUBLE
+                   * ln({float(HB_M)!r}::DOUBLE / ({HB_M} - n_present))
+              ELSE {HB_ALPHA!r}::DOUBLE * {float(HB_M)!r}::DOUBLE
+                   * {float(HB_M)!r}::DOUBLE * pow(2.0, {HB_W + 1})
+                   / (s_present + ({HB_M} - n_present) * {1 << (HB_W + 1)})
+         END AS est
+  FROM (
+    SELECT node,
+           sum(CAST(pow(2.0, {HB_W + 1} - mrho) AS BIGINT))::BIGINT
+             AS s_present,
+           count(*)::BIGINT AS n_present
+    FROM {g} GROUP BY node
+  )
+)"""
+
+
+_NF_ROUNDS = " UNION ALL ".join(
+    f"""SELECT {r}::BIGINT AS r, count(*)::BIGINT AS n_nodes,
+       sum(CAST(floor(est * {float(NF_QUANT)!r}::DOUBLE) AS BIGINT))::BIGINT
+         AS nf_u
+FROM {_hb_est_sql(f'g{r}')}"""
+    for r in range(HB_ROUNDS + 1)
+)
+
+ORACLE["q151_neighborhood_function"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+h AS (
+  SELECT node,
+         ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM nodes
+),
+g0 AS (
+  SELECT node, h >> {HB_W} AS bucket,
+         CASE WHEN (h & {(1 << HB_W) - 1}) = 0 THEN {HB_W + 1}
+              ELSE strpos(lpad(bin(h & {(1 << HB_W) - 1}), {HB_W}, '0'), '1')
+         END AS mrho
+  FROM h
+),
+{_HB_CTES},
+rounds AS MATERIALIZED ({_NF_ROUNDS}),
+fin AS (SELECT nf_u AS nf_fin_u FROM rounds WHERE r = {HB_ROUNDS})
+SELECT r, n_nodes, nf_u,
+       CAST(nf_u AS DOUBLE) / {float(NF_QUANT)!r}::DOUBLE AS nf,
+       (CAST(nf_u AS DOUBLE) / {float(NF_QUANT)!r}::DOUBLE)
+         / CAST(n_nodes AS DOUBLE) AS avg_ball,
+       (CAST(nf_u AS DOUBLE) / {float(NF_QUANT)!r}::DOUBLE)
+         / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes AS DOUBLE))
+         AS pair_frac,
+       CAST(nf_u AS DOUBLE) / CAST(nf_fin_u AS DOUBLE) AS frac_of_final
+FROM rounds, fin ORDER BY r
+"""

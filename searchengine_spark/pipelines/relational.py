@@ -1678,3 +1678,112 @@ FROM pr JOIN pt pa ON pr.etype_a = pa.event_type
         JOIN pt pb ON pr.etype_b = pb.event_type, tot
 ORDER BY etype_a, etype_b
 """
+
+
+# --------------------------------------------------------------------------
+# q152: item-item co-engagement cosine — "users who did X also did Y"
+# collaborative similarity over the interaction log (the classic
+# item-based CF primitive, Sarwar et al. WWW'01), complementing
+# q144's session-level lift: q144 asks "same session", q152 asks
+# "same user overall, frequency-weighted".
+#
+# Scale shape: one (user,type) hash agg collapses the log (map-side
+# combinable), then a self-join ON user_id — per-user pair volume is
+# bounded by the type vocabulary, so the pair stage is |users|·t²,
+# never |events|²; final rollup is a |types|²-row agg. Every sum is
+# exact int64 (dot products and squared norms of integer counts);
+# the cosine is one identical IEEE tree over those integers on both
+# engines, emitted UNROUNDED.
+# --------------------------------------------------------------------------
+
+
+def q152_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n2 = ut.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("etype_a"),
+            F.col("b.event_type").alias("etype_b"),
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot_u"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                n2.select(
+                    F.col("event_type").alias("etype_a"),
+                    F.col("n2").alias("na2"),
+                )
+            ),
+            "etype_a",
+        )
+        .join(
+            F.broadcast(
+                n2.select(
+                    F.col("event_type").alias("etype_b"),
+                    F.col("n2").alias("nb2"),
+                )
+            ),
+            "etype_b",
+        )
+        .select(
+            "etype_a",
+            "etype_b",
+            "n_users",
+            "dot_u",
+            "na2",
+            "nb2",
+            (
+                F.col("dot_u").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return out.orderBy("etype_a", "etype_b")
+
+
+QUERIES["q152_item_cosine"] = q152_item_cosine
+
+ORACLE["q152_item_cosine"] = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY user_id, event_type
+),
+n2 AS (
+  SELECT event_type, sum(c * c)::BIGINT AS n2
+  FROM ut GROUP BY event_type
+),
+pr AS (
+  SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+         sum(a.c * b.c)::BIGINT AS dot_u,
+         count(*)::BIGINT AS n_users
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT etype_a, etype_b, n_users, dot_u,
+       pa.n2 AS na2, pb.n2 AS nb2,
+       CAST(dot_u AS DOUBLE)
+         / (sqrt(CAST(pa.n2 AS DOUBLE)) * sqrt(CAST(pb.n2 AS DOUBLE)))
+         AS cosine
+FROM pr JOIN n2 pa ON pr.etype_a = pa.event_type
+        JOIN n2 pb ON pr.etype_b = pb.event_type
+ORDER BY etype_a, etype_b
+"""

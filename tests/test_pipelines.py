@@ -152,6 +152,8 @@ ORACLE_CHECKED = [
     "q148_mmr_diversify",
     "q149_trimmed_quality",
     "q150_source_dup_split",
+    "q151_neighborhood_function",
+    "q152_item_cosine",
 ]
 
 
@@ -2141,3 +2143,78 @@ def test_source_dup_split_matches_python_census(spark):
         )
         assert r["dup_share"] == float(dup) / float(nd)
         assert r["cross_share"] == float(cross) / float(nd)
+
+
+def test_neighborhood_function_ties_to_hyperball(spark):
+    """q151: the final-round nf_u must equal the exact int64 sum of
+    floor(ball2_est * 10^6) over q139's per-node output (same
+    estimate tree, same registers); the series is monotone
+    non-decreasing, n_nodes is constant, frac_of_final ends at 1."""
+    import math
+
+    from searchengine_spark.pipelines.graph import (
+        HB_ROUNDS,
+        NF_QUANT,
+        q139_hyperball,
+        q151_neighborhood_function,
+    )
+
+    per_node = q139_hyperball(spark, SF_DIR).collect()
+    want_fin = sum(
+        int(math.floor(r["ball2_est"] * float(NF_QUANT))) for r in per_node
+    )
+    rows = sorted(
+        q151_neighborhood_function(spark, SF_DIR).collect(),
+        key=lambda r: r["r"],
+    )
+    assert [r["r"] for r in rows] == list(range(HB_ROUNDS + 1))
+    assert len({r["n_nodes"] for r in rows}) == 1
+    assert rows[0]["n_nodes"] == len(per_node)
+    assert rows[-1]["nf_u"] == want_fin
+    nfs = [r["nf_u"] for r in rows]
+    assert nfs == sorted(nfs)
+    assert rows[-1]["frac_of_final"] == 1.0
+    for r in rows:
+        assert r["nf"] == float(r["nf_u"]) / float(NF_QUANT)
+
+
+def test_item_cosine_matches_python_reference(spark):
+    """q152: exact-integer Python replay of the (user,type) count
+    matrix, dot products, and squared norms; cosines bit-exact."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from searchengine_spark.pipelines.relational import (
+        load,
+        q152_item_cosine,
+    )
+
+    ev = load(spark, SF_DIR, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    c: dict[tuple, int] = defaultdict(int)
+    for r in ev:
+        c[(r["user_id"], r["event_type"])] += 1
+    by_user: dict[int, dict] = defaultdict(dict)
+    n2: dict[str, int] = defaultdict(int)
+    for (u, t), k in c.items():
+        by_user[u][t] = k
+        n2[t] += k * k
+    dot: dict[tuple, int] = defaultdict(int)
+    nuser: dict[tuple, int] = defaultdict(int)
+    for u, tv in by_user.items():
+        for ta, tb in combinations(sorted(tv), 2):
+            dot[(ta, tb)] += tv[ta] * tv[tb]
+            nuser[(ta, tb)] += 1
+    rows = q152_item_cosine(spark, SF_DIR).collect()
+    assert len(rows) == len(dot)
+    for r in rows:
+        p = (r["etype_a"], r["etype_b"])
+        assert r["dot_u"] == dot[p]
+        assert r["n_users"] == nuser[p]
+        assert r["na2"] == n2[p[0]]
+        assert r["nb2"] == n2[p[1]]
+        assert r["cosine"] == float(dot[p]) / (
+            math.sqrt(float(n2[p[0]])) * math.sqrt(float(n2[p[1]]))
+        )
