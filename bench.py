@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "q150_source_dup_split",
     "q151_neighborhood_function",
     "q152_item_cosine",
+    "q153_adamic_adar",
+    "q154_vocab_drift",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,8 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q154_vocab_drift",
+    "q153_adamic_adar",
     "q152_item_cosine",
     "q151_neighborhood_function",
     "q150_source_dup_split",

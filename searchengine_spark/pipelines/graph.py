@@ -1893,3 +1893,104 @@ SELECT r, n_nodes, nf_u,
        CAST(nf_u AS DOUBLE) / CAST(nf_fin_u AS DOUBLE) AS frac_of_final
 FROM rounds, fin ORDER BY r
 """
+
+
+# --------------------------------------------------------------------------
+# q153: Adamic–Adar relatedness (Adamic/Adar 2003) — q137's
+# co-citation score with the classic link-prediction weighting: a
+# shared neighbor counts 1/ln(deg) so promiscuous hubs (an order
+# citing many suppliers; a portal page linking everything) contribute
+# less than selective ones. The standard link-prediction baseline
+# (Liben-Nowell/Kleinberg CIKM'03).
+#
+# Scale shape: q137's — pairs form WITHIN a center's citation list
+# (bounded fan-out), one (sa,sb) hash agg, broadcast degree sides.
+# Determinism: the per-center weight is quantized to EXACT int64 at
+# the source — floor(10⁹ / ln(deg)), one identical IEEE divide+floor
+# on both engines — so the cross-wedge sum is order-insensitive
+# integer arithmetic (the q151 lesson: never sum raw doubles across
+# an unordered reduction). Centers need deg ≥ 2 to form a wedge, so
+# ln(deg) > 0 by construction.
+# --------------------------------------------------------------------------
+
+AA_QUANT = 1_000_000_000  # Adamic-Adar weight fixed-point quantum
+AA_MIN = 2                # min shared centers to report a pair
+AA_TOP = 200
+
+
+def q153_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cite = (
+        _tables.load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("supp"),
+        )
+        .distinct()
+    )
+    w = (
+        cite.groupBy("ok")
+        .agg(F.count("*").cast("long").alias("dk"))
+        .filter(F.col("dk") >= 2)
+        .withColumn(
+            "w_u",
+            F.floor(
+                F.lit(float(AA_QUANT)) / F.log(F.col("dk").cast("double"))
+            ).cast("long"),
+        )
+    )
+    a = cite.select("ok", F.col("supp").alias("sa"))
+    b = cite.select("ok", F.col("supp").alias("sb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .join(w, "ok")
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum("w_u").cast("long").alias("aa_u"),
+        )
+        .filter(F.col("n_shared") >= AA_MIN)
+    )
+    return (
+        pairs.select(
+            "sa",
+            "sb",
+            "n_shared",
+            "aa_u",
+            (
+                F.col("aa_u").cast("double") / F.lit(float(AA_QUANT))
+            ).alias("aa"),
+        )
+        .orderBy(F.desc("aa_u"), F.asc("sa"), F.asc("sb"))
+        .limit(AA_TOP)
+    )
+
+
+QUERIES["q153_adamic_adar"] = q153_adamic_adar
+
+ORACLE["q153_adamic_adar"] = f"""
+WITH cite AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey::BIGINT AS supp
+  FROM lineitem
+),
+w AS (
+  SELECT ok, count(*)::BIGINT AS dk,
+         CAST(floor({float(AA_QUANT)!r}::DOUBLE
+                    / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_u
+  FROM cite GROUP BY ok HAVING count(*) >= 2
+),
+pr AS (
+  SELECT a.supp AS sa, b.supp AS sb,
+         count(*)::BIGINT AS n_shared,
+         sum(w.w_u)::BIGINT AS aa_u
+  FROM cite a JOIN cite b ON a.ok = b.ok AND a.supp < b.supp
+              JOIN w ON w.ok = a.ok
+  GROUP BY a.supp, b.supp
+  HAVING count(*) >= {AA_MIN}
+)
+SELECT sa, sb, n_shared, aa_u,
+       CAST(aa_u AS DOUBLE) / {float(AA_QUANT)!r}::DOUBLE AS aa
+FROM pr
+ORDER BY aa_u DESC, sa ASC, sb ASC
+LIMIT {AA_TOP}
+"""

@@ -1895,3 +1895,117 @@ SELECT source, n_docs, n_kept,
          - round(CAST(fsum::VARCHAR AS DOUBLE) / n_docs, 9) AS shift
 FROM g ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# q154: lexical vocabulary drift between snapshot halves — the
+# token-level complement of q128's embedding drift: split the corpus
+# into two pseudo-snapshots (doc_id parity — at scale, crawl epochs),
+# compare term frequency mass, and report the drift headline numbers
+# a data pipeline alerts on: new-vocabulary token mass (terms absent
+# from the old half), lost-vocabulary mass, and vocab-set Jaccard.
+# Catches tokenizer changes, encoding regressions, and topic shifts
+# BEFORE they skew the n-gram models (q70/q146) trained downstream.
+#
+# Scale shape: one map-only tokenize+explode, ONE (term)-keyed hash
+# agg with conditional int64 partials (map-side combinable), one 1-row
+# rollup. Every count is exact int64; the ratios are identical IEEE
+# divisions over those integers, emitted UNROUNDED. Output: ONE row.
+# --------------------------------------------------------------------------
+
+
+def q154_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tok_arr()).alias("w"))
+        .withColumn("half", (F.col("doc_id") % 2 == 0).cast("int"))
+    )
+    per_term = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    g = per_term.groupBy().agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_a"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_b"),
+        F.sum(
+            F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("vocab_shared"),
+        F.sum("ca").cast("long").alias("mass_a"),
+        F.sum("cb").cast("long").alias("mass_b"),
+        F.sum(F.when(F.col("ca") == 0, F.col("cb")).otherwise(0))
+        .cast("long")
+        .alias("new_mass"),
+        F.sum(F.when(F.col("cb") == 0, F.col("ca")).otherwise(0))
+        .cast("long")
+        .alias("lost_mass"),
+    )
+    return g.select(
+        "n_terms",
+        "vocab_a",
+        "vocab_b",
+        "vocab_shared",
+        "mass_a",
+        "mass_b",
+        "new_mass",
+        "lost_mass",
+        (
+            F.col("vocab_shared").cast("double")
+            / F.col("n_terms").cast("double")
+        ).alias("vocab_jaccard"),
+        (
+            F.col("new_mass").cast("double") / F.col("mass_b").cast("double")
+        ).alias("new_mass_share"),
+        (
+            F.col("lost_mass").cast("double")
+            / F.col("mass_a").cast("double")
+        ).alias("lost_mass_share"),
+    )
+
+
+QUERIES["q154_vocab_drift"] = q154_vocab_drift
+
+ORACLE["q154_vocab_drift"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+pt AS (
+  SELECT w,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS cb
+  FROM t GROUP BY w
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+         sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
+         sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS vocab_shared,
+         sum(ca)::BIGINT AS mass_a,
+         sum(cb)::BIGINT AS mass_b,
+         sum(CASE WHEN ca = 0 THEN cb ELSE 0 END)::BIGINT AS new_mass,
+         sum(CASE WHEN cb = 0 THEN ca ELSE 0 END)::BIGINT AS lost_mass
+  FROM pt
+)
+SELECT n_terms, vocab_a, vocab_b, vocab_shared, mass_a, mass_b,
+       new_mass, lost_mass,
+       CAST(vocab_shared AS DOUBLE) / CAST(n_terms AS DOUBLE)
+         AS vocab_jaccard,
+       CAST(new_mass AS DOUBLE) / CAST(mass_b AS DOUBLE)
+         AS new_mass_share,
+       CAST(lost_mass AS DOUBLE) / CAST(mass_a AS DOUBLE)
+         AS lost_mass_share
+FROM g
+"""

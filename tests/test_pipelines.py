@@ -154,6 +154,8 @@ ORACLE_CHECKED = [
     "q150_source_dup_split",
     "q151_neighborhood_function",
     "q152_item_cosine",
+    "q153_adamic_adar",
+    "q154_vocab_drift",
 ]
 
 
@@ -2218,3 +2220,94 @@ def test_item_cosine_matches_python_reference(spark):
         assert r["cosine"] == float(dot[p]) / (
             math.sqrt(float(n2[p[0]])) * math.sqrt(float(n2[p[1]]))
         )
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    """q153: exact-integer Python replay of the fixed-point
+    Adamic-Adar sums (floor(1e9/ln(deg)) per center, summed exactly);
+    ordering and the top-cap must match."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines import _tables
+    from searchengine_spark.pipelines.graph import (
+        AA_MIN,
+        AA_QUANT,
+        AA_TOP,
+        q153_adamic_adar,
+    )
+
+    cite = (
+        _tables.load(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("supp"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_ok: dict = defaultdict(set)
+    for r in cite:
+        by_ok[r["ok"]].add(r["supp"])
+    aa_u: dict = defaultdict(int)
+    n_shared: dict = defaultdict(int)
+    for members in by_ok.values():
+        if len(members) < 2:
+            continue
+        w_u = int(math.floor(float(AA_QUANT) / math.log(float(len(members)))))
+        for sa, sb in combinations(sorted(members), 2):
+            aa_u[(sa, sb)] += w_u
+            n_shared[(sa, sb)] += 1
+    keep = {p for p, n in n_shared.items() if n >= AA_MIN}
+    order = sorted(keep, key=lambda p: (-aa_u[p], p[0], p[1]))[:AA_TOP]
+    rows = q153_adamic_adar(spark, SF_DIR).collect()
+    got = [(r["sa"], r["sb"]) for r in rows]
+    assert got == order
+    for r in rows:
+        p = (r["sa"], r["sb"])
+        assert r["n_shared"] == n_shared[p]
+        assert r["aa_u"] == aa_u[p]
+        assert r["aa"] == float(aa_u[p]) / float(AA_QUANT)
+
+
+def test_vocab_drift_matches_python_reference(spark):
+    """q154: exact-integer Python replay of the half-split term
+    census; every count and every share bit-exact."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.textstats import (
+        load_docs,
+        q154_vocab_drift,
+    )
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    ca: dict = defaultdict(int)
+    cb: dict = defaultdict(int)
+    for r in docs:
+        toks = [x for x in r["text"].split(" ") if x != ""]
+        tgt = ca if r["doc_id"] % 2 == 0 else cb
+        for w in toks:
+            tgt[w] += 1
+    vocab = set(ca) | set(cb)
+    row = q154_vocab_drift(spark, SF_DIR).collect()[0]
+    assert row["n_terms"] == len(vocab)
+    assert row["vocab_a"] == len(ca)
+    assert row["vocab_b"] == len(cb)
+    assert row["vocab_shared"] == len(set(ca) & set(cb))
+    assert row["mass_a"] == sum(ca.values())
+    assert row["mass_b"] == sum(cb.values())
+    new_mass = sum(v for w, v in cb.items() if w not in ca)
+    lost_mass = sum(v for w, v in ca.items() if w not in cb)
+    assert row["new_mass"] == new_mass
+    assert row["lost_mass"] == lost_mass
+    assert row["vocab_jaccard"] == float(len(set(ca) & set(cb))) / float(
+        len(vocab)
+    )
+    assert row["new_mass_share"] == float(new_mass) / float(
+        sum(cb.values())
+    )
+    assert row["lost_mass_share"] == float(lost_mass) / float(
+        sum(ca.values())
+    )
