@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "q152_item_cosine",
     "q153_adamic_adar",
     "q154_vocab_drift",
+    "q155_source_gini",
+    "q156_spearman_len_quality",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,8 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q156_spearman_len_quality",
+    "q155_source_gini",
     "q154_vocab_drift",
     "q153_adamic_adar",
     "q152_item_cosine",

@@ -1617,3 +1617,85 @@ SELECT source, w, ww, base, rem, rem_rank,
 FROM rk, short
 ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# q155: Gini concentration of source token mass — the corpus-balance
+# headline number: how unequally training-token mass is spread across
+# sources (0 = perfectly balanced, →1 = one feed dominates). The
+# scalar a mixture policy (q48/q113/q131) is judged by after it runs,
+# and the alert that fires when one crawl feed starts swamping the mix.
+#
+#   gini = (2·Σ i·w_(i)) / (n·Σw) − (n+1)/n   (w ascending, i = 1..n)
+#
+# Scale shape: one corpus scan → |sources|-row census, one |sources|-
+# row rank window, one 1-row rollup. Σ i·w is exact int64 (rank ×
+# token count), so the reduction is order-insensitive; the two ratio
+# terms are identical IEEE trees over exact integers, UNROUNDED.
+# Ties in w are totally ordered by (w, source) — a defined variant,
+# deterministic on both engines.
+# --------------------------------------------------------------------------
+
+
+def q155_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir)
+    src = docs.select(
+        "source", F.size(_tok_arr()).cast("long").alias("nt")
+    ).groupBy("source").agg(F.sum("nt").cast("long").alias("w"))
+    wr = Window.orderBy(F.asc("w"), F.asc("source"))
+    ranked = src.withColumn("i", F.row_number().over(wr).cast("long"))
+    g = ranked.groupBy().agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("w").cast("long").alias("total_w"),
+        F.sum(F.col("i") * F.col("w")).cast("long").alias("iw_sum"),
+        F.max("w").cast("long").alias("max_w"),
+    )
+    two_iw = F.col("iw_sum").cast("double") * F.lit(2.0)
+    denom = F.col("n_sources").cast("double") * F.col("total_w").cast(
+        "double"
+    )
+    corr = (F.col("n_sources") + 1).cast("double") / F.col(
+        "n_sources"
+    ).cast("double")
+    return g.select(
+        "n_sources",
+        "total_w",
+        "iw_sum",
+        "max_w",
+        (two_iw / denom - corr).alias("gini"),
+        (
+            F.col("max_w").cast("double") / F.col("total_w").cast("double")
+        ).alias("top_share"),
+    )
+
+
+QUERIES["q155_source_gini"] = q155_source_gini
+
+ORACLE["q155_source_gini"] = """
+WITH src AS (
+  SELECT source,
+         sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+           AS w
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY w ASC, source ASC)::BIGINT AS i
+  FROM src
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_sources,
+         sum(w)::BIGINT AS total_w,
+         sum(i * w)::BIGINT AS iw_sum,
+         max(w)::BIGINT AS max_w
+  FROM ranked
+)
+SELECT n_sources, total_w, iw_sum, max_w,
+       (CAST(iw_sum AS DOUBLE) * 2.0::DOUBLE)
+         / (CAST(n_sources AS DOUBLE) * CAST(total_w AS DOUBLE))
+         - CAST(n_sources + 1 AS DOUBLE) / CAST(n_sources AS DOUBLE)
+         AS gini,
+       CAST(max_w AS DOUBLE) / CAST(total_w AS DOUBLE) AS top_share
+FROM g
+"""

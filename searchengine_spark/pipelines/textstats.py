@@ -2009,3 +2009,85 @@ SELECT n_terms, vocab_a, vocab_b, vocab_shared, mass_a, mass_b,
          AS lost_mass_share
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# q156: Spearman rank correlation between doc length and quality —
+# the filter-design sanity check: q23's quality score has an explicit
+# length term, so its rank correlation with raw length says how much
+# of the "quality" signal is just length in disguise (a rho near 1
+# means the quality gate is a length gate and the other terms are
+# dead weight). Rank correlation, not Pearson, because quality is
+# bounded and saturates — monotone association is the honest measure.
+#
+#   rho = 1 − 6·Σd² / (n·(n²−1)),  d = rank_len − rank_quality
+#
+# Ranks use the (value, doc_id) total order (a defined tie variant,
+# deterministic on both engines). Scale shape: one map-only pass, two
+# |docs|-row rank windows (single global sort each — at 100 TB this
+# becomes a range-partitioned rank; the fixture keeps it exact), one
+# 1-row rollup. Σd² and n·(n²−1) are exact int64 (fits to ~2M docs;
+# a larger corpus moves the rollup to DECIMAL(38,0) partials), the
+# final expression is one identical IEEE tree, UNROUNDED.
+# --------------------------------------------------------------------------
+
+
+def q156_spearman_len_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    q = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        quality_col().alias("quality"),
+    )
+    wx = Window.orderBy(F.asc("n_toks"), F.asc("doc_id"))
+    wy = Window.orderBy(F.asc("quality"), F.asc("doc_id"))
+    ranked = q.withColumn(
+        "rx", F.row_number().over(wx).cast("long")
+    ).withColumn("ry", F.row_number().over(wy).cast("long"))
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    g = ranked.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(d2).cast("long").alias("d2_sum"),
+    )
+    denom = (
+        F.col("n_docs") * (F.col("n_docs") * F.col("n_docs") - 1)
+    ).cast("long")
+    return g.select(
+        "n_docs",
+        "d2_sum",
+        (
+            F.lit(1.0)
+            - (F.lit(6) * F.col("d2_sum")).cast("double")
+            / denom.cast("double")
+        ).alias("spearman_rho"),
+    )
+
+
+QUERIES["q156_spearman_len_quality"] = q156_spearman_len_quality
+
+ORACLE["q156_spearman_len_quality"] = f"""
+WITH {QUALITY_CTES_SQL.format(stops=_sql_list(STOPWORDS))},
+base AS (
+  SELECT qb.doc_id, qb.n_toks::BIGINT AS n_toks, qual.quality
+  FROM qb JOIN qual ON qb.doc_id = qual.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_toks ASC, doc_id ASC)::BIGINT AS rx,
+         row_number() OVER (ORDER BY quality ASC, doc_id ASC)::BIGINT AS ry
+  FROM base
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum((rx - ry) * (rx - ry))::BIGINT AS d2_sum
+  FROM ranked
+)
+SELECT n_docs, d2_sum,
+       1.0::DOUBLE - CAST(6 * d2_sum AS DOUBLE)
+         / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE) AS spearman_rho
+FROM g
+"""

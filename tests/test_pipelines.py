@@ -156,6 +156,8 @@ ORACLE_CHECKED = [
     "q152_item_cosine",
     "q153_adamic_adar",
     "q154_vocab_drift",
+    "q155_source_gini",
+    "q156_spearman_len_quality",
 ]
 
 
@@ -2311,3 +2313,78 @@ def test_vocab_drift_matches_python_reference(spark):
     assert row["lost_mass_share"] == float(lost_mass) / float(
         sum(ca.values())
     )
+
+
+def test_source_gini_matches_python_reference(spark):
+    """q155: exact-integer Python replay of the rank-weighted Gini;
+    scalar outputs bit-exact; gini in [0, 1)."""
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.curation import q155_source_gini
+    from searchengine_spark.pipelines.textstats import _tok_arr, load_docs
+
+    census = {
+        r["source"]: r["w"]
+        for r in load_docs(spark, SF_DIR)
+        .select("source", F.size(_tok_arr()).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("w"))
+        .collect()
+    }
+    order = sorted(census, key=lambda s: (census[s], s))
+    n = len(order)
+    total = sum(census.values())
+    iw = sum((i + 1) * census[s] for i, s in enumerate(order))
+    row = q155_source_gini(spark, SF_DIR).collect()[0]
+    assert (row["n_sources"], row["total_w"], row["iw_sum"]) == (
+        n, total, iw,
+    )
+    assert row["max_w"] == max(census.values())
+    want = (float(iw) * 2.0) / (float(n) * float(total)) - float(
+        n + 1
+    ) / float(n)
+    assert row["gini"] == want
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["top_share"] == float(max(census.values())) / float(total)
+
+
+def test_spearman_len_quality_matches_python_reference(spark):
+    """q156: exact-integer Python replay of the rank difference sum;
+    rho bit-exact and inside [-1, 1]."""
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.textstats import (
+        _tok_arr,
+        load_docs,
+        q156_spearman_len_quality,
+        quality_col,
+    )
+
+    rows = (
+        load_docs(spark, SF_DIR)
+        .withColumn("toks", _tok_arr())
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks"),
+            quality_col().alias("quality"),
+        )
+        .collect()
+    )
+    n = len(rows)
+    rx = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r["n_toks"], r["doc_id"]))
+        )
+    }
+    ry = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(rows, key=lambda r: (r["quality"], r["doc_id"]))
+        )
+    }
+    d2 = sum((rx[d] - ry[d]) ** 2 for d in rx)
+    got = q156_spearman_len_quality(spark, SF_DIR).collect()[0]
+    assert (got["n_docs"], got["d2_sum"]) == (n, d2)
+    assert got["spearman_rho"] == 1.0 - float(6 * d2) / float(
+        n * (n * n - 1)
+    )
+    assert -1.0 <= got["spearman_rho"] <= 1.0
