@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "q154_vocab_drift",
     "q155_source_gini",
     "q156_spearman_len_quality",
+    "q157_harmonic_centrality",
+    "q158_yule_k",
+    "q159_markov_transitions",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q159_markov_transitions",
+    "q158_yule_k",
+    "q157_harmonic_centrality",
     "q156_spearman_len_quality",
     "q155_source_gini",
     "q154_vocab_drift",

@@ -1994,3 +1994,138 @@ FROM pr
 ORDER BY aa_u DESC, sa ASC, sb ASC
 LIMIT {AA_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q157: harmonic centrality via HyperBall (Boldi/Vigna WWW'14 — the
+# paper's own motivating application). Harmonic centrality
+# H(x) = sum_{r>=1} (|B(x,r)| - |B(x,r-1)|) / r rewards nodes whose
+# balls grow EARLY — the closeness variant that stays finite on
+# disconnected graphs, which is why it is the centrality a web-graph
+# pipeline actually ships (exact closeness needs all-pairs BFS,
+# Theta(n·m); the register sketch gives every node's curve in
+# HB_ROUNDS scans).
+#
+# Pure composition over q139's infrastructure: the SAME register
+# rounds (one equi-join + one (node,bucket) MAX agg each), but keeping
+# each round's per-node estimate instead of only the last. State is
+# |nodes|·(R+1) int64s on top of the register table — nothing new
+# shuffles. Determinism: per-round estimates quantize to int64 at
+# NF_QUANT (q151's recipe); the harmonic sum is computed over the
+# quantized integers with the lcm(1..R)=2 trick so every engine-side
+# reduction is exact integer arithmetic — the published double is ONE
+# identical IEEE division at the end, UNROUNDED. (MAX-merged registers
+# make per-node estimates monotone in r except across the
+# linear-counting/raw branch switch; a negative increment there is an
+# estimator property, identical on both engines.)
+# --------------------------------------------------------------------------
+
+
+def q157_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    und = copurchase_edges(spark, sf_dir)
+    e = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    regs = _hb_regs0(nodes)
+    balls = []
+    for r in range(HB_ROUNDS + 1):
+        if r > 0:
+            prop = e.join(regs, e.src == regs.node).select(
+                F.col("dst").alias("node"), "bucket", "mrho"
+            )
+            regs = (
+                regs.unionAll(prop)
+                .groupBy("node", "bucket")
+                .agg(F.max("mrho").alias("mrho"))
+                .localCheckpoint(eager=False)
+            )
+        balls.append(
+            _hb_node_est(regs).select(
+                "node", F.col("est_u").alias(f"b{r}_u")
+            )
+        )
+    j = balls[0]
+    for b in balls[1:]:
+        j = j.join(b, "node")
+    # lcm(1..2)=2: H·2·QUANT = 2·(b1-b0) + 1·(b2-b1) — exact int64
+    h2_u = (
+        F.lit(2) * (F.col("b1_u") - F.col("b0_u"))
+        + (F.col("b2_u") - F.col("b1_u"))
+    ).cast("long")
+    return (
+        j.join(deg, "node")
+        .select(
+            "node",
+            "degree",
+            "b0_u",
+            "b1_u",
+            "b2_u",
+            h2_u.alias("h2_u"),
+            (
+                h2_u.cast("double")
+                / F.lit(float(2 * NF_QUANT))
+            ).alias("harmonic"),
+        )
+        .orderBy("node")
+    )
+
+
+QUERIES["q157_harmonic_centrality"] = q157_harmonic_centrality
+
+_HC_BALLS = ",".join(
+    f"""est{r} AS (
+  SELECT node,
+         CAST(floor(est * {float(NF_QUANT)!r}::DOUBLE) AS BIGINT) AS b{r}_u
+  FROM {_hb_est_sql(f'g{r}')}
+)"""
+    for r in range(HB_ROUNDS + 1)
+)
+
+ORACLE["q157_harmonic_centrality"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+deg AS (SELECT src AS dnode, count(*)::BIGINT AS degree FROM e GROUP BY src),
+h AS (
+  SELECT node,
+         ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM nodes
+),
+g0 AS (
+  SELECT node, h >> {HB_W} AS bucket,
+         CASE WHEN (h & {(1 << HB_W) - 1}) = 0 THEN {HB_W + 1}
+              ELSE strpos(lpad(bin(h & {(1 << HB_W) - 1}), {HB_W}, '0'), '1')
+         END AS mrho
+  FROM h
+),
+{_HB_CTES},
+{_HC_BALLS}
+SELECT e0.node, d.degree, e0.b0_u, e1.b1_u, e2.b2_u,
+       (2 * (e1.b1_u - e0.b0_u) + (e2.b2_u - e1.b1_u))::BIGINT AS h2_u,
+       CAST(2 * (e1.b1_u - e0.b0_u) + (e2.b2_u - e1.b1_u) AS DOUBLE)
+         / {float(2 * NF_QUANT)!r}::DOUBLE AS harmonic
+FROM est0 e0 JOIN est1 e1 ON e0.node = e1.node
+             JOIN est2 e2 ON e0.node = e2.node
+             JOIN deg d ON e0.node = d.dnode
+ORDER BY e0.node
+"""

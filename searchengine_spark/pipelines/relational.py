@@ -1787,3 +1787,112 @@ FROM pr JOIN n2 pa ON pr.etype_a = pa.event_type
         JOIN n2 pb ON pr.etype_b = pb.event_type
 ORDER BY etype_a, etype_b
 """
+
+
+# --------------------------------------------------------------------------
+# q159: first-order Markov transition model over session event streams —
+# the navigation model behind "users who search usually click next"
+# dashboards, next-event prediction baselines, and funnel-anomaly
+# alerts. Within a session (q144's gap rule), each consecutive event
+# pair (cur → next) is one transition observation; the model is the
+# Laplace-smoothed conditional P(next | cur) = (n + 1) / (row_total +
+# K) with K = |observed event types| so unseen transitions get mass
+# and every row of the matrix sums to 1.
+#
+# Spark shape: ONE pass — a lead() window per user (no session-id
+# materialization: a pair is in-session iff the gap to the next event
+# is ≤ the threshold, which lead() gives directly), one (cur, next)
+# hash agg, a per-cur window sum, and K folded in as a 1-row broadcast
+# (in-plan, zero driver jobs — the r3-verdict retriever pattern). At
+# 100 TB the user window partitions by user_id (millions of small
+# partitions, no skew: one user's stream fits a task by construction)
+# and the transition matrix is ≤ K² rows. All counts exact int64; the
+# published probability is ONE identical IEEE division, UNROUNDED.
+# --------------------------------------------------------------------------
+
+MKV_GAP_S = SESS_GAP_S  # same session rule as q144
+
+
+def q159_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    nxt = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_ep", F.lead("ep").over(w))
+        .filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_ep") - F.col("ep") <= MKV_GAP_S)
+        )
+    )
+    trans = nxt.groupBy(
+        F.col("event_type").alias("cur_type"),
+        F.col("next_type"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    wrow = Window.partitionBy("cur_type")
+    k = F.broadcast(
+        ev.select("event_type")
+        .distinct()
+        .groupBy()
+        .agg(F.count("*").cast("long").alias("n_states"))
+    )
+    out = (
+        trans.withColumn(
+            "row_total", F.sum("n").over(wrow).cast("long")
+        )
+        .crossJoin(k)
+        .select(
+            "cur_type",
+            "next_type",
+            "n",
+            "row_total",
+            "n_states",
+            (
+                (F.col("n") + F.lit(1)).cast("double")
+                / (F.col("row_total") + F.col("n_states")).cast("double")
+            ).alias("p_smooth"),
+        )
+        .orderBy("cur_type", "next_type")
+    )
+    return out
+
+
+QUERIES["q159_markov_transitions"] = q159_markov_transitions
+
+ORACLE["q159_markov_transitions"] = f"""
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ep, event_id, event_type
+  FROM events
+),
+nx AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER w AS next_type,
+         lead(ep) OVER w - ep AS gap
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+tr AS (
+  SELECT cur_type, next_type, count(*)::BIGINT AS n
+  FROM nx
+  WHERE next_type IS NOT NULL AND gap <= {MKV_GAP_S}
+  GROUP BY cur_type, next_type
+),
+k AS (
+  SELECT count(DISTINCT event_type)::BIGINT AS n_states FROM ev
+),
+rt AS (
+  SELECT *, sum(n) OVER (PARTITION BY cur_type)::BIGINT AS row_total
+  FROM tr
+)
+SELECT cur_type, next_type, n, row_total, k.n_states,
+       CAST(n + 1 AS DOUBLE) / CAST(row_total + k.n_states AS DOUBLE)
+         AS p_smooth
+FROM rt, k
+ORDER BY cur_type, next_type
+"""

@@ -2091,3 +2091,78 @@ SELECT n_docs, d2_sum,
          / CAST(n_docs * (n_docs * n_docs - 1) AS DOUBLE) AS spearman_rho
 FROM g
 """
+
+# --------------------------------------------------------------------------
+# q158: Yule's K lexical diversity per source (Yule 1944; the
+# repetitiveness characteristic a corpus-quality dashboard reads next
+# to q95's Zipf slope). K = 10^4 · (Σ_m m²·V_m − N) / N² over the
+# term-frequency spectrum (V_m = #types occurring m times, N = token
+# mass) — equivalently 10^4·(Σ_t tf_t² − N)/N², which is how both
+# engines compute it: one (source, term) count, one |sources|-row
+# int64 rollup. Unlike TTR, K is length-invariant, so sources of very
+# different sizes compare honestly. Template-farm / boilerplate
+# sources show K an order of magnitude above organic prose.
+#
+# Scale shape: one (source, term) hash agg — at 100 TB group on
+# (source, xxhash64(term)) so the shuffle rows are 16 bytes (the
+# fixture keeps raw terms; collision risk at 2^-64 per pair is the
+# same argument q15's md5 key makes). Then a |sources|-row rollup.
+# Σ tf² ≤ N² needs int64 up to N ≈ 3·10⁹ tokens per source; beyond
+# that the rollup moves to DECIMAL(38,0) partials. The published
+# double is ONE identical IEEE tree over exact ints, UNROUNDED.
+# --------------------------------------------------------------------------
+
+
+def q158_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    tf = (
+        docs.select("source", F.explode("toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    g = tf.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sum_tf2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "sum_tf2",
+        (
+            F.lit(10000.0)
+            * (F.col("sum_tf2") - F.col("n_tokens")).cast("double")
+            / (n * n)
+        ).alias("yule_k"),
+        (F.col("n_types").cast("double") / n).alias("ttr"),
+    ).orderBy("source")
+
+
+QUERIES["q158_yule_k"] = q158_yule_k
+
+ORACLE["q158_yule_k"] = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, count(*)::BIGINT AS tf
+  FROM toks GROUP BY source, term
+),
+g AS (
+  SELECT source,
+         sum(tf)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_types,
+         sum(tf * tf)::BIGINT AS sum_tf2
+  FROM tf GROUP BY source
+)
+SELECT source, n_tokens, n_types, sum_tf2,
+       10000.0::DOUBLE * CAST(sum_tf2 - n_tokens AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         AS yule_k,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+FROM g ORDER BY source
+"""

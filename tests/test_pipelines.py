@@ -158,6 +158,9 @@ ORACLE_CHECKED = [
     "q154_vocab_drift",
     "q155_source_gini",
     "q156_spearman_len_quality",
+    "q157_harmonic_centrality",
+    "q158_yule_k",
+    "q159_markov_transitions",
 ]
 
 
@@ -2388,3 +2391,101 @@ def test_spearman_len_quality_matches_python_reference(spark):
         n * (n * n - 1)
     )
     assert -1.0 <= got["spearman_rho"] <= 1.0
+
+
+def test_harmonic_centrality_consistent_with_hyperball(spark):
+    """q157: b2_u must be exactly q139's ball estimate quantized (same
+    registers, same rounds), h2_u the exact integer combination, and
+    the published harmonic the single IEEE division over it."""
+    import math
+
+    from searchengine_spark.pipelines.graph import (
+        NF_QUANT,
+        q139_hyperball,
+        q157_harmonic_centrality,
+    )
+
+    hb = {r["node"]: r["ball2_est"] for r in q139_hyperball(spark, SF_DIR).collect()}
+    got = q157_harmonic_centrality(spark, SF_DIR).collect()
+    assert len(got) == len(hb)
+    for r in got:
+        assert r["b2_u"] == math.floor(hb[r["node"]] * float(NF_QUANT))
+        want_h2 = 2 * (r["b1_u"] - r["b0_u"]) + (r["b2_u"] - r["b1_u"])
+        assert r["h2_u"] == want_h2
+        assert r["harmonic"] == float(want_h2) / float(2 * NF_QUANT)
+        # ball0 is the node itself: est ~1, so b0_u sits near NF_QUANT
+        # and balls grow (monotone registers; branch switch aside)
+        assert r["b0_u"] <= r["b1_u"] <= r["b2_u"]
+
+
+def test_yule_k_matches_python_reference(spark):
+    """q158: exact-integer Python replay of the frequency spectrum;
+    K and TTR bit-exact."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.textstats import load_docs, q158_yule_k
+
+    docs = load_docs(spark, SF_DIR).select("source", "text").collect()
+    tf = Counter()
+    for r in docs:
+        for t in r["text"].split(" "):
+            if t:
+                tf[(r["source"], t)] += 1
+    per_src = {}
+    for (src, _t), c in tf.items():
+        n, ty, s2 = per_src.get(src, (0, 0, 0))
+        per_src[src] = (n + c, ty + 1, s2 + c * c)
+    got = q158_yule_k(spark, SF_DIR).collect()
+    assert len(got) == len(per_src)
+    for r in got:
+        n, ty, s2 = per_src[r["source"]]
+        assert (r["n_tokens"], r["n_types"], r["sum_tf2"]) == (n, ty, s2)
+        assert r["yule_k"] == 10000.0 * float(s2 - n) / (float(n) * float(n))
+        assert r["ttr"] == float(ty) / float(n)
+        assert r["yule_k"] >= 0.0
+
+
+def test_markov_transitions_matches_python_reference(spark):
+    """q159: Python replay of the lead-pair census; smoothed rows of
+    the matrix sum to (row_total + n_obs_next) / (row_total + K) and
+    probabilities are bit-exact."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.relational import (
+        MKV_GAP_S,
+        load,
+        q159_markov_transitions,
+    )
+
+    ev = sorted(
+        load(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id", "unix_timestamp(ts) AS ep", "event_id", "event_type"
+        )
+        .collect(),
+        key=lambda r: (r["user_id"], r["ep"], r["event_id"]),
+    )
+    trans = Counter()
+    states = set()
+    for a, b in zip(ev, ev[1:]):
+        states.add(a["event_type"])
+        if (
+            a["user_id"] == b["user_id"]
+            and b["ep"] - a["ep"] <= MKV_GAP_S
+        ):
+            trans[(a["event_type"], b["event_type"])] += 1
+    states.update(r["event_type"] for r in ev)
+    k = len(states)
+    row_tot = Counter()
+    for (cur, _n), c in trans.items():
+        row_tot[cur] += c
+    got = q159_markov_transitions(spark, SF_DIR).collect()
+    assert len(got) == len(trans)
+    for r in got:
+        key = (r["cur_type"], r["next_type"])
+        assert r["n"] == trans[key]
+        assert r["row_total"] == row_tot[r["cur_type"]]
+        assert r["n_states"] == k
+        assert r["p_smooth"] == float(trans[key] + 1) / float(
+            row_tot[r["cur_type"]] + k
+        )
