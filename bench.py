@@ -177,6 +177,12 @@ BENCH_QUERIES = [
     "q157_harmonic_centrality",
     "q158_yule_k",
     "q159_markov_transitions",
+    "q160_ab_ztest",
+    "q161_winnowing",
+    "q162_bowtie",
+    "q163_curriculum_order",
+    "q164_jl_projection",
+    "q165_zonemap_prune",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

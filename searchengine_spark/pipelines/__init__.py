@@ -44,6 +44,12 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q165_zonemap_prune",
+    "q164_jl_projection",
+    "q163_curriculum_order",
+    "q162_bowtie",
+    "q161_winnowing",
+    "q160_ab_ztest",
     "q159_markov_transitions",
     "q158_yule_k",
     "q157_harmonic_centrality",

@@ -1699,3 +1699,83 @@ SELECT n_sources, total_w, iw_sum, max_w,
        CAST(max_w AS DOUBLE) / CAST(total_w AS DOUBLE) AS top_share
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# q163: curriculum ordering — difficulty-stratified round-robin emit
+# order for training (Bengio et al. ICML'09 made the case; production
+# pipelines implement it exactly like this: bucket by a difficulty
+# proxy, then interleave buckets so every training window sees the
+# full difficulty mix while easy examples still front-load the early
+# epochs via the bucket offset). Difficulty proxy = q23's quality
+# score (high quality = easy/clean); docs are cut into CUR_BUCKETS
+# quantile buckets over the (quality, doc_id) total order, then the
+# global curriculum position is (rank_within_bucket, bucket) — i.e.
+# round-robin across buckets, easiest first within each round.
+#
+# Scale shape: the bucket cut is ntile over ONE global sort (at 100 TB
+# a range-partitioned rank — same plan family as q39/q156; the sort is
+# the price of an exact curriculum and is paid once per epoch-plan,
+# not per step), the interleave is a map-only expression, and the
+# emitted prefix is TakeOrderedAndProject-capped at CUR_EMIT rows.
+# Everything is exact integer arithmetic — no floats anywhere.
+# --------------------------------------------------------------------------
+
+CUR_BUCKETS = 8
+CUR_EMIT = 200
+
+
+def q163_curriculum_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textstats import quality_col
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    q = docs.select(
+        "doc_id", quality_col().alias("quality")
+    )
+    wall = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    bucketed = q.withColumn(
+        "bucket", (F.ntile(CUR_BUCKETS).over(wall) - 1).cast("int")
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ordered = bucketed.withColumn(
+        "round", (F.row_number().over(wb) - 1).cast("long")
+    ).withColumn(
+        "cur_pos",
+        (F.col("round") * CUR_BUCKETS + F.col("bucket")).cast("long"),
+    )
+    return (
+        ordered.select("cur_pos", "doc_id", "bucket", "round", "quality")
+        .orderBy("cur_pos", "doc_id")
+        .limit(CUR_EMIT)
+    )
+
+
+QUERIES["q163_curriculum_order"] = q163_curriculum_order
+
+ORACLE["q163_curriculum_order"] = f"""
+WITH qual AS (SELECT doc_id, quality FROM ({_TS_ORACLE["q23_quality"]})),
+b AS (
+  SELECT doc_id, quality,
+         (ntile({CUR_BUCKETS}) OVER (ORDER BY quality DESC,
+                                     doc_id ASC) - 1)::INT AS bucket
+  FROM qual
+),
+o AS (
+  SELECT doc_id, quality, bucket,
+         (row_number() OVER (PARTITION BY bucket
+                             ORDER BY quality DESC, doc_id ASC)
+          - 1)::BIGINT AS round
+  FROM b
+)
+SELECT (round * {CUR_BUCKETS} + bucket)::BIGINT AS cur_pos,
+       doc_id, bucket, round, quality
+FROM o
+ORDER BY cur_pos, doc_id
+LIMIT {CUR_EMIT}
+"""

@@ -540,3 +540,149 @@ FROM customer c JOIN hits h ON h.c_custkey = c.c_custkey
 ORDER BY c.c_custkey
 """,
 }
+
+
+# --------------------------------------------------------------------------
+# q165: zone-map (min/max) skipping audit — the data-layout question
+# every 100 TB table owner asks before paying for a re-sort: how many
+# row-zones does the hot predicate actually skip under the CURRENT
+# layout, and what would a shipdate-clustered rewrite buy? Parquet
+# row-group pruning, Delta/Iceberg file skipping, and ClickHouse
+# marks are all this arithmetic: a zone is read iff
+# [zone_min, zone_max] overlaps the predicate range.
+#
+# Two layouts are audited side by side: `natural` (arrival order =
+# (orderkey, linenumber)) and `clustered` (sorted by the predicate
+# column). Zones are ZM_ROWS consecutive rows: zone = (rank-1) div
+# ZM_ROWS over the layout's TOTAL order (ties broken to a total order
+# so both engines bucket identically). `ideal_zones` =
+# ceil(matched/ZM_ROWS) is the floor any layout can reach; the
+# clustered row should sit at it, and natural/ideal is the clustering
+# factor that justifies (or kills) the rewrite.
+#
+# Scale shape: per layout ONE global rank (range-partitioned sort at
+# scale — the audit is run on a SAMPLE of zones in production, the
+# arithmetic is identical) + one (zone) min/max agg + a constant-size
+# rollup. All exact int64; the two ratios are single IEEE divisions,
+# UNROUNDED.
+# --------------------------------------------------------------------------
+
+ZM_ROWS = 1024
+ZM_LO = "1995-06-01"
+ZM_HI = "1995-08-31"
+
+
+def q165_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _tables.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    lo, hi = F.lit(ZM_LO).cast("date"), F.lit(ZM_HI).cast("date")
+
+    def audit(df: DataFrame, order_cols, layout: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        z = df.withColumn(
+            "zone",
+            ((F.row_number().over(w) - 1) / ZM_ROWS)
+            .cast("long"),
+        )
+        zones = z.groupBy("zone").agg(
+            F.min("sd").alias("zmin"),
+            F.max("sd").alias("zmax"),
+            F.count("*").cast("long").alias("zrows"),
+            F.sum(
+                F.when((F.col("sd") >= lo) & (F.col("sd") <= hi), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("zmatch"),
+        )
+        hit = (F.col("zmin") <= hi) & (F.col("zmax") >= lo)
+        return zones.groupBy().agg(
+            F.count("*").cast("long").alias("n_zones"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("long")
+            .alias("zones_hit"),
+            F.sum("zrows").cast("long").alias("n_rows"),
+            F.sum("zmatch").cast("long").alias("rows_matched"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    nat = audit(li, [F.asc("ok"), F.asc("ln")], "natural")
+    clu = audit(
+        li, [F.asc("sd"), F.asc("ok"), F.asc("ln")], "clustered"
+    )
+    u = nat.unionByName(clu)
+    ideal = (
+        (F.col("rows_matched") + F.lit(ZM_ROWS - 1)) / F.lit(ZM_ROWS)
+    ).cast("long")
+    return u.select(
+        "layout",
+        "n_rows",
+        "n_zones",
+        "zones_hit",
+        "rows_matched",
+        ideal.alias("ideal_zones"),
+        (
+            F.lit(1.0)
+            - F.col("zones_hit").cast("double")
+            / F.col("n_zones").cast("double")
+        ).alias("skip_rate"),
+        # NULL-guarded identically on both engines: Spark and DuckDB
+        # disagree on double x/0 (the q86 lesson)
+        F.when(
+            ideal > 0,
+            F.col("zones_hit").cast("double") / ideal.cast("double"),
+        ).alias("clustering_factor"),
+    ).orderBy("layout")
+
+
+QUERIES["q165_zonemap_prune"] = q165_zonemap_prune
+
+_ZM_AUDIT = """
+SELECT '{layout}' AS layout,
+       count(*)::BIGINT AS n_zones,
+       sum(CASE WHEN zmin <= DATE '{hi}' AND zmax >= DATE '{lo}'
+                THEN 1 ELSE 0 END)::BIGINT AS zones_hit,
+       sum(zrows)::BIGINT AS n_rows,
+       sum(zmatch)::BIGINT AS rows_matched
+FROM (
+  SELECT zone,
+         min(sd) AS zmin, max(sd) AS zmax,
+         count(*)::BIGINT AS zrows,
+         sum(CASE WHEN sd >= DATE '{lo}' AND sd <= DATE '{hi}'
+                  THEN 1 ELSE 0 END)::BIGINT AS zmatch
+  FROM (
+    SELECT sd,
+           ((row_number() OVER (ORDER BY {order}) - 1) // {zr})::BIGINT
+             AS zone
+    FROM li
+  ) GROUP BY zone
+)"""
+
+ORACLE["q165_zonemap_prune"] = f"""
+WITH li AS (
+  SELECT l_orderkey AS ok, l_linenumber::BIGINT AS ln,
+         l_shipdate::DATE AS sd
+  FROM lineitem
+),
+u AS (
+{_ZM_AUDIT.format(layout="natural", order="ok ASC, ln ASC",
+                  zr=ZM_ROWS, lo=ZM_LO, hi=ZM_HI)}
+UNION ALL
+{_ZM_AUDIT.format(layout="clustered", order="sd ASC, ok ASC, ln ASC",
+                  zr=ZM_ROWS, lo=ZM_LO, hi=ZM_HI)}
+)
+SELECT layout, n_rows, n_zones, zones_hit, rows_matched,
+       ((rows_matched + {ZM_ROWS - 1}) // {ZM_ROWS})::BIGINT AS ideal_zones,
+       1.0::DOUBLE - CAST(zones_hit AS DOUBLE) / CAST(n_zones AS DOUBLE)
+         AS skip_rate,
+       CASE WHEN (rows_matched + {ZM_ROWS - 1}) // {ZM_ROWS} > 0
+            THEN CAST(zones_hit AS DOUBLE)
+                 / CAST((rows_matched + {ZM_ROWS - 1}) // {ZM_ROWS}
+                        AS DOUBLE)
+            ELSE NULL END AS clustering_factor
+FROM u ORDER BY layout
+"""

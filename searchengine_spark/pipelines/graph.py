@@ -2129,3 +2129,189 @@ FROM est0 e0 JOIN est1 e1 ON e0.node = e1.node
              JOIN deg d ON e0.node = d.dnode
 ORDER BY e0.node
 """
+
+
+# --------------------------------------------------------------------------
+# q162: bow-tie reachability decomposition (Broder et al. WWW'00 — THE
+# macroscopic web-graph census: CORE / IN / OUT / DISCONNECTED around
+# a strongly-connected nucleus). A crawler team reads this to size the
+# frontier problem (IN pages can reach the core but need discovery;
+# OUT pages are sinks the crawler drains into). Here over the directed
+# co-purchase SEQUENCE graph (part at line i → part at line i+1 within
+# an order — the navigation-order analog of the synthetic corpus), and
+# R-hop bounded: classes are defined by reachability within BT_HOPS
+# rounds of the pivot (the max-degree node), the bounded census a
+# 100 TB pipeline actually computes (full transitive closure is
+# diameter-many rounds of the same join — BT_HOPS bounds cost and is
+# reported in the row so readers know the radius).
+#
+# Scale shape: TWO bounded BFS runs (q122's frontier loop — per round
+# one equi-join + anti-join, frontier shrinks, localCheckpoint bounds
+# lineage) — one forward, one on the reversed edge set — then class =
+# a map-only expression over two left-join flags; the census is a
+# 4-row agg. Pivot selection is a TakeOrderedAndProject (1 row), then
+# broadcast — in-plan, zero driver jobs. All counts exact int64;
+# shares ONE IEEE division each, UNROUNDED.
+# --------------------------------------------------------------------------
+
+BT_HOPS = 2  # radius 2 splits the fixture graph into all four classes
+
+
+def _seq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = (
+        _tables.load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").cast("long").alias("ln"),
+            F.col("l_partkey").cast("long").alias("part"),
+        )
+        .distinct()
+    )
+    # the synthetic lineitem has duplicate (ok, ln) pairs — (ln, part)
+    # makes the per-order walk a TOTAL order (remaining ties are equal
+    # rows, whose lead-pairs form the same edge set), so lead() is
+    # deterministic on both engines
+    w = Window.partitionBy("ok").orderBy("ln", "part")
+    return (
+        li.withColumn("nxt", F.lead("part").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("part")))
+        .select(F.col("part").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )
+
+
+def q162_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _seq_edges(spark, sf_dir).localCheckpoint(eager=False)
+    er = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    pivot = deg.orderBy(F.desc("deg"), F.asc("node")).limit(1).select("node")
+    fwd = (
+        bfs_layers(e, pivot, BT_HOPS)
+        .select("node", F.lit(1).alias("f"))
+    )
+    bwd = (
+        bfs_layers(er, pivot, BT_HOPS)
+        .select("node", F.lit(1).alias("b"))
+    )
+    cls = (
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("f").isNotNull() & F.col("b").isNotNull(), "core"
+            )
+            .when(F.col("b").isNotNull(), "in")
+            .when(F.col("f").isNotNull(), "out")
+            .otherwise("disc")
+            .alias("component"),
+        )
+    )
+    counts = cls.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    frame = spark.createDataFrame(
+        [("core",), ("in",), ("out",), ("disc",)], "component string"
+    )
+    total = F.broadcast(
+        nodes.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    )
+    return (
+        frame.join(counts, "component", "left")
+        .crossJoin(total)
+        .select(
+            "component",
+            F.coalesce(F.col("n_nodes"), F.lit(0))
+            .cast("long")
+            .alias("n_nodes"),
+            "n_total",
+            F.lit(BT_HOPS).cast("int").alias("radius"),
+            (
+                F.coalesce(F.col("n_nodes"), F.lit(0)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("component")
+    )
+
+
+QUERIES["q162_bowtie"] = q162_bowtie
+
+ORACLE["q162_bowtie"] = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_linenumber::BIGINT AS ln,
+         l_partkey::BIGINT AS part
+  FROM lineitem
+),
+sq AS (
+  SELECT part, lead(part) OVER (PARTITION BY ok ORDER BY ln, part) AS nxt
+  FROM li
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT part AS src, nxt AS dst FROM sq
+  WHERE nxt IS NOT NULL AND nxt <> part
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  ) GROUP BY node
+),
+pv AS (
+  SELECT node FROM deg ORDER BY deg DESC, node ASC LIMIT 1
+),
+fwd(node, hop) AS (
+  SELECT node, 0 FROM pv
+  UNION
+  SELECT e.dst, fwd.hop + 1 FROM fwd JOIN e ON e.src = fwd.node
+  WHERE fwd.hop < {BT_HOPS}
+),
+bwd(node, hop) AS (
+  SELECT node, 0 FROM pv
+  UNION
+  SELECT e.src, bwd.hop + 1 FROM bwd JOIN e ON e.dst = bwd.node
+  WHERE bwd.hop < {BT_HOPS}
+),
+f AS (SELECT DISTINCT node FROM fwd),
+b AS (SELECT DISTINCT node FROM bwd),
+cls AS (
+  SELECT n.node,
+         CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+              WHEN b.node IS NOT NULL THEN 'in'
+              WHEN f.node IS NOT NULL THEN 'out'
+              ELSE 'disc' END AS component
+  FROM nodes n LEFT JOIN f ON n.node = f.node
+               LEFT JOIN b ON n.node = b.node
+),
+counts AS (
+  SELECT component, count(*)::BIGINT AS n_nodes FROM cls GROUP BY component
+),
+frame AS (
+  SELECT * FROM (VALUES ('core'), ('in'), ('out'), ('disc')) t(component)
+),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM nodes)
+SELECT fr.component,
+       COALESCE(c.n_nodes, 0)::BIGINT AS n_nodes,
+       tot.n_total,
+       {BT_HOPS}::INT AS radius,
+       CAST(COALESCE(c.n_nodes, 0) AS DOUBLE) / CAST(tot.n_total AS DOUBLE)
+         AS share
+FROM frame fr LEFT JOIN counts c ON fr.component = c.component, tot
+ORDER BY fr.component
+"""

@@ -1896,3 +1896,135 @@ SELECT cur_type, next_type, n, row_total, k.n_states,
 FROM rt, k
 ORDER BY cur_type, next_type
 """
+
+
+# --------------------------------------------------------------------------
+# q160: two-proportion A/B z-test over the event log — the experiment
+# readout a search/feeds team runs continuously (did the treatment arm
+# convert better, and is the lift outside noise?). Deterministic
+# assignment: arm = portable_hash(user_id) mod 2 (the q44 md5 recipe —
+# the SAME user always lands in the SAME arm on any engine and any
+# rerun, which is the property a real experiment system must have).
+# Conversion = user has ≥1 'purchase' event above AB_CONV_MIN (a pure
+# all-convert census is degenerate — the z-test needs variance).
+# Pooled two-proportion z = (p1 − p0) / sqrt(p̂(1−p̂)(1/n0 + 1/n1)),
+# NULL-guarded when p̂ ∈ {0, 1} (se = 0: both engines must agree on
+# the undefined case — the q86 x/0 lesson).
+#
+# Scale shape: one (user) hash agg collapses the log (map-side
+# combinable bool_or), one 2-row arm census folded to ONE row by
+# conditional aggregation — no shuffle after the user collapse. At
+# 100 TB the user agg is the only real cost; everything downstream is
+# constant-size. Counts exact int64; z is ONE identical IEEE tree
+# over the exact counts, UNROUNDED; the significance flag compares
+# |z| to a shared literal.
+# --------------------------------------------------------------------------
+
+AB_Z_CRIT = 1.959963985  # two-sided 95%
+AB_CONV_MIN = 150.0      # conversion = a purchase above this value
+
+
+def q160_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_MIN),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    g = users.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    z = F.when(se > 0.0, (p1 - p0) / se)
+    return g.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        pp.alias("p_pooled"),
+        z.alias("z"),
+        F.when(se > 0.0, F.abs(z) > F.lit(AB_Z_CRIT)).alias(
+            "significant"
+        ),
+    )
+
+
+QUERIES["q160_ab_ztest"] = q160_ab_ztest
+
+ORACLE["q160_ab_ztest"] = f"""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_MIN!r}::DOUBLE
+                  THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS arm,
+         converted
+  FROM u
+),
+g AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS c0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS c1
+  FROM a
+)
+SELECT n0, c0, n1, c1,
+       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_pooled,
+       CASE WHEN se > 0.0 THEN dz / se ELSE NULL END AS z,
+       CASE WHEN se > 0.0 THEN abs(dz / se) > {AB_Z_CRIT!r}::DOUBLE
+            ELSE NULL END AS significant
+FROM (
+  SELECT *,
+         CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS dz,
+         sqrt(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+              * (1.0::DOUBLE - CAST(c0 + c1 AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE))
+              * (1.0::DOUBLE / CAST(n0 AS DOUBLE)
+                 + 1.0::DOUBLE / CAST(n1 AS DOUBLE))) AS se
+  FROM g
+)
+"""

@@ -2026,3 +2026,139 @@ s1 AS MATERIALIZED (
 SELECT sel_rank, doc_id, rel_r, maxsim_r, mmr_r
 FROM s{MMR_K} ORDER BY sel_rank
 """
+
+
+# --------------------------------------------------------------------------
+# q164: Johnson–Lindenstrauss random-sign projection + distortion
+# audit (Achlioptas JCSS'03: ±1 entries suffice) — the
+# dimensionality-reduction step a 100 TB embedding pipeline runs
+# before ANN when 64-d dots are still too hot: project to JL_DIMS
+# dims with a DETERMINISTIC sign matrix (md5 of (i,j) — rebuildable
+# anywhere, no RNG state to ship), then audit the squared-distance
+# distortion d²_proj / (JL_DIMS · d²_orig) over a bounded pair sample
+# (expectation exactly 1 for sign projections).
+#
+# Scale shape: the projection is MAP-ONLY — the D×D' sign matrix is a
+# plan literal (at scale: a broadcast), each output dim one _dot fold
+# (the HOF-fold idiom q20 measured fastest); the audit pair set is
+# |JL_SAMPLE|²/2 rows, constant in corpus size. Determinism: every
+# fold is the SAME left-to-right zip_with/aggregate tree as q20's
+# _dot (⇔ DuckDB list_reduce), so both engines produce bit-identical
+# doubles, UNROUNDED; the ratio is NULL-guarded on d²_orig = 0.
+# --------------------------------------------------------------------------
+
+JL_DIMS = 8
+JL_SAMPLE = 40
+
+
+def _jl_signs() -> list[list[float]]:
+    """JL_DIMS × EMB_DIM deterministic ±1 matrix off md5 — a pure
+    function of (i, j), identical in any engine or language."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(JL_DIMS)
+    ]
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q164_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signs = _jl_signs()
+    e = load_emb(spark, sf_dir).filter(F.col("vec_id") < JL_SAMPLE)
+    y = F.array(
+        *[
+            _dot(
+                F.col("v"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+            )
+            for j in range(JL_DIMS)
+        ]
+    )
+    p = e.select("vec_id", "v", y.alias("y"))
+    a = p.select(
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("y").alias("ya"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    d2o = _sqdist(F.col("va"), F.col("vb"))
+    d2p = _sqdist(F.col("ya"), F.col("yb"))
+    return (
+        pairs.select(
+            "a",
+            "b",
+            d2o.alias("d2_orig"),
+            d2p.alias("d2_proj"),
+            F.when(
+                d2o > 0.0,
+                d2p / (F.lit(float(JL_DIMS)) * d2o),
+            ).alias("distortion"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+QUERIES["q164_jl_projection"] = q164_jl_projection
+
+
+def _jl_sign_sql(j: int, signs: list[list[float]]) -> str:
+    lits = ", ".join(f"{s!r}::DOUBLE" for s in signs[j])
+    return (
+        "list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> v[i] * ([{lits}])[i])), (acc, x) -> acc + x)"
+    )
+
+
+_JL_SIGNS = _jl_signs()
+
+_JL_PROJ = ", ".join(_jl_sign_sql(j, _JL_SIGNS) for j in range(JL_DIMS))
+
+_JL_SQD = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+)
+
+ORACLE["q164_jl_projection"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {JL_SAMPLE}
+),
+p AS (
+  SELECT vec_id, v, [{_JL_PROJ}]::DOUBLE[] AS y FROM e
+),
+pr AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_JL_SQD.format(a="a.v", b="b.v")} AS d2_orig,
+         {_JL_SQD.format(a="a.y", b="b.y")} AS d2_proj
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+)
+SELECT a, b, d2_orig, d2_proj,
+       CASE WHEN d2_orig > 0.0
+            THEN d2_proj / ({float(JL_DIMS)!r}::DOUBLE * d2_orig)
+            ELSE NULL END AS distortion
+FROM pr ORDER BY a, b
+"""

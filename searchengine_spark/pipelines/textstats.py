@@ -2166,3 +2166,151 @@ SELECT source, n_tokens, n_types, sum_tf2,
        CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
 FROM g ORDER BY source
 """
+
+# --------------------------------------------------------------------------
+# q161: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+# SIGMOD'03) — the guaranteed-coverage local fingerprinting scheme
+# under q25's rolling hash: any shared run of WIN_W + WIN_K − 1 tokens
+# between two docs is CAUGHT by at least one selected fingerprint,
+# yet only ~2/(W+1) of k-grams are kept. This is the
+# plagiarism/near-dup substrate (MOSS) that complements q17's MinHash
+# (set overlap) with positional substring evidence.
+#
+# Selection rule: in every window of WIN_W consecutive k-gram hashes
+# keep the minimum, rightmost position on ties — expressed as ONE
+# combined int64 key h·2²⁰ + (2²⁰−1−pos), so min(key) over the frame
+# IS the (min hash, max pos) selection: pure integer arithmetic,
+# identical on both engines. pos < 2²⁰ bounds a doc at ~1M tokens
+# (longer docs chunk via q96 first).
+#
+# Scale shape: map-only k-gram hashing (lead() windows per doc — the
+# per-doc sort is the partition sort a 100 TB corpus does per task,
+# docs never cross tasks), one frame-min window over the same
+# partition order (no extra shuffle), one distinct + per-doc count.
+# Density ≈ 2/(W+1) is the audit: a density far off means degenerate
+# token hashes (all-equal pages, boilerplate).
+# --------------------------------------------------------------------------
+
+WIN_K = 3        # k-gram width (tokens)
+WIN_W = 4        # winnowing window (k-grams)
+WIN_POS_BITS = 20
+
+
+def q161_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).withColumn(
+        "th",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % F.lit(FP_MOD),
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    kh = F.col("th")
+    for j in range(1, WIN_K):
+        kh = (kh * F.lit(FP_BASE) + F.lead("th", j).over(wseq)) % F.lit(
+            FP_MOD
+        )
+    kg = (
+        tok.withColumn("kh", kh)
+        .filter(F.col("kh").isNotNull())
+        .select("doc_id", "pos", "kh")
+    )
+    nk = kg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kgrams")
+    )
+    key = F.col("kh") * F.lit(1 << WIN_POS_BITS) + (
+        F.lit((1 << WIN_POS_BITS) - 1) - F.col("pos")
+    )
+    wfrm = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_W - 1)
+    )
+    sel = (
+        kg.withColumn("selkey", F.min(key).over(wfrm))
+        .join(nk, "doc_id")
+        .filter(F.col("pos") <= F.col("n_kgrams") - WIN_W)
+        .select("doc_id", "selkey")
+        .distinct()
+    )
+    cnt = sel.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_selected")
+    )
+    return (
+        nk.join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.coalesce(F.col("n_selected"), F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.when(
+                F.col("n_kgrams") >= WIN_W,
+                F.coalesce(F.col("n_selected"), F.lit(0)).cast("double")
+                / (F.col("n_kgrams") - WIN_W + 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q161_winnowing"] = q161_winnowing
+
+ORACLE["q161_winnowing"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM d
+),
+tok AS (
+  SELECT doc_id, pos - 1 AS pos,
+         ('0x' || substr(md5(toks[pos]), 1, 15))::BIGINT % {FP_MOD} AS th
+  FROM tp
+),
+kg AS (
+  SELECT doc_id, pos,
+         ((th * {FP_BASE} + lead(th, 1) OVER w) % {FP_MOD}
+          * {FP_BASE} + lead(th, 2) OVER w) % {FP_MOD} AS kh
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+kg2 AS (SELECT * FROM kg WHERE kh IS NOT NULL),
+nk AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kgrams FROM kg2 GROUP BY doc_id
+),
+sel AS (
+  SELECT doc_id, pos,
+         min(kh * {1 << WIN_POS_BITS}
+             + ({(1 << WIN_POS_BITS) - 1} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS selkey
+  FROM kg2
+),
+sel2 AS (
+  SELECT DISTINCT s.doc_id, s.selkey
+  FROM sel s JOIN nk ON s.doc_id = nk.doc_id
+  WHERE s.pos <= nk.n_kgrams - {WIN_W}
+),
+cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_selected FROM sel2 GROUP BY doc_id
+)
+SELECT nk.doc_id, nk.n_kgrams,
+       COALESCE(cnt.n_selected, 0)::BIGINT AS n_selected,
+       CASE WHEN nk.n_kgrams >= {WIN_W}
+            THEN CAST(COALESCE(cnt.n_selected, 0) AS DOUBLE)
+                 / CAST(nk.n_kgrams - {WIN_W} + 1 AS DOUBLE)
+            ELSE 0.0::DOUBLE END AS density
+FROM nk LEFT JOIN cnt ON nk.doc_id = cnt.doc_id
+ORDER BY nk.doc_id
+"""

@@ -161,6 +161,12 @@ ORACLE_CHECKED = [
     "q157_harmonic_centrality",
     "q158_yule_k",
     "q159_markov_transitions",
+    "q160_ab_ztest",
+    "q161_winnowing",
+    "q162_bowtie",
+    "q163_curriculum_order",
+    "q164_jl_projection",
+    "q165_zonemap_prune",
 ]
 
 
@@ -2489,3 +2495,305 @@ def test_markov_transitions_matches_python_reference(spark):
         assert r["p_smooth"] == float(trans[key] + 1) / float(
             row_tot[r["cur_type"]] + k
         )
+
+
+def test_ab_ztest_matches_python_reference(spark):
+    """q160: replay the md5 arm assignment + pooled z in Python;
+    counts exact, z bit-exact, flag consistent."""
+    import hashlib
+    import math
+
+    from searchengine_spark.pipelines.relational import (
+        AB_CONV_MIN,
+        AB_Z_CRIT,
+        load,
+        q160_ab_ztest,
+    )
+
+    ev = load(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    conv = {}
+    for r in ev:
+        u = r["user_id"]
+        conv[u] = conv.get(u, 0) or (
+            1
+            if r["event_type"] == "purchase" and r["value"] > AB_CONV_MIN
+            else 0
+        )
+    n = [0, 0]
+    c = [0, 0]
+    for u, cv in conv.items():
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        n[arm] += 1
+        c[arm] += cv
+    row = q160_ab_ztest(spark, SF_DIR).collect()[0]
+    assert (row["n0"], row["c0"], row["n1"], row["c1"]) == (
+        n[0], c[0], n[1], c[1],
+    )
+    p0, p1 = c[0] / n[0], c[1] / n[1]
+    pp = (c[0] + c[1]) / (n[0] + n[1])
+    z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n[0] + 1.0 / n[1]))
+    assert row["p0"] == p0 and row["p1"] == p1 and row["p_pooled"] == pp
+    assert row["z"] == z
+    assert row["significant"] == (abs(z) > AB_Z_CRIT)
+
+
+def test_winnowing_matches_python_reference(spark):
+    """q161: full Python winnowing replay — counts exact, and the
+    winnowing coverage guarantee holds (every window of W k-grams has
+    a selected fingerprint position inside it)."""
+    import hashlib
+
+    from searchengine_spark.pipelines.textstats import (
+        FP_BASE,
+        FP_MOD,
+        WIN_K,
+        WIN_POS_BITS,
+        WIN_W,
+        load_docs,
+        q161_winnowing,
+    )
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % FP_MOD
+            for t in toks
+        ]
+        kh = []
+        for i in range(len(th) - WIN_K + 1):
+            h = th[i]
+            for j in range(1, WIN_K):
+                h = (h * FP_BASE + th[i + j]) % FP_MOD
+            kh.append(h)
+        if not kh:
+            continue
+        sel = set()
+        for s in range(len(kh) - WIN_W + 1):
+            win = [
+                kh[p] * (1 << WIN_POS_BITS)
+                + ((1 << WIN_POS_BITS) - 1 - p)
+                for p in range(s, s + WIN_W)
+            ]
+            sel.add(min(win))
+        want[r["doc_id"]] = (len(kh), len(sel))
+    got = q161_winnowing(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        nk, ns = want[r["doc_id"]]
+        assert (r["n_kgrams"], r["n_selected"]) == (nk, ns)
+        if nk >= WIN_W:
+            assert r["density"] == float(ns) / float(nk - WIN_W + 1)
+        else:
+            assert r["density"] == 0.0 and ns == 0
+
+
+def test_bowtie_matches_python_reference(spark):
+    """q162: Python BFS replay of the bounded bow-tie census; classes
+    partition the node set and the pivot sits in the core."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.graph import (
+        BT_HOPS,
+        _seq_edges,
+        q162_bowtie,
+    )
+
+    e = [(r["src"], r["dst"]) for r in _seq_edges(spark, SF_DIR).collect()]
+    nodes = {s for s, _ in e} | {d for _, d in e}
+    deg = defaultdict(int)
+    for s, d in e:
+        deg[s] += 1
+        deg[d] += 1
+    pivot = min(nodes, key=lambda n: (-deg[n], n))
+    fwd_adj, bwd_adj = defaultdict(list), defaultdict(list)
+    for s, d in e:
+        fwd_adj[s].append(d)
+        bwd_adj[d].append(s)
+
+    def ball(adj):
+        seen, frontier = {pivot}, {pivot}
+        for _ in range(BT_HOPS):
+            frontier = {
+                d for n in frontier for d in adj[n] if d not in seen
+            }
+            seen |= frontier
+        return seen
+
+    f, b = ball(fwd_adj), ball(bwd_adj)
+    want = {"core": 0, "in": 0, "out": 0, "disc": 0}
+    for n in nodes:
+        if n in f and n in b:
+            want["core"] += 1
+        elif n in b:
+            want["in"] += 1
+        elif n in f:
+            want["out"] += 1
+        else:
+            want["disc"] += 1
+    got = {r["component"]: r for r in q162_bowtie(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for comp, r in got.items():
+        assert r["n_nodes"] == want[comp]
+        assert r["n_total"] == len(nodes)
+        assert r["radius"] == BT_HOPS
+        assert r["share"] == float(want[comp]) / float(len(nodes))
+    assert got["core"]["n_nodes"] >= 1
+    assert sum(r["n_nodes"] for r in got.values()) == len(nodes)
+
+
+def test_curriculum_order_matches_python_reference(spark):
+    """q163: replay ntile bucketing + round-robin interleave in
+    Python over the engine's own quality column; exact rows."""
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.curation import (
+        CUR_BUCKETS,
+        CUR_EMIT,
+        q163_curriculum_order,
+    )
+    from searchengine_spark.pipelines.textstats import (
+        _tok_arr,
+        load_docs,
+        quality_col,
+    )
+
+    rows = (
+        load_docs(spark, SF_DIR)
+        .withColumn("toks", _tok_arr())
+        .select("doc_id", quality_col().alias("quality"))
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+    n = len(ordered)
+    base, rem = divmod(n, CUR_BUCKETS)
+    want = []
+    idx = 0
+    for b in range(CUR_BUCKETS):
+        size = base + (1 if b < rem else 0)
+        for rnd in range(size):
+            r = ordered[idx]
+            want.append(
+                (rnd * CUR_BUCKETS + b, r["doc_id"], b, rnd, r["quality"])
+            )
+            idx += 1
+    want.sort(key=lambda t: (t[0], t[1]))
+    got = q163_curriculum_order(spark, SF_DIR).collect()
+    assert len(got) == min(CUR_EMIT, n)
+    for g, w in zip(got, want[: len(got)]):
+        assert (
+            g["cur_pos"], g["doc_id"], g["bucket"], g["round"], g["quality"]
+        ) == w
+
+
+def test_jl_projection_matches_python_reference(spark):
+    """q164: replay the sign projection and fold order in Python —
+    bit-exact doubles (same left-to-right IEEE adds)."""
+    from searchengine_spark.pipelines.similarity import (
+        JL_DIMS,
+        JL_SAMPLE,
+        _jl_signs,
+        load_emb,
+        q164_jl_projection,
+    )
+
+    signs = _jl_signs()
+    vecs = {
+        r["vec_id"]: r["v"]
+        for r in load_emb(spark, SF_DIR)
+        .filter("vec_id < %d" % JL_SAMPLE)
+        .collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    proj = {
+        vid: [dot(v, signs[j]) for j in range(JL_DIMS)]
+        for vid, v in vecs.items()
+    }
+    got = q164_jl_projection(spark, SF_DIR).collect()
+    n = len(vecs)
+    assert len(got) == n * (n - 1) // 2
+    for r in got:
+        a, b = r["a"], r["b"]
+        d2o = sqd(vecs[a], vecs[b])
+        d2p = sqd(proj[a], proj[b])
+        assert r["d2_orig"] == d2o
+        assert r["d2_proj"] == d2p
+        if d2o > 0.0:
+            assert r["distortion"] == d2p / (float(JL_DIMS) * d2o)
+        else:
+            assert r["distortion"] is None
+    # the audit itself: mean distortion should sit near 1
+    ds = [r["distortion"] for r in got if r["distortion"] is not None]
+    assert 0.5 < sum(ds) / len(ds) < 1.5
+
+
+def test_zonemap_prune_matches_python_reference(spark):
+    """q165: replay both layouts' zone census in Python; exact
+    integers and the clustered layout at (or near) the ideal."""
+    import datetime
+
+    from searchengine_spark.pipelines import _tables
+    from searchengine_spark.pipelines.engine_ops import (
+        ZM_HI,
+        ZM_LO,
+        ZM_ROWS,
+        q165_zonemap_prune,
+    )
+
+    li = [
+        (r["l_orderkey"], r["l_linenumber"], r["l_shipdate"].date()
+         if hasattr(r["l_shipdate"], "date") else r["l_shipdate"])
+        for r in _tables.load(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .collect()
+    ]
+    lo = datetime.date.fromisoformat(ZM_LO)
+    hi = datetime.date.fromisoformat(ZM_HI)
+
+    def audit(rows):
+        zones = {}
+        for i, (_ok, _ln, sd) in enumerate(rows):
+            z = i // ZM_ROWS
+            zmin, zmax, zm = zones.get(z, (sd, sd, 0))
+            zones[z] = (
+                min(zmin, sd),
+                max(zmax, sd),
+                zm + (1 if lo <= sd <= hi else 0),
+            )
+        hit = sum(1 for zmin, zmax, _ in zones.values()
+                  if zmin <= hi and zmax >= lo)
+        matched = sum(m for _, _, m in zones.values())
+        return len(zones), hit, matched
+
+    nat = audit(sorted(li, key=lambda t: (t[0], t[1])))
+    clu = audit(sorted(li, key=lambda t: (t[2], t[0], t[1])))
+    got = {r["layout"]: r for r in q165_zonemap_prune(spark, SF_DIR).collect()}
+    for layout, (nz, hit, matched) in (("natural", nat), ("clustered", clu)):
+        r = got[layout]
+        assert (r["n_zones"], r["zones_hit"], r["rows_matched"]) == (
+            nz, hit, matched,
+        )
+        assert r["n_rows"] == len(li)
+        ideal = (matched + ZM_ROWS - 1) // ZM_ROWS
+        assert r["ideal_zones"] == ideal
+        assert r["skip_rate"] == 1.0 - float(hit) / float(nz)
+    # the audit's point: clustering prunes, natural barely does
+    assert got["clustered"]["zones_hit"] <= got["natural"]["zones_hit"]
+    assert (
+        got["clustered"]["zones_hit"]
+        <= got["clustered"]["ideal_zones"] + 1
+    )
