@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "q163_curriculum_order",
     "q164_jl_projection",
     "q165_zonemap_prune",
+    "q166_textrank_keywords",
+    "q167_heaps_law",
+    "q168_sdm_rank",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

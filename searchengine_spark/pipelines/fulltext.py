@@ -1852,3 +1852,363 @@ FROM (
 WHERE tier_rank <= {CHAMP_M}
 ORDER BY term, tier_rank
 """
+
+
+# --------------------------------------------------------------------------
+# q166: TextRank keyword extraction (Mihalcea/Tarau EMNLP'04) — the
+# graph-based complement to q90's tf-idf keywords: build the
+# co-occurrence graph of content words (stopwords dropped, then
+# ADJACENT pairs in the filtered sequence), run weighted PageRank,
+# read the top terms. Catches hub words that tf-idf misses (terms
+# that co-occur with everything score high even at modest frequency).
+#
+# Determinism: the iteration is q27's EXACT int64 fixed-point recipe
+# extended to weights — contribution = (17·u·w) div (20·wsum), one
+# integral divide per edge, order-insensitive integer sums at any
+# parallelism and bit-identical across engines (the q112 r5 lesson:
+# no round()-quantized doubles in iterative state). Overflow bound:
+# u·w ≤ (|V|·10¹²)·w_max must stay under 2⁶³ — safe to w_max ~ 10⁵
+# at fixture vocab; a web-scale vocab drops PR_SCALE.
+#
+# Scale shape: the graph build is ONE (term_a, term_b) hash agg over
+# adjacent pairs (at 100 TB key on xxhash64 of the pair); each round
+# is one equi-join + one per-node int64 sum (q27's plan); the output
+# is TakeOrderedAndProject-capped at TR_TOP.
+# --------------------------------------------------------------------------
+
+TR_TOP = 100
+TR_ITERS = 3
+TR_SCALE = 1_000_000_000_000
+TR_STOPS = ["the", "a", "of", "and", "to", "in"]  # q22's STOPWORDS
+
+
+def q166_textrank_keywords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("pos", "term"),
+        )
+        .filter(~F.col("term").isin(TR_STOPS))
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        tok.withColumn("nxt", F.lead("term").over(w_seq))
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("term")))
+        .select("term", "nxt")
+    )
+    e = (
+        adj.select(F.col("term").alias("src"), F.col("nxt").alias("dst"))
+        .unionAll(
+            adj.select(F.col("nxt").alias("src"), F.col("term").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    wsum = e.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
+    ranks = nodes.withColumn("u", F.lit(TR_SCALE).cast("long"))
+    base_u = 3 * TR_SCALE // 20  # 0.15 in fixed point
+    for _ in range(TR_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(wsum, "src")
+            .select(
+                "dst",
+                F.expr(f"(17 * u * w) div (20 * wsum)").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("dst").agg(
+            F.sum("c").cast("long").alias("s")
+        )
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (F.lit(base_u) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("term"),
+            "u",
+            (F.col("u").cast("double") / F.lit(float(TR_SCALE))).alias(
+                "textrank"
+            ),
+        )
+        .orderBy(F.desc("u"), F.asc("term"))
+        .limit(TR_TOP)
+    )
+
+
+QUERIES["q166_textrank_keywords"] = q166_textrank_keywords
+
+
+def _tr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node, ({3 * TR_SCALE // 20} + coalesce(s.s, 0))::BIGINT AS u
+  FROM trnodes n LEFT JOIN (
+    SELECT e.dst, sum((17 * r.u * e.w) // (20 * ws.wsum)) AS s
+    FROM tre e JOIN {prev} r ON e.src = r.node
+               JOIN trws ws ON e.src = ws.src
+    GROUP BY e.dst
+  ) s ON n.node = s.dst
+)"""
+
+
+_TR_ITERS_SQL = ",".join(
+    _tr_iter_sql(f"t{i}", f"t{i + 1}") for i in range(TR_ITERS)
+)
+
+_TR_STOPS_SQL = ", ".join(f"'{s}'" for s in TR_STOPS)
+
+ORACLE["q166_textrank_keywords"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM d
+),
+tok AS (
+  SELECT doc_id, pos, toks[pos] AS term FROM tp
+  WHERE toks[pos] NOT IN ({_TR_STOPS_SQL})
+),
+adj AS (
+  SELECT term, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+),
+adj2 AS (
+  SELECT term, nxt FROM adj WHERE nxt IS NOT NULL AND nxt <> term
+),
+tre AS MATERIALIZED (
+  SELECT src, dst, count(*)::BIGINT AS w FROM (
+    SELECT term AS src, nxt AS dst FROM adj2
+    UNION ALL
+    SELECT nxt AS src, term AS dst FROM adj2
+  ) GROUP BY src, dst
+),
+trnodes AS (SELECT DISTINCT src AS node FROM tre),
+trws AS (SELECT src, sum(w)::BIGINT AS wsum FROM tre GROUP BY src),
+t0 AS (SELECT node, {TR_SCALE}::BIGINT AS u FROM trnodes),
+{_TR_ITERS_SQL}
+SELECT node AS term, u,
+       CAST(u AS DOUBLE) / CAST('1e12' AS DOUBLE) AS textrank
+FROM t{TR_ITERS}
+ORDER BY u DESC, term ASC
+LIMIT {TR_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# q168: sequential dependence model ranking (Metzler/Croft SIGIR'05) —
+# the canonical term-dependence retrieval model: blend the unigram
+# query-likelihood (q93's feature) with an ordered-bigram feature
+# (#od1: t1 immediately before t2 — q14's phrase evidence) and an
+# unordered-window feature (#uw8: both terms within 8 positions —
+# q82's proximity evidence), each Dirichlet-smoothed against its own
+# collection statistics, at the paper's canonical 0.85/0.10/0.05.
+#
+# Determinism: every per-doc feature count is an exact int64 (tf, dl,
+# od, uw) and every collection statistic rides the plan as a 1-row
+# broadcast (q91's idiom, zero driver jobs); the score is ONE fixed-
+# arity IEEE tree over those integers — no cross-row float reduction
+# anywhere, so no DECIMAL fold is even needed. UNROUNDED.
+#
+# Scale shape: positional evidence comes from per-doc self-joins over
+# the (t1, t2) position lists only — bounded by tf(t1)·tf(t2) per doc
+# (at 100 TB these ride the positional postings, q14's machinery);
+# candidates = docs containing either term; final = TakeOrdered top-K.
+# --------------------------------------------------------------------------
+
+SDM_W = (0.85, 0.10, 0.05)
+SDM_UW = 8
+SDM_K = 20
+
+
+def q168_sdm_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t1, t2 = PROX_PAIR
+    docs = load_docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tt = tok.filter(F.col("term").isin([t1, t2]))
+    tf = tt.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term") == t1, 1).otherwise(0))
+        .cast("long")
+        .alias("tf1"),
+        F.sum(F.when(F.col("term") == t2, 1).otherwise(0))
+        .cast("long")
+        .alias("tf2"),
+    )
+    p1 = tt.filter(F.col("term") == t1).select("doc_id", F.col("pos").alias("pa"))
+    p2 = tt.filter(F.col("term") == t2).select("doc_id", F.col("pos").alias("pb"))
+    od = (
+        p1.join(p2, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("od"))
+    )
+    uw = (
+        p1.join(p2, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= SDM_UW)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("uw"))
+    )
+    totals = (
+        dl.agg(
+            F.sum("dl").cast("long").alias("total_c"),
+            F.sum(F.greatest(F.col("dl") - 1, F.lit(0)))
+            .cast("long")
+            .alias("big_total"),
+        )
+        .crossJoin(
+            tf.agg(
+                F.sum("tf1").cast("long").alias("cf1"),
+                F.sum("tf2").cast("long").alias("cf2"),
+            )
+        )
+        .crossJoin(od.agg(F.sum("od").cast("long").alias("od_cf")))
+        .crossJoin(uw.agg(F.sum("uw").cast("long").alias("uw_cf")))
+    )
+    grid = (
+        tf.join(dl, "doc_id")
+        .join(od, "doc_id", "left")
+        .join(uw, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("od0", F.coalesce(F.col("od"), F.lit(0)))
+        .withColumn("uw0", F.coalesce(F.col("uw"), F.lit(0)))
+    )
+    mu = F.lit(QL_MU)
+    dld = F.col("dl").cast("double")
+
+    def dir_log(tf_col, cf_col, total_col, len_col):
+        return F.log(
+            (
+                tf_col.cast("double")
+                + mu * cf_col.cast("double") / total_col.cast("double")
+            )
+            / (len_col + mu)
+        )
+
+    f_t = dir_log(F.col("tf1"), F.col("cf1"), F.col("total_c"), dld) + dir_log(
+        F.col("tf2"), F.col("cf2"), F.col("total_c"), dld
+    )
+    f_o = dir_log(
+        F.col("od0"),
+        F.col("od_cf"),
+        F.col("big_total"),
+        dld - F.lit(1.0),
+    )
+    f_u = dir_log(F.col("uw0"), F.col("uw_cf"), F.col("total_c"), dld)
+    score = (
+        F.lit(SDM_W[0]) * f_t + F.lit(SDM_W[1]) * f_o + F.lit(SDM_W[2]) * f_u
+    )
+    w = Window.orderBy(F.desc("sdm"), F.asc("doc_id"))
+    return (
+        grid.select("doc_id", score.alias("sdm"))
+        .orderBy(F.desc("sdm"), F.asc("doc_id"))
+        .limit(SDM_K)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "sdm")
+        .orderBy("rank")
+    )
+
+
+QUERIES["q168_sdm_rank"] = q168_sdm_rank
+
+ORACLE["q168_sdm_rank"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM d
+),
+tt AS (SELECT doc_id, pos, toks[pos] AS term FROM tp),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tt GROUP BY doc_id),
+tf AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = '{PROX_PAIR[0]}' THEN 1 ELSE 0 END)::BIGINT
+           AS tf1,
+         sum(CASE WHEN term = '{PROX_PAIR[1]}' THEN 1 ELSE 0 END)::BIGINT
+           AS tf2
+  FROM tt WHERE term IN ('{PROX_PAIR[0]}', '{PROX_PAIR[1]}')
+  GROUP BY doc_id
+),
+p1 AS (SELECT doc_id, pos AS pa FROM tt WHERE term = '{PROX_PAIR[0]}'),
+p2 AS (SELECT doc_id, pos AS pb FROM tt WHERE term = '{PROX_PAIR[1]}'),
+od AS (
+  SELECT p1.doc_id, count(*)::BIGINT AS od
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pb = p1.pa + 1
+  GROUP BY p1.doc_id
+),
+uw AS (
+  SELECT p1.doc_id, count(*)::BIGINT AS uw
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+                 AND abs(p1.pa - p2.pb) <= {SDM_UW}
+  GROUP BY p1.doc_id
+),
+tot AS (
+  SELECT (SELECT sum(dl) FROM dl)::BIGINT AS total_c,
+         (SELECT sum(CASE WHEN dl > 1 THEN dl - 1 ELSE 0 END)
+          FROM dl)::BIGINT AS big_total,
+         (SELECT sum(tf1) FROM tf)::BIGINT AS cf1,
+         (SELECT sum(tf2) FROM tf)::BIGINT AS cf2,
+         (SELECT COALESCE(sum(od), 0) FROM od)::BIGINT AS od_cf,
+         (SELECT COALESCE(sum(uw), 0) FROM uw)::BIGINT AS uw_cf
+),
+grid AS (
+  SELECT tf.doc_id, tf.tf1, tf.tf2, dl.dl,
+         COALESCE(od.od, 0)::BIGINT AS od0,
+         COALESCE(uw.uw, 0)::BIGINT AS uw0,
+         tot.*
+  FROM tf JOIN dl USING (doc_id)
+          LEFT JOIN od USING (doc_id)
+          LEFT JOIN uw USING (doc_id), tot
+),
+scored AS (
+  SELECT doc_id,
+         {SDM_W[0]!r}::DOUBLE * (
+           ln((CAST(tf1 AS DOUBLE)
+               + {QL_MU!r}::DOUBLE * CAST(cf1 AS DOUBLE)
+                 / CAST(total_c AS DOUBLE))
+              / (CAST(dl AS DOUBLE) + {QL_MU!r}::DOUBLE))
+           + ln((CAST(tf2 AS DOUBLE)
+                 + {QL_MU!r}::DOUBLE * CAST(cf2 AS DOUBLE)
+                   / CAST(total_c AS DOUBLE))
+                / (CAST(dl AS DOUBLE) + {QL_MU!r}::DOUBLE)))
+         + {SDM_W[1]!r}::DOUBLE *
+           ln((CAST(od0 AS DOUBLE)
+               + {QL_MU!r}::DOUBLE * CAST(od_cf AS DOUBLE)
+                 / CAST(big_total AS DOUBLE))
+              / (CAST(dl AS DOUBLE) - 1.0::DOUBLE + {QL_MU!r}::DOUBLE))
+         + {SDM_W[2]!r}::DOUBLE *
+           ln((CAST(uw0 AS DOUBLE)
+               + {QL_MU!r}::DOUBLE * CAST(uw_cf AS DOUBLE)
+                 / CAST(total_c AS DOUBLE))
+              / (CAST(dl AS DOUBLE) + {QL_MU!r}::DOUBLE))
+           AS sdm
+  FROM grid
+)
+SELECT row_number() OVER (ORDER BY sdm DESC, doc_id ASC)::INT AS rank,
+       doc_id, sdm
+FROM scored
+ORDER BY sdm DESC, doc_id ASC
+LIMIT {SDM_K}
+"""

@@ -2314,3 +2314,130 @@ SELECT nk.doc_id, nk.n_kgrams,
 FROM nk LEFT JOIN cnt ON nk.doc_id = cnt.doc_id
 ORDER BY nk.doc_id
 """
+
+# --------------------------------------------------------------------------
+# q167: Heaps'-law vocabulary-growth fit (V = k·N^β) — the capacity-
+# planning number behind every dictionary, term-id space, and posting
+# directory: feed the corpus in doc_id order, log the (tokens-so-far,
+# vocab-so-far) curve, and fit the log-log line. β far from the
+# expected ~0.5 flags a degenerate corpus (template farm: β→0;
+# encoding noise / unbounded token soup: β→1).
+#
+# Plan: one explode for per-term FIRST occurrence (min doc_id — an
+# idempotent MIN fold), one per-doc census joined back, two running
+# sums over the doc_id total order (range-partitioned rank at 100 TB),
+# then q95's closed-form OLS with DECIMAL(28,12) partials. The DECIMAL
+# sums exceed 2^53 unscaled at sf0.1 volumes, so the DuckDB side
+# converts via CAST(dec AS VARCHAR → DOUBLE) (strtod = correctly
+# rounded, matching Spark's BigDecimal.doubleValue — the CLAUDE.md
+# DECIMAL→DOUBLE rule), slope/intercept rounded 9dp like q95.
+# --------------------------------------------------------------------------
+
+
+def q167_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    per_doc = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks")
+    )
+    first = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        per_doc.join(
+            first, per_doc.doc_id == first.first_doc, "left"
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("new_terms"), F.lit(0)).alias("new_terms"),
+        )
+        .withColumn("cum_n", F.sum("n_toks").over(w).cast("long"))
+        .withColumn("cum_v", F.sum("new_terms").over(w).cast("long"))
+        .filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+    )
+    xy = curve.select(
+        F.log(F.col("cum_n").cast("double")).alias("x"),
+        F.log(F.col("cum_v").cast("double")).alias("y"),
+    )
+    d28 = "decimal(28,12)"
+    sums = xy.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d28)).alias("sx"),
+        F.sum(F.col("y").cast(d28)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d28)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d28)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return sums.filter(F.col("n") >= 2).select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 9).alias("heaps_beta"),
+        F.round(F.exp(intercept), 9).alias("heaps_k"),
+    )
+
+
+QUERIES["q167_heaps_law"] = q167_heaps_law
+
+ORACLE["q167_heaps_law"] = """
+WITH per_doc AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_toks
+  FROM documents
+),
+first AS (
+  SELECT first_doc, count(*)::BIGINT AS new_terms FROM (
+    SELECT term, min(doc_id) AS first_doc
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+          FROM documents)
+    GROUP BY term
+  ) GROUP BY first_doc
+),
+curve AS (
+  SELECT p.doc_id,
+         sum(p.n_toks) OVER w AS cum_n,
+         sum(COALESCE(f.new_terms, 0)) OVER w AS cum_v
+  FROM per_doc p LEFT JOIN first f ON p.doc_id = f.first_doc
+  WINDOW w AS (ORDER BY p.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+xy AS (
+  SELECT ln(CAST(cum_n AS DOUBLE)) AS x, ln(CAST(cum_v AS DOUBLE)) AS y
+  FROM curve WHERE cum_n > 0 AND cum_v > 0
+),
+sums AS (
+  SELECT count(*) AS n,
+         CAST(CAST(sum(CAST(x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sx,
+         CAST(CAST(sum(CAST(y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sy,
+         CAST(CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sxy,
+         CAST(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sxx
+  FROM xy
+)
+SELECT n::BIGINT AS n_points,
+       round((n::DOUBLE * sxy - sx * sy)
+             / (n::DOUBLE * sxx - sx * sx), 9) AS heaps_beta,
+       round(exp((sy - (n::DOUBLE * sxy - sx * sy)
+                       / (n::DOUBLE * sxx - sx * sx) * sx)
+                 / n::DOUBLE), 9) AS heaps_k
+FROM sums WHERE n >= 2
+"""

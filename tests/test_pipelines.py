@@ -167,6 +167,9 @@ ORACLE_CHECKED = [
     "q163_curriculum_order",
     "q164_jl_projection",
     "q165_zonemap_prune",
+    "q166_textrank_keywords",
+    "q167_heaps_law",
+    "q168_sdm_rank",
 ]
 
 
@@ -2797,3 +2800,135 @@ def test_zonemap_prune_matches_python_reference(spark):
         got["clustered"]["zones_hit"]
         <= got["clustered"]["ideal_zones"] + 1
     )
+
+
+def test_textrank_matches_python_reference(spark):
+    """q166: exact int64 fixed-point replay of the weighted iteration;
+    u values and top ordering bit-exact."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.fulltext import (
+        TR_ITERS,
+        TR_SCALE,
+        TR_STOPS,
+        TR_TOP,
+        load_docs,
+        q166_textrank_keywords,
+    )
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    w = defaultdict(int)
+    for r in docs:
+        seq = [t for t in r["text"].split(" ") if t and t not in TR_STOPS]
+        for a, b in zip(seq, seq[1:]):
+            if a != b:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    nodes = {a for a, _ in w}
+    wsum = defaultdict(int)
+    for (a, _b), c in w.items():
+        wsum[a] += c
+    u = {n: TR_SCALE for n in nodes}
+    base = 3 * TR_SCALE // 20
+    for _ in range(TR_ITERS):
+        inc = defaultdict(int)
+        for (a, b), c in w.items():
+            inc[b] += (17 * u[a] * c) // (20 * wsum[a])
+        u = {n: base + inc[n] for n in nodes}
+    want = sorted(nodes, key=lambda n: (-u[n], n))[:TR_TOP]
+    got = q166_textrank_keywords(spark, SF_DIR).collect()
+    assert [r["term"] for r in got] == want
+    for r in got:
+        assert r["u"] == u[r["term"]]
+        assert r["textrank"] == float(u[r["term"]]) / float(TR_SCALE)
+
+
+def test_heaps_law_matches_python_reference(spark):
+    """q167: replay the growth curve and the OLS over exact-decimal
+    partials; beta in a sane Heaps range for the fixture."""
+    from decimal import Decimal
+    from math import exp, log
+
+    from searchengine_spark.pipelines.textstats import (
+        load_docs,
+        q167_heaps_law,
+    )
+
+    docs = sorted(
+        load_docs(spark, SF_DIR).select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    seen = set()
+    cum_n = cum_v = 0
+    pts = []
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        cum_n += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                cum_v += 1
+        if cum_n > 0 and cum_v > 0:
+            pts.append((log(float(cum_n)), log(float(cum_v))))
+    q = Decimal("1.000000000000")
+    n = len(pts)
+    sx = float(sum(Decimal(x).quantize(q) for x, _ in pts))
+    sy = float(sum(Decimal(y).quantize(q) for _, y in pts))
+    sxy = float(sum(Decimal(x * y).quantize(q) for x, y in pts))
+    sxx = float(sum(Decimal(x * x).quantize(q) for x, _ in pts))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = q167_heaps_law(spark, SF_DIR).collect()[0]
+    assert row["n_points"] == n
+    assert abs(row["heaps_beta"] - slope) < 1e-8
+    assert abs(row["heaps_k"] - exp((sy - slope * sx) / n)) < 1e-6
+    assert 0.0 < row["heaps_beta"] < 1.0
+
+
+def test_sdm_rank_matches_python_reference(spark):
+    """q168: replay the three SDM features from raw positions; scores
+    bit-exact (single IEEE tree over exact integer counts)."""
+    from math import log
+
+    from searchengine_spark.pipelines.fulltext import (
+        PROX_PAIR,
+        QL_MU,
+        SDM_K,
+        SDM_UW,
+        SDM_W,
+        load_docs,
+        q168_sdm_rank,
+    )
+
+    t1, t2 = PROX_PAIR
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    feats = {}
+    total_c = big_total = cf1 = cf2 = od_cf = uw_cf = 0
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        dl = len(toks)
+        total_c += dl
+        big_total += max(dl - 1, 0)
+        p1 = [i for i, t in enumerate(toks) if t == t1]
+        p2 = [i for i, t in enumerate(toks) if t == t2]
+        od = sum(1 for a in p1 for b in p2 if b == a + 1)
+        uw = sum(1 for a in p1 for b in p2 if abs(a - b) <= SDM_UW)
+        cf1 += len(p1)
+        cf2 += len(p2)
+        od_cf += od
+        uw_cf += uw
+        if p1 or p2:
+            feats[r["doc_id"]] = (len(p1), len(p2), dl, od, uw)
+    want = {}
+    for doc_id, (tf1, tf2, dl, od, uw) in feats.items():
+        f_t = log(
+            (tf1 + QL_MU * cf1 / total_c) / (dl + QL_MU)
+        ) + log((tf2 + QL_MU * cf2 / total_c) / (dl + QL_MU))
+        f_o = log(
+            (od + QL_MU * od_cf / big_total) / (dl - 1.0 + QL_MU)
+        )
+        f_u = log((uw + QL_MU * uw_cf / total_c) / (dl + QL_MU))
+        want[doc_id] = SDM_W[0] * f_t + SDM_W[1] * f_o + SDM_W[2] * f_u
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:SDM_K]
+    got = q168_sdm_rank(spark, SF_DIR).collect()
+    assert [(r["doc_id"], r["sdm"]) for r in got] == top
+    assert [r["rank"] for r in got] == list(range(1, len(top) + 1))
