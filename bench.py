@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "q166_textrank_keywords",
     "q167_heaps_law",
     "q168_sdm_rank",
+    "q169_dwell_percentiles",
+    "q170_js_divergence",
+    "q171_term_shard_skew",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

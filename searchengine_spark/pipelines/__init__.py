@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q171_term_shard_skew",
+    "q170_js_divergence",
+    "q169_dwell_percentiles",
     "q168_sdm_rank",
     "q167_heaps_law",
     "q166_textrank_keywords",

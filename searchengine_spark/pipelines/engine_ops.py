@@ -686,3 +686,115 @@ SELECT layout, n_rows, n_zones, zones_hit, rows_matched,
             ELSE NULL END AS clustering_factor
 FROM u ORDER BY layout
 """
+
+
+# --------------------------------------------------------------------------
+# q171: term-shard skew audit — the partitioning-design question for
+# the inverted index at 100 TB: hash-partitioning the postings by TERM
+# (the natural plan — every q13/q121 scorer wants a term's postings
+# co-located) concentrates the df-skewed head terms onto single
+# shards; salting the key with the doc id rebalances perfectly but
+# scatters each term. This op quantifies that trade on the real token
+# stream: per shard, posting mass and distinct keys under both
+# strategies, with the straggler factor (shard mass / ideal share)
+# that predicts the reduce-stage tail at scale.
+#
+# Scale shape: ONE explode + one (strategy, shard) hash agg each —
+# bounded output 2·N_SHARDS rows; the audit itself is the q44
+# portable-hash expression, so the shard assignment is bit-identical
+# on any engine. All counts exact int64; the two ratios are single
+# IEEE divisions against a 1-row broadcast total, UNROUNDED.
+# --------------------------------------------------------------------------
+
+SHARD_N = 16
+
+
+def q171_term_shard_skew(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _tables.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+
+    def phash(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
+            "long"
+        ) % SHARD_N
+
+    by_term = tok.select(
+        F.lit("by_term").alias("strategy"),
+        phash(F.col("term")).alias("shard"),
+        "term",
+        F.concat_ws("#", F.col("term"), F.col("doc_id")).alias("key"),
+    )
+    salted = tok.select(
+        F.lit("salted").alias("strategy"),
+        phash(
+            F.concat_ws("#", F.col("term"), F.col("doc_id"))
+        ).alias("shard"),
+        "term",
+        F.concat_ws("#", F.col("term"), F.col("doc_id")).alias("key"),
+    )
+    u = by_term.unionByName(salted)
+    per_shard = u.groupBy("strategy", "shard").agg(
+        F.count("*").cast("long").alias("mass"),
+        F.countDistinct("key").cast("long").alias("n_keys"),
+    )
+    total = F.broadcast(
+        tok.groupBy().agg(F.count("*").cast("long").alias("total_mass"))
+    )
+    ideal = F.col("total_mass").cast("double") / F.lit(float(SHARD_N))
+    return (
+        per_shard.crossJoin(total)
+        .select(
+            "strategy",
+            "shard",
+            "n_keys",
+            "mass",
+            (F.col("mass").cast("double") / F.col("total_mass").cast("double"))
+            .alias("share"),
+            (F.col("mass").cast("double") / ideal).alias("straggler"),
+        )
+        .orderBy("strategy", "shard")
+    )
+
+
+QUERIES["q171_term_shard_skew"] = q171_term_shard_skew
+
+ORACLE["q171_term_shard_skew"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents
+),
+u AS (
+  SELECT 'by_term' AS strategy,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT % {SHARD_N} AS shard,
+         term || '#' || CAST(doc_id AS VARCHAR) AS key
+  FROM tok
+  UNION ALL
+  SELECT 'salted' AS strategy,
+         ('0x' || substr(md5(term || '#' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % {SHARD_N} AS shard,
+         term || '#' || CAST(doc_id AS VARCHAR) AS key
+  FROM tok
+),
+per_shard AS (
+  SELECT strategy, shard, count(*)::BIGINT AS mass,
+         count(DISTINCT key)::BIGINT AS n_keys
+  FROM u GROUP BY strategy, shard
+),
+tot AS (SELECT count(*)::BIGINT AS total_mass FROM tok)
+SELECT strategy, shard, n_keys, mass,
+       CAST(mass AS DOUBLE) / CAST(total_mass AS DOUBLE) AS share,
+       CAST(mass AS DOUBLE)
+         / (CAST(total_mass AS DOUBLE) / {float(SHARD_N)!r}::DOUBLE)
+         AS straggler
+FROM per_shard, tot
+ORDER BY strategy, shard
+"""

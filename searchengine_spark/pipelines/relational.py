@@ -2028,3 +2028,133 @@ FROM (
   FROM g
 )
 """
+
+
+# --------------------------------------------------------------------------
+# q169: dwell-time percentiles per event type — the engagement metric
+# a ranking team reads daily (how long does a user sit on a result
+# page before the next action?). Dwell = gap to the NEXT event in the
+# same session (q159's lead() — the last event of a session has no
+# dwell and is excluded, standard practice since its gap is the
+# inter-session gap, not engagement). Exact p50/p90/p99 via q39's
+# distributed rank-selection recipe: one window rank per event type,
+# linear interpolation at pos = q·(n−1) spelled identically on both
+# engines.
+#
+# Scale shape: the lead() rides the same per-user partition sort as
+# q159 (users never cross tasks); percentiles are one hash-partitioned
+# rank per event type (range-partitioned at 100 TB) + a 3-row
+# position probe per type — no per-group value collection anywhere.
+# --------------------------------------------------------------------------
+
+DWELL_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q169_dwell_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    dw = (
+        ev.withColumn("gap", F.lead("ep").over(w) - F.col("ep"))
+        .filter(F.col("gap").isNotNull() & (F.col("gap") <= MKV_GAP_S))
+        .select(
+            "event_type",
+            F.col("gap").cast("double").alias("dwell"),
+            "event_id",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("dwell", "event_id")
+    ranked = dw.withColumn("r", F.row_number().over(wr) - 1).select(
+        "event_type", "dwell", "r"
+    )
+    n = dw.groupBy("event_type").agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame(
+        [(q,) for q in DWELL_QUANTILES], "q double"
+    )
+    pos = (
+        n.crossJoin(F.broadcast(qs))
+        .withColumn("pos", F.col("q") * (F.col("n") - 1))
+        .withColumn("lo", F.floor("pos").cast("long"))
+        .withColumn("hi", F.ceil("pos").cast("long"))
+    )
+    rl = ranked.select(
+        "event_type", F.col("r").alias("lo"), F.col("dwell").alias("vlo")
+    )
+    rh = ranked.select(
+        "event_type", F.col("r").alias("hi"), F.col("dwell").alias("vhi")
+    )
+    vals = (
+        pos.join(rl, ["event_type", "lo"])
+        .join(rh, ["event_type", "hi"])
+        .withColumn(
+            "val",
+            F.col("vlo")
+            + (F.col("pos") - F.col("lo")) * (F.col("vhi") - F.col("vlo")),
+        )
+    )
+    aggs = [
+        F.round(
+            F.max(F.when(F.col("q") == F.lit(q), F.col("val"))), 9
+        ).alias(f"p{int(q * 100)}")
+        for q in DWELL_QUANTILES
+    ]
+    return (
+        vals.groupBy("event_type")
+        .agg(F.max("n").cast("long").alias("n_dwells"), *aggs)
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q169_dwell_percentiles"] = q169_dwell_percentiles
+
+_DW_QCOLS = ", ".join(
+    f"""round(max(CASE WHEN q = {q!r} THEN val END), 9) AS p{int(q * 100)}"""
+    for q in DWELL_QUANTILES
+)
+
+_DW_QVALS = ", ".join(f"({q!r}::DOUBLE)" for q in DWELL_QUANTILES)
+
+ORACLE["q169_dwell_percentiles"] = f"""
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ep, event_id, event_type
+  FROM events
+),
+dw AS (
+  SELECT event_type, CAST(gap AS DOUBLE) AS dwell, event_id
+  FROM (
+    SELECT event_type, event_id,
+           lead(ep) OVER (PARTITION BY user_id
+                          ORDER BY ep, event_id) - ep AS gap
+    FROM ev
+  ) WHERE gap IS NOT NULL AND gap <= {MKV_GAP_S}
+),
+ranked AS (
+  SELECT event_type, dwell,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dwell, event_id) - 1 AS r
+  FROM dw
+),
+n AS (SELECT event_type, count(*) AS n FROM dw GROUP BY event_type),
+qs AS (SELECT unnest([{_DW_QVALS}]) AS q),
+pos AS (
+  SELECT event_type, n, q, q * (n - 1) AS pos,
+         CAST(floor(q * (n - 1)) AS BIGINT) AS lo,
+         CAST(ceil(q * (n - 1)) AS BIGINT) AS hi
+  FROM n, qs
+),
+vals AS (
+  SELECT p.event_type, p.n, p.q,
+         rl.dwell + (p.pos - p.lo) * (rh.dwell - rl.dwell) AS val
+  FROM pos p
+  JOIN ranked rl ON p.event_type = rl.event_type AND p.lo = rl.r
+  JOIN ranked rh ON p.event_type = rh.event_type AND p.hi = rh.r
+)
+SELECT event_type, max(n)::BIGINT AS n_dwells, {_DW_QCOLS}
+FROM vals GROUP BY event_type ORDER BY event_type
+"""

@@ -2441,3 +2441,141 @@ SELECT n::BIGINT AS n_points,
                  / n::DOUBLE), 9) AS heaps_k
 FROM sums WHERE n >= 2
 """
+
+# --------------------------------------------------------------------------
+# q170: pairwise Jensen–Shannon divergence between source unigram
+# distributions — the SYMMETRIC companion to q97's KL-vs-corpus: KL
+# says "how far is this source from the mix", JS says "which PAIRS of
+# feeds are the same distribution" (syndication, mirrors, a crawler
+# hitting one CMS twice) and is bounded in [0, ln 2] so thresholds
+# transfer across corpora. JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q),
+# with 0·ln0 = 0 handled by an explicit presence CASE on BOTH engines.
+#
+# Scale shape: one (source, term) count matrix, then a
+# pairs × vocab grid (|sources|²/2 · |vocab| — sources are few by
+# construction; at web scale the vocab axis is capped to the top-K
+# terms by mass, exactly how production JS monitors run) with two
+# broadcast-joined count columns; per-term contributions fold as
+# DECIMAL(28,12) partials (q97's recipe — order-insensitive), ONE
+# cast to double, round 9.
+# --------------------------------------------------------------------------
+
+
+def q170_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    tf = (
+        docs.select("source", F.explode("toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    vocab = tf.select("term").distinct()
+    srcs = tot.select(
+        F.col("source").alias("sa"), F.col("t").alias("ta")
+    )
+    srcs_b = tot.select(
+        F.col("source").alias("sb"), F.col("t").alias("tb")
+    )
+    pairs = F.broadcast(srcs).crossJoin(F.broadcast(srcs_b)).filter(
+        F.col("sa") < F.col("sb")
+    )
+    grid = (
+        pairs.crossJoin(vocab)
+        .join(
+            tf.select(
+                F.col("source").alias("sa"),
+                "term",
+                F.col("c").alias("ca"),
+            ),
+            ["sa", "term"],
+            "left",
+        )
+        .join(
+            tf.select(
+                F.col("source").alias("sb"),
+                "term",
+                F.col("c").alias("cb"),
+            ),
+            ["sb", "term"],
+            "left",
+        )
+        .withColumn("ca", F.coalesce(F.col("ca"), F.lit(0)))
+        .withColumn("cb", F.coalesce(F.col("cb"), F.lit(0)))
+    )
+    p = F.col("ca").cast("double") / F.col("ta").cast("double")
+    q = F.col("cb").cast("double") / F.col("tb").cast("double")
+    m = F.lit(0.5) * (p + q)
+    contrib = F.when(
+        F.col("ca") > 0, F.lit(0.5) * p * F.log(p / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("cb") > 0, F.lit(0.5) * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.withColumn("contrib", contrib.cast("decimal(28,12)"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_terms_a"),
+            F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_terms_b"),
+            F.round(F.sum("contrib").cast("double"), 9).alias("js"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+QUERIES["q170_js_divergence"] = q170_js_divergence
+
+ORACLE["q170_js_divergence"] = """
+WITH tf AS (
+  SELECT source, term, count(*)::BIGINT AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS term
+        FROM documents)
+  GROUP BY source, term
+),
+tot AS (SELECT source, sum(c)::BIGINT AS t FROM tf GROUP BY source),
+vocab AS (SELECT DISTINCT term FROM tf),
+pairs AS (
+  SELECT a.source AS sa, a.t AS ta, b.source AS sb, b.t AS tb
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+grid AS (
+  SELECT p.sa, p.sb, p.ta, p.tb, v.term,
+         COALESCE(fa.c, 0)::BIGINT AS ca,
+         COALESCE(fb.c, 0)::BIGINT AS cb
+  FROM pairs p CROSS JOIN vocab v
+  LEFT JOIN tf fa ON fa.source = p.sa AND fa.term = v.term
+  LEFT JOIN tf fb ON fb.source = p.sb AND fb.term = v.term
+),
+ctr AS (
+  SELECT sa, sb, ca, cb,
+         CAST(
+           CASE WHEN ca > 0
+                THEN 0.5::DOUBLE * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                     * ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                          / (0.5::DOUBLE
+                             * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                                + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+                ELSE 0.0::DOUBLE END
+           + CASE WHEN cb > 0
+                THEN 0.5::DOUBLE * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                     * ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                          / (0.5::DOUBLE
+                             * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                                + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+                ELSE 0.0::DOUBLE END
+           AS DECIMAL(28,12)) AS contrib
+  FROM grid
+)
+SELECT sa, sb,
+       sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS n_terms_a,
+       sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_terms_b,
+       round(CAST(sum(contrib) AS DOUBLE), 9) AS js
+FROM ctr GROUP BY sa, sb ORDER BY sa, sb
+"""

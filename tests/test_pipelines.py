@@ -170,6 +170,9 @@ ORACLE_CHECKED = [
     "q166_textrank_keywords",
     "q167_heaps_law",
     "q168_sdm_rank",
+    "q169_dwell_percentiles",
+    "q170_js_divergence",
+    "q171_term_shard_skew",
 ]
 
 
@@ -2932,3 +2935,118 @@ def test_sdm_rank_matches_python_reference(spark):
     got = q168_sdm_rank(spark, SF_DIR).collect()
     assert [(r["doc_id"], r["sdm"]) for r in got] == top
     assert [r["rank"] for r in got] == list(range(1, len(top) + 1))
+
+
+def test_dwell_percentiles_matches_python_reference(spark):
+    """q169: replay the lead-gap census + rank interpolation."""
+    from searchengine_spark.pipelines.relational import (
+        DWELL_QUANTILES,
+        MKV_GAP_S,
+        load,
+        q169_dwell_percentiles,
+    )
+
+    ev = sorted(
+        load(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id", "unix_timestamp(ts) AS ep", "event_id", "event_type"
+        )
+        .collect(),
+        key=lambda r: (r["user_id"], r["ep"], r["event_id"]),
+    )
+    dw = {}
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"] and b["ep"] - a["ep"] <= MKV_GAP_S:
+            dw.setdefault(a["event_type"], []).append(
+                (float(b["ep"] - a["ep"]), a["event_id"])
+            )
+    got = {r["event_type"]: r for r in q169_dwell_percentiles(spark, SF_DIR).collect()}
+    assert set(got) == set(dw)
+    for et, vals in dw.items():
+        vals.sort()
+        n = len(vals)
+        assert got[et]["n_dwells"] == n
+        for q in DWELL_QUANTILES:
+            pos = q * (n - 1)
+            lo, hi = int(pos // 1), -(-pos // 1)
+            v = vals[int(lo)][0] + (pos - lo) * (
+                vals[int(hi)][0] - vals[int(lo)][0]
+            )
+            assert got[et][f"p{int(q * 100)}"] == round(v, 9)
+
+
+def test_js_divergence_matches_python_reference(spark):
+    """q170: symmetric, bounded by ln 2, zero iff identical counts;
+    spot-replay a pair's JS in Python within decimal quantization."""
+    import math
+    from collections import Counter
+
+    from searchengine_spark.pipelines.textstats import (
+        load_docs,
+        q170_js_divergence,
+    )
+
+    docs = load_docs(spark, SF_DIR).select("source", "text").collect()
+    tf = Counter()
+    for r in docs:
+        for t in r["text"].split(" "):
+            if t:
+                tf[(r["source"], t)] += 1
+    tot = Counter()
+    for (s, _t), c in tf.items():
+        tot[s] += c
+    rows = q170_js_divergence(spark, SF_DIR).collect()
+    srcs = sorted(tot)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["js"] <= math.log(2.0) + 1e-9
+        sa, sb = r["sa"], r["sb"]
+        vocab = {t for (s, t) in tf if s in (sa, sb)}
+        js = 0.0
+        for t in vocab:
+            p = tf.get((sa, t), 0) / tot[sa]
+            q = tf.get((sb, t), 0) / tot[sb]
+            m = 0.5 * (p + q)
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            if q > 0:
+                js += 0.5 * q * math.log(q / m)
+        assert abs(r["js"] - js) < 1e-9
+
+
+def test_term_shard_skew_matches_python_reference(spark):
+    """q171: replay both shard assignments off the md5 replica; masses
+    exact, salted layout near-ideal, shares sum to 1 per strategy."""
+    import hashlib
+    from collections import Counter
+
+    from searchengine_spark.pipelines.engine_ops import (
+        SHARD_N,
+        q171_term_shard_skew,
+    )
+    from searchengine_spark.pipelines import _tables
+
+    docs = _tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def ph(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % SHARD_N
+
+    mass = Counter()
+    for r in docs:
+        for t in r["text"].split(" "):
+            if t:
+                mass[("by_term", ph(t))] += 1
+                mass[("salted", ph(f"{t}#{r['doc_id']}"))] += 1
+    total = sum(c for (s, _), c in mass.items() if s == "by_term")
+    got = q171_term_shard_skew(spark, SF_DIR).collect()
+    assert len(got) == len(mass)
+    for r in got:
+        assert r["mass"] == mass[(r["strategy"], r["shard"])]
+        assert r["share"] == float(r["mass"]) / float(total)
+        assert r["straggler"] == float(r["mass"]) / (
+            float(total) / float(SHARD_N)
+        )
+    salted = [r["straggler"] for r in got if r["strategy"] == "salted"]
+    assert max(salted) < 1.2  # salting rebalances
