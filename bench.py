@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "q169_dwell_percentiles",
     "q170_js_divergence",
     "q171_term_shard_skew",
+    "q172_lsh_planner",
+    "q173_reciprocity",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

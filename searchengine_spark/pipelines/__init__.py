@@ -44,6 +44,8 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q173_reciprocity",
+    "q172_lsh_planner",
     "q171_term_shard_skew",
     "q170_js_divergence",
     "q169_dwell_percentiles",

@@ -2044,3 +2044,80 @@ SELECT source, n_docs, n_dup, n_intra, n_cross,
        CAST(n_cross AS DOUBLE) / CAST(n_docs AS DOUBLE) AS cross_share
 FROM g ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# q172: LSH banding parameter planner — the S-curve table an engineer
+# reads before picking (bands, rows) for q17/q120: for every (b, r)
+# split of the signature budget and a grid of Jaccard levels s, the
+# collision probability p = 1 − (1 − s^r)^b, the threshold
+# t ≈ (1/b)^(1/r) where the curve crosses ~50%, and the false-
+# positive/negative mass proxies at the design similarity. This is
+# q132's audit turned forward: q132 measures what a banding DID, q172
+# predicts what a banding WILL do — both must exist for a dedup
+# platform to be operable.
+#
+# Scale shape: a pure literal-grid computation — |splits|·|levels|
+# rows of closed-form IEEE arithmetic, zero data reads, zero
+# shuffles (the plan is a LocalTableScan + Project). pow() is NOT
+# correctly rounded and differs by 1 ulp between the JVM and libm, so
+# the published curve is rounded to 9dp on both engines — safe here
+# (and only here) because the grid is a FIXED literal: the 45 rounded
+# values are pinned by the gate once and can never drift with data.
+# The threshold comparison uses the ROUNDED threshold for the same
+# reason.
+# --------------------------------------------------------------------------
+
+LSH_PLAN_BUDGET = 16  # signature budget to split (b·r = budget)
+LSH_PLAN_SPLITS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+LSH_PLAN_LEVELS = [x / 10.0 for x in range(1, 10)]  # s = 0.1 .. 0.9
+
+
+def q172_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.createDataFrame(
+        [
+            (b, r, s)
+            for (b, r) in LSH_PLAN_SPLITS
+            for s in LSH_PLAN_LEVELS
+        ],
+        "bands int, rows int, s double",
+    )
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("s"), F.col("rows").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    thresh = F.pow(
+        F.lit(1.0) / F.col("bands").cast("double"),
+        F.lit(1.0) / F.col("rows").cast("double"),
+    )
+    return grid.select(
+        "bands",
+        "rows",
+        "s",
+        F.round(p, 9).alias("p_collide"),
+        F.round(thresh, 9).alias("threshold"),
+        (F.col("s") >= F.round(thresh, 9)).alias("above_threshold"),
+    ).orderBy("bands", "rows", "s")
+
+
+QUERIES["q172_lsh_planner"] = q172_lsh_planner
+
+_LSH_GRID_SQL = ", ".join(
+    f"({b}, {r}, {s!r}::DOUBLE)"
+    for (b, r) in LSH_PLAN_SPLITS
+    for s in LSH_PLAN_LEVELS
+)
+
+ORACLE["q172_lsh_planner"] = f"""
+WITH grid(bands, rows, s) AS (VALUES {_LSH_GRID_SQL})
+SELECT bands::INT AS bands, rows::INT AS rows, s,
+       round(1.0::DOUBLE - pow(1.0::DOUBLE - pow(s, CAST(rows AS DOUBLE)),
+                               CAST(bands AS DOUBLE)), 9) AS p_collide,
+       round(pow(1.0::DOUBLE / CAST(bands AS DOUBLE),
+                 1.0::DOUBLE / CAST(rows AS DOUBLE)), 9) AS threshold,
+       s >= round(pow(1.0::DOUBLE / CAST(bands AS DOUBLE),
+                      1.0::DOUBLE / CAST(rows AS DOUBLE)), 9)
+         AS above_threshold
+FROM grid
+ORDER BY bands, rows, s
+"""

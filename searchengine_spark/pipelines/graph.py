@@ -2315,3 +2315,115 @@ SELECT fr.component,
 FROM frame fr LEFT JOIN counts c ON fr.component = c.component, tot
 ORDER BY fr.component
 """
+
+
+# --------------------------------------------------------------------------
+# q173: edge reciprocity of the directed co-purchase sequence graph —
+# the directedness diagnostic read next to q136's assortativity: a
+# navigation/sequence graph whose edges are mostly reciprocated is
+# really an undirected co-occurrence structure (order carries no
+# signal, and the PageRank family degenerates toward degree), while
+# low reciprocity means direction is informative (q27/q145 ranks mean
+# something). Global r = |reciprocated| / |edges| plus the per-node
+# out-edge reciprocity distribution head.
+#
+# Scale shape: ONE left_semi self-join of the edge set against its
+# own transpose (equi-join on (src,dst) — never a cartesian), one
+# (src) hash agg, one 1-row global census broadcast into the output.
+# All counts exact int64; ratios single IEEE divisions, UNROUNDED.
+# --------------------------------------------------------------------------
+
+RECIP_TOP = 100
+
+
+def q173_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _seq_edges(spark, sf_dir).localCheckpoint(eager=False)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    per_node = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("long").alias("out_deg"))
+        .join(
+            recip.groupBy("src").agg(
+                F.count("*").cast("long").alias("n_recip")
+            ),
+            "src",
+            "left",
+        )
+        .withColumn(
+            "n_recip",
+            F.coalesce(F.col("n_recip"), F.lit(0)).cast("long"),
+        )
+    )
+    glob = F.broadcast(
+        per_node.groupBy().agg(
+            F.sum("out_deg").cast("long").alias("n_edges"),
+            F.sum("n_recip").cast("long").alias("n_recip_total"),
+        )
+    )
+    return (
+        per_node.crossJoin(glob)
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            "n_recip",
+            (
+                F.col("n_recip").cast("double")
+                / F.col("out_deg").cast("double")
+            ).alias("node_reciprocity"),
+            "n_edges",
+            "n_recip_total",
+            (
+                F.col("n_recip_total").cast("double")
+                / F.col("n_edges").cast("double")
+            ).alias("global_reciprocity"),
+        )
+        .orderBy(
+            F.desc("n_recip"), F.desc("out_deg"), F.asc("node")
+        )
+        .limit(RECIP_TOP)
+    )
+
+
+QUERIES["q173_reciprocity"] = q173_reciprocity
+
+ORACLE["q173_reciprocity"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_linenumber::BIGINT AS ln,
+         l_partkey::BIGINT AS part
+  FROM lineitem
+),
+sq AS (
+  SELECT part, lead(part) OVER (PARTITION BY ok ORDER BY ln, part) AS nxt
+  FROM li
+),
+e AS (
+  SELECT DISTINCT part AS src, nxt AS dst FROM sq
+  WHERE nxt IS NOT NULL AND nxt <> part
+),
+recip AS (
+  SELECT a.src, a.dst FROM e a
+  WHERE EXISTS (SELECT 1 FROM e b
+                WHERE b.src = a.dst AND b.dst = a.src)
+),
+per_node AS (
+  SELECT o.src, o.out_deg, COALESCE(r.n_recip, 0)::BIGINT AS n_recip
+  FROM (SELECT src, count(*)::BIGINT AS out_deg FROM e GROUP BY src) o
+  LEFT JOIN (SELECT src, count(*)::BIGINT AS n_recip
+             FROM recip GROUP BY src) r ON o.src = r.src
+),
+gtot AS (
+  SELECT sum(out_deg)::BIGINT AS n_edges,
+         sum(n_recip)::BIGINT AS n_recip_total
+  FROM per_node
+)
+SELECT p.src AS node, p.out_deg, p.n_recip,
+       CAST(p.n_recip AS DOUBLE) / CAST(p.out_deg AS DOUBLE)
+         AS node_reciprocity,
+       g.n_edges, g.n_recip_total,
+       CAST(g.n_recip_total AS DOUBLE) / CAST(g.n_edges AS DOUBLE)
+         AS global_reciprocity
+FROM per_node p, gtot g
+ORDER BY p.n_recip DESC, p.out_deg DESC, node ASC
+LIMIT {RECIP_TOP}
+"""

@@ -2196,10 +2196,15 @@ WIN_W = 4        # winnowing window (k-grams)
 WIN_POS_BITS = 20
 
 
-def q161_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_parts(docs: DataFrame) -> tuple:
+    """Per-doc winnowing parts over a (doc_id, text) frame: the k-gram
+    census ``nk`` (doc_id, n_kgrams) and the selected-fingerprint set
+    ``sel`` (doc_id, selkey). Pure per-doc MAP — each document's rows
+    depend on nothing outside the document, which is what makes the
+    streaming twin (streaming/fingerprints.py) trivially exact."""
     from pyspark.sql import Window
 
-    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    docs = docs.withColumn("toks", _tok_arr())
     tok = docs.select(
         "doc_id", F.posexplode("toks").alias("pos", "term")
     ).withColumn(
@@ -2238,6 +2243,10 @@ def q161_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "selkey")
         .distinct()
     )
+    return nk, sel
+
+
+def winnow_census(nk: DataFrame, sel: DataFrame) -> DataFrame:
     cnt = sel.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_selected")
     )
@@ -2259,6 +2268,11 @@ def q161_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q161_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nk, sel = winnow_parts(load_docs(spark, sf_dir))
+    return winnow_census(nk, sel)
 
 
 QUERIES["q161_winnowing"] = q161_winnowing

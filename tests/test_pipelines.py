@@ -173,6 +173,8 @@ ORACLE_CHECKED = [
     "q169_dwell_percentiles",
     "q170_js_divergence",
     "q171_term_shard_skew",
+    "q172_lsh_planner",
+    "q173_reciprocity",
 ]
 
 
@@ -3050,3 +3052,58 @@ def test_term_shard_skew_matches_python_reference(spark):
         )
     salted = [r["straggler"] for r in got if r["strategy"] == "salted"]
     assert max(salted) < 1.2  # salting rebalances
+
+
+def test_lsh_planner_matches_python_reference(spark):
+    """q172: replay the closed-form S-curve; the threshold column is
+    monotone in r and the curve is monotone in s per split."""
+    from searchengine_spark.pipelines.dedup import (
+        LSH_PLAN_LEVELS,
+        LSH_PLAN_SPLITS,
+        q172_lsh_planner,
+    )
+
+    got = q172_lsh_planner(spark, SF_DIR).collect()
+    assert len(got) == len(LSH_PLAN_SPLITS) * len(LSH_PLAN_LEVELS)
+    for r in got:
+        b, rr, s = r["bands"], r["rows"], r["s"]
+        p = 1.0 - (1.0 - s ** float(rr)) ** float(b)
+        t = (1.0 / float(b)) ** (1.0 / float(rr))
+        assert abs(r["p_collide"] - p) < 1e-8
+        assert abs(r["threshold"] - t) < 1e-8
+        assert r["above_threshold"] == (s >= round(t, 9))
+        assert 0.0 <= r["p_collide"] <= 1.0
+    # monotone in s within a split
+    from itertools import groupby
+
+    for _, rows in groupby(got, key=lambda r: (r["bands"], r["rows"])):
+        ps = [r["p_collide"] for r in rows]
+        assert ps == sorted(ps)
+
+
+def test_reciprocity_matches_python_reference(spark):
+    """q173: Python replay of the edge-transpose membership census."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.graph import (
+        RECIP_TOP,
+        _seq_edges,
+        q173_reciprocity,
+    )
+
+    e = {(r["src"], r["dst"]) for r in _seq_edges(spark, SF_DIR).collect()}
+    out_deg = Counter(s for s, _ in e)
+    n_rec = Counter(s for s, d in e if (d, s) in e)
+    total_rec = sum(n_rec.values())
+    got = q173_reciprocity(spark, SF_DIR).collect()
+    want_order = sorted(
+        out_deg,
+        key=lambda n: (-n_rec.get(n, 0), -out_deg[n], n),
+    )[:RECIP_TOP]
+    assert [r["node"] for r in got] == want_order
+    for r in got:
+        assert r["out_deg"] == out_deg[r["node"]]
+        assert r["n_recip"] == n_rec.get(r["node"], 0)
+        assert r["n_edges"] == len(e)
+        assert r["n_recip_total"] == total_rec
+        assert r["global_reciprocity"] == float(total_rec) / float(len(e))

@@ -752,3 +752,66 @@ def test_stream_percolate_matches_batch(spark):
         "fresh-checkpoint batch ids clobbered the prior run's partials"
     )
     rules.unpersist()
+
+
+def test_stream_winnowing_matches_batch(spark):
+    """q161's streaming twin: winnowing partials streamed in two
+    micro-batches fold to the row-identical batch census. Cross-batch
+    property: a planted near-dup of a batch-0 doc arriving in batch 1
+    surfaces in read_shared_pairs (a per-batch-local pair scan cannot
+    see it). Replay with the same checkpoint changes nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.pipelines.textstats import (
+        winnow_census,
+        winnow_parts,
+    )
+    from searchengine_spark.streaming.fingerprints import (
+        read_shared_pairs,
+        read_winnow_census,
+        stream_winnow_fingerprints,
+    )
+
+    docs_dir = os.path.join(STREAMDIR, "docs_winnow")
+    fp_dir = os.path.join(STREAMDIR, "winnow_part")
+    ckpt = os.path.join(STREAMDIR, "winnow_ckpt")
+    for d in (docs_dir, fp_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(docs_dir)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tbl = pq.read_table(src)
+    half = tbl.num_rows // 2
+    # plant a near-dup: batch 1 carries a copy of a batch-0 doc's text
+    # under a new doc_id (prefix kept, tail token changed)
+    first = tbl.slice(0, 1).to_pylist()[0]
+    clone = dict(first)
+    clone["doc_id"] = 999_999_001
+    clone["text"] = first["text"] + " zzztail"
+    b0 = tbl.slice(0, half)
+    b1 = pa.concat_tables(
+        [tbl.slice(half), pa.Table.from_pylist([clone], schema=tbl.schema)]
+    )
+    pq.write_table(b0, os.path.join(docs_dir, "a0.parquet"))
+    pq.write_table(b1, os.path.join(docs_dir, "b1.parquet"))
+    os.utime(os.path.join(docs_dir, "a0.parquet"), (1, 1))
+
+    stream_winnow_fingerprints(spark, docs_dir, fp_dir, ckpt).awaitTermination()
+    streamed = [
+        tuple(r) for r in read_winnow_census(spark, fp_dir).collect()
+    ]
+    all_docs = spark.read.parquet(docs_dir)
+    nk, sel = winnow_parts(all_docs)
+    batch = [tuple(r) for r in winnow_census(nk, sel).collect()]
+    assert streamed == batch
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in read_shared_pairs(spark, fp_dir).collect()
+    }
+    key = (first["doc_id"], 999_999_001)
+    assert key in pairs and pairs[key] >= 2  # cross-batch near-dup seen
+
+    stream_winnow_fingerprints(spark, docs_dir, fp_dir, ckpt).awaitTermination()
+    again = [tuple(r) for r in read_winnow_census(spark, fp_dir).collect()]
+    assert again == streamed
