@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "q171_term_shard_skew",
     "q172_lsh_planner",
     "q173_reciprocity",
+    "q174_interleave",
+    "q175_cdc_chunks",
+    "q176_chi2_terms",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

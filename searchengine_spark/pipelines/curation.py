@@ -1779,3 +1779,169 @@ FROM o
 ORDER BY cur_pos, doc_id
 LIMIT {CUR_EMIT}
 """
+
+
+# --------------------------------------------------------------------------
+# q175: content-defined chunking + cross-doc chunk dedup census — the
+# shift-robust complement to q96's fixed-size chunks: boundaries fall
+# where the content's own hash says (token hash ≡ CDC_CONST mod
+# CDC_MOD), so inserting one sentence at the top of a re-crawled page
+# re-chunks ONLY the edited region — every downstream chunk hash
+# stays stable, which is why rsync/restic/dataset-dedup pipelines use
+# CDC, and fixed-size chunking (whose hashes all shift) cannot do
+# storage-level dedup across revisions. Basic CDC here (no min/max
+# size clamps — production adds them with a second sequential pass
+# over the boundary list; the census arithmetic is identical).
+#
+# Scale shape: map-only token hashing, ONE per-doc window cumsum
+# turns boundary flags into chunk ids (the per-doc partition sort,
+# docs never cross tasks), chunk text re-assembled with an ORDERED
+# aggregation (sort_array(collect_list(struct(pos,term))) ⇔
+# string_agg(... ORDER BY pos) — both engines deterministic), then
+# one (chunk_hash) census agg — 16-byte keys, never chunk text, at
+# scale. Output = top duplicated chunks with the global census
+# broadcast alongside; all counts exact int64.
+# --------------------------------------------------------------------------
+
+CDC_MOD = 16       # expected chunk length in tokens
+CDC_CONST = 7
+CDC_TOP = 50
+
+
+def q175_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "term"),
+    ).withColumn(
+        "boundary",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+            .cast("long")
+            % CDC_MOD
+            == CDC_CONST,
+            1,
+        ).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "chunk",
+        F.coalesce(F.sum("boundary").over(w), F.lit(0)).cast("long"),
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("ctext"),
+            F.count("*").cast("long").alias("clen"),
+        )
+        .withColumn(
+            "chash",
+            F.conv(
+                F.substring(F.md5(F.col("ctext")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    census = chunks.groupBy("chash").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("clen").cast("long").alias("chunk_len"),
+    )
+    totals = F.broadcast(
+        census.groupBy().agg(
+            F.sum("n_copies").cast("long").alias("total_chunks"),
+            F.count("*").cast("long").alias("distinct_chunks"),
+        )
+    )
+    return (
+        census.filter(F.col("n_copies") >= 2)
+        .crossJoin(totals)
+        .select(
+            "chash",
+            "n_copies",
+            "n_docs",
+            "chunk_len",
+            "total_chunks",
+            "distinct_chunks",
+            (
+                F.lit(1.0)
+                - F.col("distinct_chunks").cast("double")
+                / F.col("total_chunks").cast("double")
+            ).alias("dup_ratio"),
+        )
+        .orderBy(F.desc("n_copies"), F.asc("chash"))
+        .limit(CDC_TOP)
+    )
+
+
+QUERIES["q175_cdc_chunks"] = q175_cdc_chunks
+
+ORACLE["q175_cdc_chunks"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM d
+),
+tok AS (
+  SELECT doc_id, pos, toks[pos] AS term,
+         CASE WHEN ('0x' || substr(md5(toks[pos]), 1, 15))::BIGINT
+                   % {CDC_MOD} = {CDC_CONST}
+              THEN 1 ELSE 0 END AS boundary
+  FROM tp
+),
+chunked AS (
+  SELECT doc_id, pos, term,
+         COALESCE(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS chunk
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, chunk,
+         string_agg(term, ' ' ORDER BY pos) AS ctext,
+         count(*)::BIGINT AS clen
+  FROM chunked GROUP BY doc_id, chunk
+),
+hashed AS (
+  SELECT doc_id, chunk, clen,
+         ('0x' || substr(md5(ctext), 1, 15))::BIGINT AS chash
+  FROM chunks
+),
+census AS (
+  SELECT chash, count(*)::BIGINT AS n_copies,
+         count(DISTINCT doc_id)::BIGINT AS n_docs,
+         max(clen)::BIGINT AS chunk_len
+  FROM hashed GROUP BY chash
+),
+tot AS (
+  SELECT sum(n_copies)::BIGINT AS total_chunks,
+         count(*)::BIGINT AS distinct_chunks
+  FROM census
+)
+SELECT c.chash, c.n_copies, c.n_docs, c.chunk_len,
+       t.total_chunks, t.distinct_chunks,
+       1.0::DOUBLE - CAST(t.distinct_chunks AS DOUBLE)
+         / CAST(t.total_chunks AS DOUBLE) AS dup_ratio
+FROM census c, tot t
+WHERE c.n_copies >= 2
+ORDER BY c.n_copies DESC, c.chash ASC
+LIMIT {CDC_TOP}
+"""

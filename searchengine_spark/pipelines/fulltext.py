@@ -2212,3 +2212,193 @@ FROM scored
 ORDER BY sdm DESC, doc_id ASC
 LIMIT {SDM_K}
 """
+
+
+# --------------------------------------------------------------------------
+# q174: balanced interleaving of two rankers (Joachims KDD'02; the
+# online-eval primitive — serve a merged list from ranker A and
+# ranker B, credit clicks by team, and you get a paired preference
+# test at a fraction of an A/B test's sample cost). Rankers here:
+# A = disjunctive BM25 (q13's per-term scores summed per doc),
+# B = Dirichlet query likelihood (q93's score) — same candidate set
+# (docs matching ≥1 query term), so both ranks are total.
+#
+# Balanced interleave, A-first (deterministic): the pre-dedup pick
+# sequence is A1 B1 A2 B2 …, and a doc's first appearance is at
+# key = min(2·rank_A − 1, 2·rank_B) — odd keys are A-picks, even are
+# B-picks (parity IS the team label; ties impossible by parity). The
+# interleaved position is one rank over that key: the whole
+# "sequential" procedure collapses to a closed form, which is what
+# makes it a two-window Spark plan instead of a driver loop.
+#
+# Scale shape: two DECIMAL-folded per-doc scores over the candidate
+# set, two rank windows, one map-only key expression, one TakeOrdered
+# top-K. Collection stats ride as 1-row broadcasts (q91's idiom).
+# --------------------------------------------------------------------------
+
+INTER_K = 20
+
+
+def q174_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats_row = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        load_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    )
+    total_row = toks.agg(F.count("*").cast("double").alias("total_c"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf_q = tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
+    cf = tf_q.groupBy("term").agg(F.sum("tf").alias("cf"))
+    cand = tf_q.select("doc_id").distinct()
+
+    bm25_doc = (
+        tf_q.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats_row))
+        .withColumn(
+            "s",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            * F.lit(K1 + 1.0)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("s").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score_a")
+        )
+    )
+    grid = (
+        cand.join(dl, "doc_id")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(total_row))
+    )
+    ql_doc = (
+        grid.join(tf_q, ["doc_id", "term"], "left")
+        .withColumn("tf0", F.coalesce(F.col("tf"), F.lit(0)))
+        .withColumn(
+            "s",
+            F.log(
+                (
+                    F.col("tf0")
+                    + F.lit(QL_MU) * F.col("cf") / F.col("total_c")
+                )
+                / (F.col("dl") + F.lit(QL_MU))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("s").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score_b")
+        )
+    )
+    ranked = (
+        bm25_doc.join(ql_doc, "doc_id")
+        .withColumn(
+            "rank_a",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_a"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn(
+            "rank_b",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_b"), F.asc("doc_id"))
+            ),
+        )
+    )
+    key = F.least(
+        F.lit(2) * F.col("rank_a") - F.lit(1), F.lit(2) * F.col("rank_b")
+    )
+    w = Window.orderBy("key")
+    return (
+        ranked.withColumn("key", key.cast("long"))
+        .withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= INTER_K)
+        .select(
+            "position",
+            "doc_id",
+            F.when(F.col("key") % 2 == 1, "A")
+            .otherwise("B")
+            .alias("team"),
+            "rank_a",
+            "rank_b",
+        )
+        .orderBy("position")
+    )
+
+
+QUERIES["q174_interleave"] = q174_interleave
+
+_Q174_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+ORACLE["q174_interleave"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+tot AS (SELECT count(*)::DOUBLE AS total FROM toks),
+tfq AS (SELECT * FROM tf WHERE term IN ({_Q174_TERMS})),
+cf AS (SELECT term, sum(tf) AS cf FROM tfq GROUP BY term),
+cand AS (SELECT DISTINCT doc_id FROM tfq),
+bma AS (
+  SELECT tfq.doc_id,
+         sum(CAST(ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                  * (1.2 + 1.0) * tfq.tf
+                  / (tfq.tf + 1.2 * ((1.0 - 0.75)
+                                     + 0.75 * dl.dl / ad.avgdl))
+                  AS DECIMAL(28,12)))::DOUBLE AS score_a
+  FROM tfq JOIN dl USING (doc_id) JOIN dft ON tfq.term = dft.term
+  CROSS JOIN n CROSS JOIN ad
+  GROUP BY tfq.doc_id
+),
+grid AS (
+  SELECT cand.doc_id, dl.dl, cf.term, cf.cf
+  FROM cand JOIN dl USING (doc_id) CROSS JOIN cf
+),
+qlb AS (
+  SELECT g.doc_id,
+         sum(CAST(ln((coalesce(t.tf, 0)
+                      + {QL_MU}::DOUBLE * g.cf / (SELECT total FROM tot))
+                     / (g.dl + {QL_MU}::DOUBLE))
+                  AS DECIMAL(28,12)))::DOUBLE AS score_b
+  FROM grid g LEFT JOIN tfq t ON g.doc_id = t.doc_id AND g.term = t.term
+  GROUP BY g.doc_id
+),
+ranked AS (
+  SELECT b.doc_id,
+         row_number() OVER (ORDER BY b.score_a DESC, b.doc_id ASC)
+           AS rank_a,
+         row_number() OVER (ORDER BY q.score_b DESC, q.doc_id ASC)
+           AS rank_b
+  FROM bma b JOIN qlb q ON b.doc_id = q.doc_id
+),
+keyed AS (
+  SELECT doc_id, rank_a, rank_b,
+         least(2 * rank_a - 1, 2 * rank_b)::BIGINT AS key
+  FROM ranked
+)
+SELECT row_number() OVER (ORDER BY key)::INT AS position,
+       doc_id,
+       CASE WHEN key % 2 = 1 THEN 'A' ELSE 'B' END AS team,
+       rank_a::INT AS rank_a, rank_b::INT AS rank_b
+FROM keyed
+ORDER BY key
+LIMIT {INTER_K}
+"""

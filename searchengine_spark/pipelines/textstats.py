@@ -2593,3 +2593,131 @@ SELECT sa, sb,
        round(CAST(sum(contrib) AS DOUBLE), 9) AS js
 FROM ctr GROUP BY sa, sb ORDER BY sa, sb
 """
+
+# --------------------------------------------------------------------------
+# q176: χ² discriminative terms per source — supervised feature
+# selection (Yang/Pedersen ICML'97's best-performing criterion): for
+# each (source, term), the 2×2 presence contingency
+# (in-source-with / in-source-without / out-with / out-without) and
+# χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). The complement of q60's
+# PMI (term↔term) and q97's KL (distribution-level): χ² names the
+# TERMS that identify a feed — the features a source classifier or a
+# contamination tracer actually uses.
+#
+# Scale shape: one DISTINCT (doc_id, source, term) presence
+# projection, two vocabulary-sized hash aggs (per-source df, global
+# df) + a |sources|-row census, all joined back with the small sides
+# broadcast; χ² is ONE IEEE tree over exact int64 counts (products
+# stay under 2^53 to ~90M docs — beyond that the tree moves to
+# DECIMAL), one rank window per source, TakeOrdered head. UNROUNDED.
+# --------------------------------------------------------------------------
+
+CHI_TOP = 5
+
+
+def q176_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    pres = (
+        docs.select("doc_id", "source", F.explode("toks").alias("term"))
+        .distinct()
+    )
+    df_st = pres.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("a")
+    )
+    df_t = pres.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    docs_s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_src")
+    )
+    n_row = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    j = (
+        df_st.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(docs_s), "source")
+        .crossJoin(F.broadcast(n_row))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("n_src") - F.col("a")).cast("double")
+    c = (F.col("df") - F.col("a")).cast("double")
+    d = (
+        F.col("n_docs") - F.col("n_src") - F.col("df") + F.col("a")
+    ).cast("double")
+    n = F.col("n_docs").cast("double")
+    num = a * d - b * c
+    chi2 = (
+        n * num * num / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("chi2"), F.asc("term")
+    )
+    return (
+        j.withColumn("chi2", chi2)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CHI_TOP)
+        .select(
+            "source",
+            F.col("rnk").alias("rank"),
+            "term",
+            F.col("a").alias("df_in"),
+            (F.col("df") - F.col("a")).cast("long").alias("df_out"),
+            "chi2",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+QUERIES["q176_chi2_terms"] = q176_chi2_terms
+
+ORACLE["q176_chi2_terms"] = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, source, term
+  FROM (SELECT doc_id, source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS term
+        FROM documents)
+),
+df_st AS (
+  SELECT source, term, count(*)::BIGINT AS a
+  FROM pres GROUP BY source, term
+),
+df_t AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, term FROM pres) GROUP BY term
+),
+docs_s AS (
+  SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY source
+),
+nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+j AS (
+  SELECT s.source, s.term, s.a, t.df, d.n_src, nn.n_docs
+  FROM df_st s JOIN df_t t ON s.term = t.term
+               JOIN docs_s d ON s.source = d.source, nn
+),
+scored AS (
+  SELECT source, term, a, df,
+         CAST(n_docs AS DOUBLE)
+           * (CAST(a AS DOUBLE) * CAST(n_docs - n_src - df + a AS DOUBLE)
+              - CAST(n_src - a AS DOUBLE) * CAST(df - a AS DOUBLE))
+           * (CAST(a AS DOUBLE) * CAST(n_docs - n_src - df + a AS DOUBLE)
+              - CAST(n_src - a AS DOUBLE) * CAST(df - a AS DOUBLE))
+           / ((CAST(a AS DOUBLE) + CAST(n_src - a AS DOUBLE))
+              * (CAST(df - a AS DOUBLE)
+                 + CAST(n_docs - n_src - df + a AS DOUBLE))
+              * (CAST(a AS DOUBLE) + CAST(df - a AS DOUBLE))
+              * (CAST(n_src - a AS DOUBLE)
+                 + CAST(n_docs - n_src - df + a AS DOUBLE)))
+           AS chi2
+  FROM j
+)
+SELECT source, rank, term, df_in, df_out, chi2
+FROM (
+  SELECT source, term, a AS df_in, (df - a)::BIGINT AS df_out, chi2,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, term ASC)::INT AS rank
+  FROM scored
+)
+WHERE rank <= {CHI_TOP}
+ORDER BY source, rank
+"""

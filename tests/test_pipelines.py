@@ -175,6 +175,9 @@ ORACLE_CHECKED = [
     "q171_term_shard_skew",
     "q172_lsh_planner",
     "q173_reciprocity",
+    "q174_interleave",
+    "q175_cdc_chunks",
+    "q176_chi2_terms",
 ]
 
 
@@ -3107,3 +3110,126 @@ def test_reciprocity_matches_python_reference(spark):
         assert r["n_edges"] == len(e)
         assert r["n_recip_total"] == total_rec
         assert r["global_reciprocity"] == float(total_rec) / float(len(e))
+
+
+def test_interleave_matches_python_reference(spark):
+    """q174: the closed-form key must equal the sequential balanced-
+    interleave procedure replayed in Python over the engine's own
+    ranks; team parity and positions exact."""
+    from searchengine_spark.pipelines.fulltext import (
+        INTER_K,
+        q174_interleave,
+    )
+
+    got = q174_interleave(spark, SF_DIR).collect()
+    assert len(got) == INTER_K
+    ra = {r["doc_id"]: r["rank_a"] for r in got}
+    rb = {r["doc_id"]: r["rank_b"] for r in got}
+    # replay: A1 B1 A2 B2 ... first-appearance order over the union
+    # (ranks of docs outside the top-K window can't matter for the
+    # emitted prefix: key = min(2ra-1, 2rb) is monotone in both)
+    keys = {d: min(2 * ra[d] - 1, 2 * rb[d]) for d in ra}
+    order = sorted(ra, key=lambda d: keys[d])
+    assert [r["doc_id"] for r in got] == order
+    for r in got:
+        k = keys[r["doc_id"]]
+        assert r["team"] == ("A" if k % 2 == 1 else "B")
+    # both teams must be represented in a balanced interleave prefix
+    teams = {r["team"] for r in got}
+    assert teams == {"A", "B"}
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    """q175: Python replay of boundary placement + chunk hashing; the
+    CDC shift-robustness property checked directly (inserting a token
+    at the head only changes the first chunk's hash)."""
+    import hashlib
+
+    from searchengine_spark.pipelines.curation import (
+        CDC_CONST,
+        CDC_MOD,
+        q175_cdc_chunks,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    def chunks_of(toks):
+        # a boundary token ENDS its chunk (the gear-CDC convention the
+        # engine's strictly-preceding cumsum implements)
+        out, cur = [], []
+        for t in toks:
+            cur.append(t)
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            if h % CDC_MOD == CDC_CONST:
+                out.append(cur)
+                cur = []
+        if cur:
+            out.append(cur)
+        return out
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    census = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        if not toks:
+            continue
+        for ch in chunks_of(toks):
+            key = int(
+                hashlib.md5(" ".join(ch).encode()).hexdigest()[:15], 16
+            )
+            n, d, ln = census.get(key, (0, set(), 0))
+            d = set(d)
+            d.add(r["doc_id"])
+            census[key] = (n + 1, d, max(ln, len(ch)))
+    total = sum(n for n, _, _ in census.values())
+    distinct = len(census)
+    got = q175_cdc_chunks(spark, SF_DIR).collect()
+    for r in got:
+        n, d, ln = census[r["chash"]]
+        assert (r["n_copies"], r["n_docs"], r["chunk_len"]) == (
+            n, len(d), ln,
+        )
+        assert (r["total_chunks"], r["distinct_chunks"]) == (
+            total, distinct,
+        )
+    # shift robustness: head insertion preserves all tail chunk lists
+    toks = [t for t in docs[0]["text"].split(" ") if t]
+    orig = [tuple(c) for c in chunks_of(toks)]
+    shifted = [tuple(c) for c in chunks_of(["inserted"] + toks)]
+    assert orig[1:] == shifted[1:] or orig == shifted[1:]
+
+
+def test_chi2_terms_matches_python_reference(spark):
+    """q176: Python replay of the 2x2 contingency; chi2 bit-exact."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.textstats import (
+        CHI_TOP,
+        load_docs,
+        q176_chi2_terms,
+    )
+
+    docs = load_docs(spark, SF_DIR).select(
+        "doc_id", "source", "text"
+    ).collect()
+    n_docs = len(docs)
+    n_src = defaultdict(int)
+    pres = defaultdict(set)
+    for r in docs:
+        n_src[r["source"]] += 1
+        for t in set(x for x in r["text"].split(" ") if x):
+            pres[t].add((r["source"], r["doc_id"]))
+    got = q176_chi2_terms(spark, SF_DIR).collect()
+    assert len(got) == len(n_src) * CHI_TOP
+    for r in got:
+        t, s = r["term"], r["source"]
+        a = sum(1 for (src, _) in pres[t] if src == s)
+        df = len(pres[t])
+        b, c = n_src[s] - a, df - a
+        d = n_docs - n_src[s] - df + a
+        num = float(a) * float(d) - float(b) * float(c)
+        chi2 = (
+            float(n_docs) * num * num
+            / (float(a + b) * float(c + d) * float(a + c) * float(b + d))
+        )
+        assert (r["df_in"], r["df_out"]) == (a, c)
+        assert r["chi2"] == chi2
