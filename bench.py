@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "q174_interleave",
     "q175_cdc_chunks",
     "q176_chi2_terms",
+    "q177_heavy_changers",
+    "q178_attribution",
+    "q179_psi_drift",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

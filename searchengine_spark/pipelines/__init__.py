@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q179_psi_drift",
+    "q178_attribution",
+    "q177_heavy_changers",
     "q176_chi2_terms",
     "q175_cdc_chunks",
     "q174_interleave",

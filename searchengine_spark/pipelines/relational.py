@@ -2158,3 +2158,222 @@ vals AS (
 SELECT event_type, max(n)::BIGINT AS n_dwells, {_DW_QCOLS}
 FROM vals GROUP BY event_type ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# q177: heavy-change detection between event-log halves — the
+# monitoring twin of q47's heavy hitters: the ops question is rarely
+# "what is big" (stable heads are boring) but "what MOVED" (a user
+# whose event volume exploded = bot onset; one that vanished = churn
+# or breakage). Split the log at its median timestamp (a pure
+# expression split — same rule both engines), census per (user,
+# half), and rank by absolute delta with a relative-change column
+# NULL-guarded for new/vanished keys.
+#
+# Scale shape: ONE (user) hash agg with conditional int64 partials
+# (the two halves are CASE arms of the same agg — one shuffle, not
+# two scans), a 1-row median broadcast from an exact rank probe, and
+# a TakeOrdered head. All counts exact int64; the relative change is
+# a single guarded IEEE division, UNROUNDED.
+# --------------------------------------------------------------------------
+
+HC_TOP = 50
+
+
+def q177_heavy_changers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts)").alias("ep"), "event_id"
+    )
+    w = Window.orderBy("ep", "event_id")
+    cnt = ev.groupBy().agg(F.count("*").cast("long").alias("n"))
+    ranked = ev.withColumn("r", F.row_number().over(w))
+    med = F.broadcast(
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select(F.col("ep").alias("med_ep"))
+    )
+    half = (
+        ev.crossJoin(med)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ep") <= F.col("med_ep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_before"),
+            F.sum(F.when(F.col("ep") > F.col("med_ep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+    )
+    delta = F.col("n_after") - F.col("n_before")
+    return (
+        half.select(
+            "user_id",
+            "n_before",
+            "n_after",
+            delta.cast("long").alias("delta"),
+            F.abs(delta).cast("long").alias("abs_delta"),
+            F.when(
+                F.col("n_before") > 0,
+                delta.cast("double") / F.col("n_before").cast("double"),
+            ).alias("rel_change"),
+        )
+        .orderBy(F.desc("abs_delta"), F.asc("user_id"))
+        .limit(HC_TOP)
+    )
+
+
+QUERIES["q177_heavy_changers"] = q177_heavy_changers
+
+ORACLE["q177_heavy_changers"] = f"""
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ep, event_id FROM events
+),
+cnt AS (SELECT count(*)::BIGINT AS n FROM ev),
+ranked AS (
+  SELECT ep, row_number() OVER (ORDER BY ep, event_id) AS r FROM ev
+),
+med AS (
+  SELECT ep AS med_ep FROM ranked, cnt WHERE r = (n + 1) // 2
+),
+half AS (
+  SELECT user_id,
+         sum(CASE WHEN ep <= med_ep THEN 1 ELSE 0 END)::BIGINT AS n_before,
+         sum(CASE WHEN ep > med_ep THEN 1 ELSE 0 END)::BIGINT AS n_after
+  FROM ev, med GROUP BY user_id
+)
+SELECT user_id, n_before, n_after,
+       (n_after - n_before)::BIGINT AS delta,
+       abs(n_after - n_before)::BIGINT AS abs_delta,
+       CASE WHEN n_before > 0
+            THEN CAST(n_after - n_before AS DOUBLE)
+                 / CAST(n_before AS DOUBLE)
+            ELSE NULL END AS rel_change
+FROM half
+ORDER BY abs_delta DESC, user_id ASC
+LIMIT {HC_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# q178: last-touch conversion attribution — the revenue-accounting op
+# behind every marketing/ranking dashboard: each purchase's value is
+# credited to the LAST non-purchase event the same user produced
+# within the session gap before it. One window pass (no self-join):
+# sort each user's stream once, carry the most recent non-purchase
+# event forward with a conditional last_value(ignoreNulls), gate it
+# by the session rule, then roll credited value up by touch type.
+#
+# Determinism: money aggregates in DECIMAL(18,2) (CLAUDE.md money
+# rule) — exact decimal addition, order-insensitive — and PUBLISHES
+# as double (q02's convention: the driver hash stringifies Spark
+# Decimal('10443.80') vs DuckDB float 10443.8 differently even when
+# equal; the decimal→double cast is exact below 2^53 unscaled). Unattributed purchases (no prior touch in
+# session) land in an explicit 'none' bucket so the rollup always
+# accounts 100% of purchase value.
+#
+# Scale shape: per-user window sort (users never cross tasks), one
+# (touch_type) hash agg ≤ |event types| rows, 1-row broadcast total.
+# --------------------------------------------------------------------------
+
+
+def q178_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("ep"),
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_struct = F.when(
+        F.col("event_type") != "purchase",
+        F.struct("ep", "event_type"),
+    )
+    attrib = (
+        ev.withColumn(
+            "last_touch", F.last(touch_struct, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ep",
+            "value",
+            F.when(
+                F.col("last_touch").isNotNull()
+                & (F.col("ep") - F.col("last_touch.ep") <= SESS_GAP_S),
+                F.col("last_touch.event_type"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("touch_type"),
+        )
+    )
+    per_touch = attrib.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("value").cast("decimal(18,2)").alias("credited_dec"),
+    )
+    total = F.broadcast(
+        attrib.groupBy().agg(
+            F.sum("value").cast("decimal(18,2)").alias("total_value")
+        )
+    )
+    return (
+        per_touch.crossJoin(total)
+        .select(
+            "touch_type",
+            "n_purchases",
+            F.col("credited_dec").cast("double").alias("credited_value"),
+            (
+                F.col("credited_dec").cast("double")
+                / F.col("total_value").cast("double")
+            ).alias("value_share"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+QUERIES["q178_attribution"] = q178_attribution
+
+ORACLE["q178_attribution"] = f"""
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ep, event_id, event_type,
+         CAST(value AS DECIMAL(18,2)) AS value
+  FROM events
+),
+marked AS (
+  SELECT *,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(tep := ep, tt := event_type)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ep, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM ev
+),
+attrib AS (
+  SELECT user_id, ep, value,
+         CASE WHEN last_touch IS NOT NULL
+                   AND ep - last_touch.tep <= {SESS_GAP_S}
+              THEN last_touch.tt ELSE 'none' END AS touch_type
+  FROM marked WHERE event_type = 'purchase'
+),
+per_touch AS (
+  SELECT touch_type, count(*)::BIGINT AS n_purchases,
+         CAST(sum(value) AS DECIMAL(18,2)) AS credited_dec
+  FROM attrib GROUP BY touch_type
+),
+tot AS (
+  SELECT CAST(sum(value) AS DECIMAL(18,2)) AS total_value FROM attrib
+)
+SELECT touch_type, n_purchases,
+       CAST(credited_dec AS DOUBLE) AS credited_value,
+       CAST(credited_dec AS DOUBLE) / CAST(total_value AS DOUBLE)
+         AS value_share
+FROM per_touch, tot
+ORDER BY touch_type
+"""

@@ -2721,3 +2721,133 @@ FROM (
 WHERE rank <= {CHI_TOP}
 ORDER BY source, rank
 """
+
+# --------------------------------------------------------------------------
+# q179: Population Stability Index of the quality-score distribution
+# between corpus halves — the SCORE-drift monitor completing the
+# drift triptych (q128 = embedding drift, q154 = vocabulary drift):
+# when the quality filter's input distribution moves, every
+# downstream threshold (q109's sweep, q40's gate) silently changes
+# meaning. PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i) over FIXED quality
+# bins, with the industry-standard Laplace smoothing (+1 per cell) so
+# empty bins never produce ln(0) on either engine. Rule-of-thumb
+# bands (<0.1 stable, >0.25 action) ride with fixed thresholds.
+#
+# Scale shape: one map-only quality pass with the q154 half split,
+# ONE (bin) hash agg with conditional int64 partials (PSI_BINS rows),
+# per-bin contributions are single IEEE trees over exact smoothed
+# counts, folded as DECIMAL(28,12) partials, ONE double cast,
+# UNROUNDED. The 1-row result is the dashboard scalar.
+# --------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_LO = 0.0
+PSI_HI = 1.0
+
+
+def q179_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    q = docs.select(
+        "doc_id",
+        quality_col().alias("quality"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("half"),
+    )
+    span = (PSI_HI - PSI_LO) / PSI_BINS
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("quality") - PSI_LO) / F.lit(span)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(PSI_BINS - 1),
+    )
+    bins = q.withColumn("bin", bin_col).groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = F.broadcast(
+        bins.groupBy().agg(
+            F.sum("ca").cast("long").alias("na"),
+            F.sum("cb").cast("long").alias("nb"),
+        )
+    )
+    p = (F.col("ca") + 1).cast("double") / (
+        F.col("na") + PSI_BINS
+    ).cast("double")
+    qq = (F.col("cb") + 1).cast("double") / (
+        F.col("nb") + PSI_BINS
+    ).cast("double")
+    contrib = (p - qq) * F.log(p / qq)
+    g = (
+        bins.crossJoin(tot)
+        .withColumn("contrib", contrib.cast("decimal(28,12)"))
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_bins_hit"),
+            F.max("na").cast("long").alias("n_half_a"),
+            F.max("nb").cast("long").alias("n_half_b"),
+            F.sum("contrib").cast("double").alias("psi"),
+        )
+    )
+    return g.select(
+        "n_bins_hit",
+        "n_half_a",
+        "n_half_b",
+        "psi",
+        (F.col("psi") < 0.1).alias("stable"),
+        (F.col("psi") > 0.25).alias("action_needed"),
+    )
+
+
+QUERIES["q179_psi_drift"] = q179_psi_drift
+
+ORACLE["q179_psi_drift"] = f"""
+WITH {{qcte}},
+h AS (
+  SELECT qual.doc_id, qual.quality,
+         CASE WHEN qual.doc_id % 2 = 0 THEN 1 ELSE 0 END AS half
+  FROM qual
+),
+binned AS (
+  SELECT LEAST(GREATEST(CAST(floor((quality - {PSI_LO!r}::DOUBLE)
+                                   / {(PSI_HI - PSI_LO) / PSI_BINS!r}::DOUBLE)
+                             AS INT), 0), {PSI_BINS - 1}) AS bin,
+         half
+  FROM h
+),
+bins AS (
+  SELECT bin,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM bins
+),
+ctr AS (
+  SELECT bins.*, tot.na, tot.nb,
+         CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + {PSI_BINS} AS DOUBLE)
+               - CAST(cb + 1 AS DOUBLE) / CAST(nb + {PSI_BINS} AS DOUBLE))
+              * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + {PSI_BINS} AS DOUBLE))
+                   / (CAST(cb + 1 AS DOUBLE)
+                      / CAST(nb + {PSI_BINS} AS DOUBLE)))
+              AS DECIMAL(28,12)) AS contrib
+  FROM bins, tot
+)
+SELECT count(*)::BIGINT AS n_bins_hit,
+       max(na)::BIGINT AS n_half_a,
+       max(nb)::BIGINT AS n_half_b,
+       CAST(sum(contrib) AS DOUBLE) AS psi,
+       CAST(sum(contrib) AS DOUBLE) < 0.1::DOUBLE AS stable,
+       CAST(sum(contrib) AS DOUBLE) > 0.25::DOUBLE AS action_needed
+FROM ctr
+"""
+
+ORACLE["q179_psi_drift"] = ORACLE["q179_psi_drift"].format(
+    qcte="qual AS (SELECT doc_id, quality FROM ("
+    + ORACLE["q23_quality"]
+    + "))"
+)

@@ -178,6 +178,9 @@ ORACLE_CHECKED = [
     "q174_interleave",
     "q175_cdc_chunks",
     "q176_chi2_terms",
+    "q177_heavy_changers",
+    "q178_attribution",
+    "q179_psi_drift",
 ]
 
 
@@ -3233,3 +3236,146 @@ def test_chi2_terms_matches_python_reference(spark):
         )
         assert (r["df_in"], r["df_out"]) == (a, c)
         assert r["chi2"] == chi2
+
+
+def test_heavy_changers_matches_python_reference(spark):
+    """q177: replay the median split + per-user half census."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.relational import (
+        HC_TOP,
+        load,
+        q177_heavy_changers,
+    )
+
+    ev = sorted(
+        load(spark, SF_DIR, "events")
+        .selectExpr("user_id", "unix_timestamp(ts) AS ep", "event_id")
+        .collect(),
+        key=lambda r: (r["ep"], r["event_id"]),
+    )
+    med = ev[(len(ev) + 1) // 2 - 1]["ep"]
+    before, after = Counter(), Counter()
+    for r in ev:
+        (before if r["ep"] <= med else after)[r["user_id"]] += 1
+    users = set(before) | set(after)
+    want = sorted(
+        users,
+        key=lambda u: (-abs(after[u] - before[u]), u),
+    )[:HC_TOP]
+    got = q177_heavy_changers(spark, SF_DIR).collect()
+    assert [r["user_id"] for r in got] == want
+    for r in got:
+        u = r["user_id"]
+        assert (r["n_before"], r["n_after"]) == (before[u], after[u])
+        assert r["delta"] == after[u] - before[u]
+        if before[u] > 0:
+            assert r["rel_change"] == float(after[u] - before[u]) / float(
+                before[u]
+            )
+        else:
+            assert r["rel_change"] is None
+
+
+def test_attribution_matches_python_reference(spark):
+    """q178: replay last-touch credit; every purchase accounted
+    (shares sum to 1), values exact to the cent."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from searchengine_spark.pipelines.relational import (
+        SESS_GAP_S,
+        load,
+        q178_attribution,
+    )
+
+    ev = sorted(
+        load(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id",
+            "unix_timestamp(ts) AS ep",
+            "event_id",
+            "event_type",
+            "CAST(value AS DECIMAL(18,2)) AS value",
+        )
+        .collect(),
+        key=lambda r: (r["user_id"], r["ep"], r["event_id"]),
+    )
+    credit = defaultdict(lambda: [0, Decimal("0")])
+    last = {}
+    for r in ev:
+        u = r["user_id"]
+        if r["event_type"] == "purchase":
+            lt = last.get(u)
+            tt = (
+                lt[1]
+                if lt is not None and r["ep"] - lt[0] <= SESS_GAP_S
+                else "none"
+            )
+            credit[tt][0] += 1
+            credit[tt][1] += r["value"]
+        else:
+            last[u] = (r["ep"], r["event_type"])
+    total = sum(v for _, v in credit.values())
+    got = q178_attribution(spark, SF_DIR).collect()
+    assert {r["touch_type"] for r in got} == set(credit)
+    share_sum = 0.0
+    for r in got:
+        n, v = credit[r["touch_type"]]
+        assert r["n_purchases"] == n
+        assert r["credited_value"] == float(v)
+        assert r["value_share"] == float(v) / float(total)
+        share_sum += r["value_share"]
+    assert abs(share_sum - 1.0) < 1e-9
+
+
+def test_psi_drift_matches_python_reference(spark):
+    """q179: replay the smoothed-bin PSI within decimal quantization;
+    PSI >= 0 and the flags are consistent with the value."""
+    import math
+
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.textstats import (
+        PSI_BINS,
+        PSI_HI,
+        PSI_LO,
+        _tok_arr,
+        load_docs,
+        q179_psi_drift,
+        quality_col,
+    )
+
+    rows = (
+        load_docs(spark, SF_DIR)
+        .withColumn("toks", _tok_arr())
+        .select("doc_id", quality_col().alias("quality"))
+        .collect()
+    )
+    span = (PSI_HI - PSI_LO) / PSI_BINS
+    ca = [0] * PSI_BINS
+    cb = [0] * PSI_BINS
+    for r in rows:
+        b = min(max(int(math.floor((r["quality"] - PSI_LO) / span)), 0),
+                PSI_BINS - 1)
+        if r["doc_id"] % 2 == 0:
+            ca[b] += 1
+        else:
+            cb[b] += 1
+    na, nb = sum(ca), sum(cb)
+    psi = 0.0
+    hit = 0
+    for i in range(PSI_BINS):
+        if ca[i] == 0 and cb[i] == 0:
+            continue
+        hit += 1
+        p = (ca[i] + 1) / (na + PSI_BINS)
+        q = (cb[i] + 1) / (nb + PSI_BINS)
+        psi += (p - q) * math.log(p / q)
+    row = q179_psi_drift(spark, SF_DIR).collect()[0]
+    assert (row["n_bins_hit"], row["n_half_a"], row["n_half_b"]) == (
+        hit, na, nb,
+    )
+    assert abs(row["psi"] - psi) < 1e-9
+    assert row["psi"] >= 0.0
+    assert row["stable"] == (row["psi"] < 0.1)
+    assert row["action_needed"] == (row["psi"] > 0.25)
