@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "q177_heavy_changers",
     "q178_attribution",
     "q179_psi_drift",
+    "q180_coverage_greedy",
+    "q181_ks_test",
+    "q182_seasonal_anomaly",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -1945,3 +1945,168 @@ WHERE c.n_copies >= 2
 ORDER BY c.n_copies DESC, c.chash ASC
 LIMIT {CDC_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q180: greedy max-coverage source selection — the submodular data-
+# mixture primitive (Nemhauser's (1−1/e) guarantee is why every
+# "select K sources/shards to maximize vocabulary/topic coverage"
+# pipeline runs exactly this greedy): pick COV_K sources one at a
+# time, each maximizing NEW vocabulary mass given everything already
+# covered. The greedy is inherently sequential in K — so it unrolls
+# K bounded rounds (q27's unroll idiom), each ONE anti-join agg +
+# one argmax row; K is small by construction (you are picking a
+# handful of feeds), the data side stays fully distributed.
+#
+# Determinism: gains are exact int64 distinct-shingle counts; argmax
+# tie-breaks (gain DESC, source ASC) — a total order. Output one row
+# per pick with its marginal gain and the running coverage share.
+# Coverage units are COV_SH-word shingles, not unigrams — the fixture
+# vocabulary is 31 words (one source covers it all, a degenerate
+# greedy), while shingle space is rich at every scale; real mixture
+# selection also covers n-gram/topic space, not bare vocabulary.
+# --------------------------------------------------------------------------
+
+COV_K = 5
+COV_SH = 3
+
+
+def q180_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    pres = (
+        docs.select(
+            "source", F.explode(_shingles(COV_SH)).alias("term")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vocab_n = F.broadcast(
+        pres.select("term").distinct().groupBy().agg(
+            F.count("*").cast("long").alias("n_vocab")
+        )
+    )
+    covered = None  # DataFrame of covered terms
+    picks = []
+    cum = 0  # running covered count carried through the loop plan
+    for step in range(1, COV_K + 1):
+        cand = pres if covered is None else pres.join(
+            covered, "term", "left_anti"
+        )
+        gains = cand.groupBy("source").agg(
+            F.count("*").cast("long").alias("gain")
+        )
+        best = F.broadcast(
+            gains.orderBy(F.desc("gain"), F.asc("source"))
+            .limit(1)
+            .select(
+                F.col("source").alias("pick"),
+                F.col("gain").alias("pick_gain"),
+            )
+        )
+        picks.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("pick").alias("source"),
+                F.col("pick_gain").alias("gain"),
+            )
+        )
+        covered_new = pres.join(
+            best, pres.source == F.col("pick")
+        ).select("term").distinct()
+        covered = (
+            covered_new
+            if covered is None
+            else covered.unionAll(covered_new).distinct()
+        ).localCheckpoint(eager=False)
+    u = picks[0]
+    for pf in picks[1:]:
+        u = u.unionAll(pf)
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        u.crossJoin(vocab_n)
+        .withColumn("covered", F.sum("gain").over(w).cast("long"))
+        .select(
+            "step",
+            "source",
+            "gain",
+            "covered",
+            "n_vocab",
+            (
+                F.col("covered").cast("double")
+                / F.col("n_vocab").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("step")
+    )
+
+
+QUERIES["q180_coverage_greedy"] = q180_coverage_greedy
+
+
+def _cov_round_sql(i: int) -> str:
+    prev_cov = (
+        "SELECT term FROM pres WHERE source IN "
+        f"(SELECT source FROM picks{i - 1})"
+        if i > 1
+        else "SELECT NULL AS term WHERE 1 = 0"
+    )
+    prev_picks = (
+        f"SELECT source FROM picks{i - 1}" if i > 1 else "SELECT NULL WHERE 1=0"
+    )
+    return f"""
+gain{i} AS (
+  SELECT source, count(*)::BIGINT AS gain
+  FROM pres
+  WHERE term NOT IN ({prev_cov})
+  GROUP BY source
+),
+pick{i} AS (
+  SELECT {i}::INT AS step, source, gain
+  FROM gain{i} ORDER BY gain DESC, source ASC LIMIT 1
+),
+picks{i} AS (
+  {"SELECT source FROM picks" + str(i - 1) + " UNION ALL " if i > 1 else ""}
+  SELECT source FROM pick{i}
+)"""
+
+
+_COV_CTES = ",".join(_cov_round_sql(i) for i in range(1, COV_K + 1))
+
+_COV_UNION = " UNION ALL ".join(
+    f"SELECT * FROM pick{i}" for i in range(1, COV_K + 1)
+)
+
+ORACLE["q180_coverage_greedy"] = f"""
+WITH d AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT source, unnest(generate_series(1, len(toks) - {COV_SH - 1}))
+           AS pos, toks
+  FROM d WHERE len(toks) >= {COV_SH}
+),
+pres AS (
+  SELECT DISTINCT source,
+         array_to_string(toks[pos:pos + {COV_SH - 1}], ' ') AS term
+  FROM tp
+),
+vocab AS (SELECT count(DISTINCT term)::BIGINT AS n_vocab FROM pres),
+{_COV_CTES},
+u AS ({_COV_UNION})
+SELECT step, source, gain,
+       sum(gain) OVER (ORDER BY step
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      )::BIGINT AS covered,
+       vocab.n_vocab,
+       CAST(sum(gain) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DOUBLE)
+         / CAST(vocab.n_vocab AS DOUBLE) AS coverage
+FROM u, vocab
+ORDER BY step
+"""

@@ -2377,3 +2377,116 @@ SELECT touch_type, n_purchases,
 FROM per_touch, tot
 ORDER BY touch_type
 """
+
+
+# --------------------------------------------------------------------------
+# q182: hour-of-day seasonal anomaly detection — the seasonal
+# complement to q86's trailing-window burst detector: q86 compares a
+# bucket to its RECENT baseline (catches spikes but flags every
+# morning rush), q182 compares it to the SAME-HOUR-OF-DAY baseline
+# across days (the profile a traffic dashboard draws), so diurnal
+# rhythm is modeled, not alarmed on. z-score per (type, day, hour)
+# against the (type, hour-of-day) profile.
+#
+# Determinism: the z numerator/denominator reduce to exact int64
+# moments — z = (m·n − Σn) / sqrt(m·(m·Σn² − (Σn)²) / (m−1)) with
+# every product integer until the final IEEE tree; NULL-guarded when
+# the profile has zero variance or a single day (both engines agree
+# on the undefined case — the q86/q95 x/0 rule). UNROUNDED.
+#
+# Scale shape: one (type, day, hour) hash agg over the log, one
+# (type, hod) profile agg (≤ types·24 rows, broadcast back), one
+# map-only z expression + TakeOrdered head.
+# --------------------------------------------------------------------------
+
+SEAS_TOP = 40
+
+
+def q182_seasonal_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket"),
+        F.dayofyear("ts").alias("doy"),
+        F.hour("ts").alias("hod"),
+    )
+    per_bucket = ev.groupBy("event_type", "doy", "hod", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    profile = per_bucket.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = per_bucket.join(
+        F.broadcast(profile), ["event_type", "hod"]
+    )
+    m = F.col("m")
+    num = (m * F.col("n") - F.col("s1")).cast("double")
+    var_num = (m * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    denom = F.sqrt(
+        m.cast("double")
+        * (var_num / (m - F.lit(1)).cast("double"))
+    )
+    z = F.when((m >= 2) & (var_num > 0.0), num / denom)
+    return (
+        j.select(
+            "event_type",
+            "bucket",
+            "hod",
+            "n",
+            "m",
+            "s1",
+            z.alias("z"),
+        )
+        .filter(z.isNotNull())
+        .orderBy(F.desc(F.abs(F.col("z"))), "event_type", "bucket")
+        .limit(SEAS_TOP)
+    )
+
+
+QUERIES["q182_seasonal_anomaly"] = q182_seasonal_anomaly
+
+ORACLE["q182_seasonal_anomaly"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         dayofyear(ts) AS doy,
+         hour(ts) AS hod
+  FROM events
+),
+per_bucket AS (
+  SELECT event_type, doy, hod, bucket, count(*)::BIGINT AS n
+  FROM ev GROUP BY event_type, doy, hod, bucket
+),
+profile AS (
+  SELECT event_type, hod, count(*)::BIGINT AS m,
+         sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+  FROM per_bucket GROUP BY event_type, hod
+),
+j AS (
+  SELECT b.event_type, b.bucket, b.hod, b.n, p.m, p.s1, p.s2
+  FROM per_bucket b JOIN profile p
+    ON b.event_type = p.event_type AND b.hod = p.hod
+),
+scored AS (
+  SELECT event_type, bucket, hod, n, m, s1,
+         CASE WHEN m >= 2
+                   AND CAST(m * s2 - s1 * s1 AS DOUBLE) > 0.0
+              THEN CAST(m * n - s1 AS DOUBLE)
+                   / sqrt(CAST(m AS DOUBLE)
+                          * (CAST(m * s2 - s1 * s1 AS DOUBLE)
+                             / CAST(m - 1 AS DOUBLE)))
+              ELSE NULL END AS z
+  FROM j
+)
+SELECT event_type, bucket, hod, n, m, s1, z
+FROM scored
+WHERE z IS NOT NULL
+ORDER BY abs(z) DESC, event_type, bucket
+LIMIT {SEAS_TOP}
+"""

@@ -2851,3 +2851,135 @@ ORACLE["q179_psi_drift"] = ORACLE["q179_psi_drift"].format(
     + ORACLE["q23_quality"]
     + "))"
 )
+
+# --------------------------------------------------------------------------
+# q181: two-sample Kolmogorov–Smirnov test between corpus halves'
+# quality distributions — the EXACT nonparametric companion to q179's
+# binned PSI (PSI says how much drift in bucketed mass; KS gives the
+# max CDF gap with a distribution-free significance threshold — the
+# pair a drift dashboard shows together). Evaluated at distinct
+# values (the tie-correct convention), with the supremum kept as an
+# EXACT integer numerator: D = max|c1·n2 − c2·n1| / (n1·n2) — the
+# max ranges over int64, so the statistic is order-insensitive and
+# cross-engine exact; the only doubles are the final division and
+# the asymptotic threshold c(α)·sqrt((n1+n2)/(n1·n2)).
+#
+# Scale shape: one map-only quality pass, ONE (value) hash agg with
+# conditional partials, one ordered cumsum over distinct values
+# (range-partitioned rank at scale), a 1-row max rollup.
+# --------------------------------------------------------------------------
+
+KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05
+
+
+def q181_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    q = docs.select(
+        quality_col().alias("v"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("half"),
+    )
+    per_v = q.groupBy("v").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.withColumn(
+        "cum1", F.sum("c1").over(w).cast("long")
+    ).withColumn("cum2", F.sum("c2").over(w).cast("long"))
+    tot = F.broadcast(
+        per_v.groupBy().agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+    )
+    g = (
+        cum.crossJoin(tot)
+        .withColumn(
+            "gap",
+            F.abs(
+                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            ).cast("long"),
+        )
+        .groupBy()
+        .agg(
+            F.max("gap").cast("long").alias("d_num"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+        )
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    thresh = F.lit(KS_ALPHA_C) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return g.select(
+        "n1",
+        "n2",
+        "d_num",
+        d.alias("ks_d"),
+        thresh.alias("threshold"),
+        (d > thresh).alias("reject_same_dist"),
+    )
+
+
+QUERIES["q181_ks_test"] = q181_ks_test
+
+ORACLE["q181_ks_test"] = f"""
+WITH {{qcte}},
+h AS (
+  SELECT quality AS v,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS half
+  FROM qual
+),
+per_v AS (
+  SELECT v,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM h GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)::BIGINT AS cum1,
+         sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)::BIGINT AS cum2
+  FROM per_v
+),
+tot AS (
+  SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM per_v
+),
+g AS (
+  SELECT max(abs(cum1 * n2 - cum2 * n1))::BIGINT AS d_num,
+         max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2
+  FROM cum, tot
+)
+SELECT n1, n2, d_num,
+       CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         AS ks_d,
+       {KS_ALPHA_C!r}::DOUBLE
+         * sqrt(CAST(n1 + n2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+         AS threshold,
+       CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         > {KS_ALPHA_C!r}::DOUBLE
+           * sqrt(CAST(n1 + n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+         AS reject_same_dist
+FROM g
+"""
+
+ORACLE["q181_ks_test"] = ORACLE["q181_ks_test"].format(
+    qcte="qual AS (SELECT doc_id, quality FROM ("
+    + ORACLE["q23_quality"]
+    + "))"
+)

@@ -181,6 +181,9 @@ ORACLE_CHECKED = [
     "q177_heavy_changers",
     "q178_attribution",
     "q179_psi_drift",
+    "q180_coverage_greedy",
+    "q181_ks_test",
+    "q182_seasonal_anomaly",
 ]
 
 
@@ -3379,3 +3382,125 @@ def test_psi_drift_matches_python_reference(spark):
     assert row["psi"] >= 0.0
     assert row["stable"] == (row["psi"] < 0.1)
     assert row["action_needed"] == (row["psi"] > 0.25)
+
+
+def test_coverage_greedy_matches_python_reference(spark):
+    """q180: replay the greedy over the per-source shingle sets;
+    picks, gains, and cumulative coverage exact. Submodularity:
+    marginal gains are non-increasing."""
+    from searchengine_spark.pipelines.curation import (
+        COV_K,
+        COV_SH,
+        q180_coverage_greedy,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    docs = load_docs(spark, SF_DIR).select("source", "text").collect()
+    pres = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        sset = pres.setdefault(r["source"], set())
+        for i in range(len(toks) - COV_SH + 1):
+            sset.add(" ".join(toks[i : i + COV_SH]))
+    vocab = set().union(*pres.values())
+    covered = set()
+    want = []
+    for step in range(1, COV_K + 1):
+        top = max(len(p - covered) for p in pres.values())
+        best = min(s for s in pres if len(pres[s] - covered) == top)
+        gain = len(pres[best] - covered)
+        covered |= pres[best]
+        want.append((step, best, gain, len(covered)))
+    got = q180_coverage_greedy(spark, SF_DIR).collect()
+    assert len(got) == COV_K
+    gains = []
+    for g, w in zip(got, want):
+        assert (g["step"], g["source"], g["gain"], g["covered"]) == w
+        assert g["n_vocab"] == len(vocab)
+        assert g["coverage"] == float(w[3]) / float(len(vocab))
+        gains.append(g["gain"])
+    assert gains == sorted(gains, reverse=True)  # submodular
+
+
+def test_ks_test_matches_python_reference(spark):
+    """q181: exact integer supremum replay of the two-sample KS."""
+    import math
+
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.textstats import (
+        KS_ALPHA_C,
+        _tok_arr,
+        load_docs,
+        q181_ks_test,
+        quality_col,
+    )
+
+    rows = (
+        load_docs(spark, SF_DIR)
+        .withColumn("toks", _tok_arr())
+        .select("doc_id", quality_col().alias("v"))
+        .collect()
+    )
+    a = sorted(r["v"] for r in rows if r["doc_id"] % 2 == 0)
+    b = sorted(r["v"] for r in rows if r["doc_id"] % 2 == 1)
+    n1, n2 = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * n2 - bisect.bisect_right(b, v) * n1)
+        for v in vals
+    )
+    row = q181_ks_test(spark, SF_DIR).collect()[0]
+    assert (row["n1"], row["n2"], row["d_num"]) == (n1, n2, d_num)
+    assert row["ks_d"] == float(d_num) / (float(n1) * float(n2))
+    thr = KS_ALPHA_C * math.sqrt(float(n1 + n2) / (float(n1) * float(n2)))
+    assert row["threshold"] == thr
+    assert row["reject_same_dist"] == (row["ks_d"] > thr)
+
+
+def test_seasonal_anomaly_matches_python_reference(spark):
+    """q182: replay the hour-of-day profile z-scores from raw
+    events; top rows and z values bit-exact."""
+    import math
+    from collections import Counter, defaultdict
+
+    from searchengine_spark.pipelines.relational import (
+        SEAS_TOP,
+        load,
+        q182_seasonal_anomaly,
+    )
+
+    ev = load(spark, SF_DIR, "events").selectExpr(
+        "event_type",
+        "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')"
+        " AS bucket",
+        "dayofyear(ts) AS doy",
+        "hour(ts) AS hod",
+    ).collect()
+    per_bucket = Counter(
+        (r["event_type"], r["doy"], r["hod"], r["bucket"]) for r in ev
+    )
+    prof = defaultdict(lambda: [0, 0, 0])
+    for (et, _doy, hod, _b), n in per_bucket.items():
+        p = prof[(et, hod)]
+        p[0] += 1
+        p[1] += n
+        p[2] += n * n
+    want = []
+    for (et, _doy, hod, b), n in per_bucket.items():
+        m, s1, s2 = prof[(et, hod)]
+        var_num = m * s2 - s1 * s1
+        if m >= 2 and var_num > 0:
+            z = float(m * n - s1) / math.sqrt(
+                float(m) * (float(var_num) / float(m - 1))
+            )
+            want.append((abs(z), et, b, z, n, m, s1, hod))
+    want.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = q182_seasonal_anomaly(spark, SF_DIR).collect()
+    assert len(got) == min(SEAS_TOP, len(want))
+    for g, w in zip(got, want[: len(got)]):
+        assert (
+            g["event_type"], g["bucket"], g["z"], g["n"], g["m"], g["s1"],
+            g["hod"],
+        ) == (w[1], w[2], w[3], w[4], w[5], w[6], w[7])
