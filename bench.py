@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     "q180_coverage_greedy",
     "q181_ks_test",
     "q182_seasonal_anomaly",
+    "q183_winnow_pairs",
+    "q184_burstiness",
+    "q185_pagerank_delta",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

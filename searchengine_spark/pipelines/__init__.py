@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q185_pagerank_delta",
+    "q184_burstiness",
+    "q183_winnow_pairs",
     "q182_seasonal_anomaly",
     "q181_ks_test",
     "q180_coverage_greedy",

@@ -2121,3 +2121,120 @@ SELECT bands::INT AS bands, rows::INT AS rows, s,
 FROM grid
 ORDER BY bands, rows, s
 """
+
+
+# --------------------------------------------------------------------------
+# q183: winnowing near-dup pairs — the POSITIONAL-evidence member of
+# the dedup family (q17 MinHash = set overlap, q55/q106 = exact span
+# repeats, q183 = guaranteed-coverage local fingerprints): doc pairs
+# sharing ≥ WNP_MIN selected winnowing fingerprints (q161's
+# selection), with stop-fingerprints df-capped so boilerplate every
+# doc shares cannot go quadratic (q83's stop-shingle argument). The
+# batch twin of streaming/fingerprints.read_shared_pairs — this
+# entry puts the pair semantics under the DuckDB oracle.
+#
+# Scale shape: q161's map-only selection, one (fp) df census, an
+# equi-join on the 26-bit fingerprint hash bounded by the df cap,
+# one (a,b) hash agg. Exact int64 counts; ordering total.
+# --------------------------------------------------------------------------
+
+WNP_MIN = 2
+WNP_MAX_DF = 64
+WNP_TOP = 200
+
+
+def q183_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.textstats import (
+        WIN_POS_BITS,
+        load_docs as _ld,
+        winnow_parts,
+    )
+
+    _nk, sel = winnow_parts(_ld(spark, sf_dir))
+    fp = sel.select(
+        "doc_id", F.shiftright("selkey", WIN_POS_BITS).alias("fp")
+    ).distinct()
+    dfc = fp.groupBy("fp").agg(F.count("*").alias("df"))
+    live = fp.join(
+        F.broadcast(dfc.filter(F.col("df") <= WNP_MAX_DF)), "fp"
+    )
+    a = live.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = live.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WNP_MIN)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(WNP_TOP)
+    )
+
+
+QUERIES["q183_winnow_pairs"] = q183_winnow_pairs
+
+# q183's oracle interpolates q161's CTE text, which references these
+# names — import them under the SAME names the CTE uses, pinned to the
+# textstats values (CLAUDE.md module-constant rule: these are aliases,
+# never redefinitions; grep before adding same-named constants here).
+from .textstats import FP_BASE, FP_MOD, WIN_K, WIN_POS_BITS, WIN_W  # noqa: E402,F401
+
+
+ORACLE["q183_winnow_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM d
+),
+tok AS (
+  SELECT doc_id, pos - 1 AS pos,
+         ('0x' || substr(md5(toks[pos]), 1, 15))::BIGINT % {FP_MOD} AS th
+  FROM tp
+),
+kg AS (
+  SELECT doc_id, pos,
+         ((th * {FP_BASE} + lead(th, 1) OVER w) % {FP_MOD}
+          * {FP_BASE} + lead(th, 2) OVER w) % {FP_MOD} AS kh
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+kg2 AS (SELECT * FROM kg WHERE kh IS NOT NULL),
+nk AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kgrams FROM kg2 GROUP BY doc_id
+),
+sel AS (
+  SELECT doc_id, pos,
+         min(kh * {1 << WIN_POS_BITS}
+             + ({(1 << WIN_POS_BITS) - 1} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS selkey
+  FROM kg2
+),
+sel2 AS (
+  SELECT DISTINCT s.doc_id, s.selkey
+  FROM sel s JOIN nk ON s.doc_id = nk.doc_id
+  WHERE s.pos <= nk.n_kgrams - {WIN_W}
+),
+cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_selected FROM sel2 GROUP BY doc_id
+),
+fp AS (
+  SELECT DISTINCT doc_id, selkey // {1 << WIN_POS_BITS} AS fp FROM sel2
+),
+dfc AS (SELECT fp, count(*)::BIGINT AS df FROM fp GROUP BY fp),
+live AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN dfc ON f.fp = dfc.fp
+  WHERE dfc.df <= {WNP_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS n_shared
+FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WNP_MIN}
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT {WNP_TOP}
+"""

@@ -2427,3 +2427,163 @@ FROM per_node p, gtot g
 ORDER BY p.n_recip DESC, p.out_deg DESC, node ASC
 LIMIT {RECIP_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q185: incremental PageRank movers — the freshness question a
+# ranking pipeline answers after every crawl increment: DON'T rerun
+# PageRank from scratch; warm-restart one iteration from the previous
+# ranks over the updated edge set and read which nodes MOVED (the
+# standard incremental approximation — ranks are a contraction's
+# fixed point, so one warm step bounds each node's residual, and the
+# movers list is what downstream re-scoring actually consumes).
+# Base graph = even-order edges, increment = the rest.
+#
+# Determinism: q27's EXACT int64 fixed-point contributions
+# throughout ((17·u) div (20·outdeg) — the r5 lesson: no float state
+# in iterations), so u_old, u_new, and every delta are bit-identical
+# at any parallelism and across engines. Scale shape: q27's per-round
+# plan (one equi-join + one per-node sum) on the base for N_ITERS
+# rounds, ONE warm round on the full graph, a map-only delta + head.
+# --------------------------------------------------------------------------
+
+PRD_TOP = 100
+
+
+def q185_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _tables.load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").cast("long").alias("part"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+
+    def sym(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("part").alias("src"), F.col("supp").alias("dst")
+        ).unionAll(
+            df.select(F.col("supp").alias("src"), F.col("part").alias("dst"))
+        )
+
+    e_full = sym(li.select("part", "supp").distinct()).localCheckpoint(
+        eager=False
+    )
+    e_base = sym(
+        li.filter(F.col("ok") % 2 == 0).select("part", "supp").distinct()
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e_full.select(F.col("src").alias("node"))
+        .unionAll(e_full.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_b = e_base.groupBy("src").agg(F.count("*").alias("outdeg"))
+    out_f = e_full.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    def one_round(ranks: DataFrame, e: DataFrame, out: DataFrame) -> DataFrame:
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out, "src")
+            .select("dst", F.expr(_PR_CONTRIB).alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        return (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE_U)
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).cast("long").alias("u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    ranks = nodes.withColumn("u", F.lit(PR_ONE_U).cast("long"))
+    for _ in range(N_ITERS):
+        ranks = one_round(ranks, e_base, out_b)
+    old = ranks.select("node", F.col("u").alias("u_old"))
+    warm = one_round(ranks, e_full, out_f).select(
+        "node", F.col("u").alias("u_new")
+    )
+    delta = F.col("u_new") - F.col("u_old")
+    return (
+        old.join(warm, "node")
+        .select(
+            "node",
+            "u_old",
+            "u_new",
+            delta.cast("long").alias("delta_u"),
+            (
+                delta.cast("double") / F.lit(float(PR_SCALE))
+            ).alias("delta_rank"),
+        )
+        .orderBy(F.desc(F.abs(F.col("delta_u"))), F.asc("node"))
+        .limit(PRD_TOP)
+    )
+
+
+QUERIES["q185_pagerank_delta"] = q185_pagerank_delta
+
+
+def _prd_round_sql(prev: str, cur: str, e: str, out: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node, ({PR_BASE_U} + coalesce(s.s, 0))::BIGINT AS u
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum({_PR_CONTRIB_SQL}) AS s
+    FROM {e} e JOIN {prev} r ON e.src = r.node
+               JOIN {out} o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.dst
+)"""
+
+
+_PRD_CTES = ",".join(
+    _prd_round_sql(f"pr{i}", f"pr{i + 1}", "e_base", "out_b")
+    for i in range(N_ITERS)
+)
+
+ORACLE["q185_pagerank_delta"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS part,
+         l_suppkey::BIGINT + {SUPP_OFFSET} AS supp
+  FROM lineitem
+),
+pf AS (SELECT DISTINCT part, supp FROM li),
+pb AS (SELECT DISTINCT part, supp FROM li WHERE ok % 2 = 0),
+e_full AS (
+  SELECT part AS src, supp AS dst FROM pf
+  UNION ALL SELECT supp AS src, part AS dst FROM pf
+),
+e_base AS (
+  SELECT part AS src, supp AS dst FROM pb
+  UNION ALL SELECT supp AS src, part AS dst FROM pb
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e_full UNION ALL SELECT dst FROM e_full
+  )
+),
+out_b AS (SELECT src, count(*) AS outdeg FROM e_base GROUP BY src),
+out_f AS (SELECT src, count(*) AS outdeg FROM e_full GROUP BY src),
+pr0 AS (SELECT node, {PR_ONE_U}::BIGINT AS u FROM nodes),
+{_PRD_CTES},
+warm AS (
+  SELECT n.node, ({PR_BASE_U} + coalesce(s.s, 0))::BIGINT AS u
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum({_PR_CONTRIB_SQL}) AS s
+    FROM e_full e JOIN pr{N_ITERS} r ON e.src = r.node
+                  JOIN out_f o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.node = s.dst
+)
+SELECT o.node, o.u AS u_old, w.u AS u_new,
+       (w.u - o.u)::BIGINT AS delta_u,
+       CAST(w.u - o.u AS DOUBLE) / CAST('1e12' AS DOUBLE) AS delta_rank
+FROM pr{N_ITERS} o JOIN warm w ON o.node = w.node
+ORDER BY abs(w.u - o.u) DESC, o.node ASC
+LIMIT {PRD_TOP}
+"""

@@ -2983,3 +2983,99 @@ ORACLE["q181_ks_test"] = ORACLE["q181_ks_test"].format(
     + ORACLE["q23_quality"]
     + "))"
 )
+
+# --------------------------------------------------------------------------
+# q184: term burstiness / index of dispersion (Church/Gale 1995) —
+# the "content word or function word?" diagnostic a stopword list,
+# an IDF sanity check, and a topic-segmentation heuristic all read:
+# function words occur evenly (variance ≈ mean, VMR ≈ 1 under
+# Poisson), content words BURST (a doc either ignores the term or
+# uses it repeatedly, VMR ≫ 1). Per term over per-doc tf INCLUDING
+# zeros: mean = cf/N, VMR = variance/mean with the zero-doc mass
+# folded in closed form — Σ(tf−μ)² over all N docs needs only the
+# nonzero tf moments: Σtf² − 2μ·cf + N·μ² — so the zero docs are
+# never materialized.
+#
+# Determinism: per-term moments are exact int64 (Σtf, Σtf²); VMR is
+# ONE IEEE tree over them and N, NULL-free by df ≥ 1. Burstiness
+# cf/df is exact-int division published as double. UNROUNDED.
+# Scale shape: one (term) hash agg + a 1-row N broadcast; top head
+# by VMR. At 100 TB the agg keys on xxhash64(term).
+# --------------------------------------------------------------------------
+
+BURST_TOP = 30
+BURST_MIN_DF = 5
+
+
+def q184_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+    )
+    n_row = F.broadcast(
+        docs.groupBy().agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    n = F.col("n_docs").cast("double")
+    mu = F.col("cf").cast("double") / n
+    var = (
+        F.col("s2").cast("double")
+        - F.lit(2.0) * mu * F.col("cf").cast("double")
+        + n * mu * mu
+    ) / n
+    vmr = var / mu
+    return (
+        per_term.crossJoin(n_row)
+        .filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "term",
+            "df",
+            "cf",
+            "s2",
+            (F.col("cf").cast("double") / F.col("df").cast("double"))
+            .alias("burstiness"),
+            vmr.alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), F.asc("term"))
+        .limit(BURST_TOP)
+    )
+
+
+QUERIES["q184_burstiness"] = q184_burstiness
+
+ORACLE["q184_burstiness"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+per_term AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+         sum(tf * tf)::BIGINT AS s2
+  FROM tf GROUP BY term
+),
+nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT term, df, cf, s2,
+       CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
+       ((CAST(s2 AS DOUBLE)
+         - 2.0::DOUBLE * (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           * CAST(cf AS DOUBLE)
+         + CAST(n_docs AS DOUBLE)
+           * (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           * (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        / CAST(n_docs AS DOUBLE))
+       / (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS vmr
+FROM per_term, nn
+WHERE df >= {BURST_MIN_DF}
+ORDER BY vmr DESC, term ASC
+LIMIT {BURST_TOP}
+"""

@@ -184,6 +184,9 @@ ORACLE_CHECKED = [
     "q180_coverage_greedy",
     "q181_ks_test",
     "q182_seasonal_anomaly",
+    "q183_winnow_pairs",
+    "q184_burstiness",
+    "q185_pagerank_delta",
 ]
 
 
@@ -3504,3 +3507,151 @@ def test_seasonal_anomaly_matches_python_reference(spark):
             g["event_type"], g["bucket"], g["z"], g["n"], g["m"], g["s1"],
             g["hod"],
         ) == (w[1], w[2], w[3], w[4], w[5], w[6], w[7])
+
+
+def test_winnow_pairs_matches_python_reference(spark):
+    """q183: replay the df-capped fingerprint pair census over the
+    engine's own selected sets; the planted exact-dup docs (q15's)
+    must surface as maximal-overlap pairs."""
+    from collections import Counter, defaultdict
+
+    from searchengine_spark.pipelines.dedup import (
+        WNP_MAX_DF,
+        WNP_MIN,
+        WNP_TOP,
+        q183_winnow_pairs,
+    )
+    from searchengine_spark.pipelines.textstats import (
+        WIN_POS_BITS,
+        load_docs,
+        winnow_parts,
+    )
+
+    _nk, sel = winnow_parts(load_docs(spark, SF_DIR))
+    fps = defaultdict(set)
+    for r in sel.collect():
+        fps[r["doc_id"]].add(r["selkey"] >> WIN_POS_BITS)
+    df = Counter()
+    for s in fps.values():
+        for f in s:
+            df[f] += 1
+    live = {d: {f for f in s if df[f] <= WNP_MAX_DF}
+            for d, s in fps.items()}
+    pairs = Counter()
+    inv = defaultdict(list)
+    for d, s in live.items():
+        for f in s:
+            inv[f].append(d)
+    for f, ds in inv.items():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] += 1
+    want = sorted(
+        ((n, a, b) for (a, b), n in pairs.items() if n >= WNP_MIN),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:WNP_TOP]
+    got = q183_winnow_pairs(spark, SF_DIR).collect()
+    assert [(r["n_shared"], r["doc_a"], r["doc_b"]) for r in got] == want
+
+
+def test_burstiness_matches_python_reference(spark):
+    """q184: bit-exact VMR replay; function-word VMRs sit below the
+    bursty head (the Church/Gale separation)."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.textstats import (
+        BURST_MIN_DF,
+        BURST_TOP,
+        load_docs,
+        q184_burstiness,
+    )
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    tf = Counter()
+    for r in docs:
+        for t in r["text"].split(" "):
+            if t:
+                tf[(r["doc_id"], t)] += 1
+    per = {}
+    for (_d, t), c in tf.items():
+        df, cf, s2 = per.get(t, (0, 0, 0))
+        per[t] = (df + 1, cf + c, s2 + c * c)
+    n = len(docs)
+    scored = []
+    for t, (df, cf, s2) in per.items():
+        if df < BURST_MIN_DF:
+            continue
+        mu = cf / n
+        var = (s2 - 2.0 * mu * cf + n * mu * mu) / n
+        scored.append((var / mu, t, df, cf, s2))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    got = q184_burstiness(spark, SF_DIR).collect()
+    assert len(got) == min(BURST_TOP, len(scored))
+    for g, w in zip(got, scored[: len(got)]):
+        assert (g["term"], g["df"], g["cf"], g["s2"]) == (
+            w[1], w[2], w[3], w[4],
+        )
+        assert g["vmr"] == w[0]
+        assert g["burstiness"] == float(w[3]) / float(w[2])
+
+
+def test_pagerank_delta_matches_python_reference(spark):
+    """q185: exact int64 replay of base iterations + warm restart."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines import _tables
+    from searchengine_spark.pipelines.graph import (
+        N_ITERS,
+        PR_BASE_U,
+        PR_ONE_U,
+        PRD_TOP,
+        SUPP_OFFSET,
+        q185_pagerank_delta,
+    )
+
+    rows = (
+        _tables.load(spark, SF_DIR, "lineitem")
+        .selectExpr(
+            "l_orderkey AS ok",
+            "CAST(l_partkey AS LONG) AS part",
+            f"CAST(l_suppkey AS LONG) + {SUPP_OFFSET} AS supp",
+        )
+        .distinct()
+        .collect()
+    )
+    pf = {(r["part"], r["supp"]) for r in rows}
+    pb = {(r["part"], r["supp"]) for r in rows if r["ok"] % 2 == 0}
+
+    def edges_of(ps):
+        e = []
+        for p, s in ps:
+            e.append((p, s))
+            e.append((s, p))
+        return e
+
+    ef, eb = edges_of(pf), edges_of(pb)
+    nodes = {s for s, _ in ef} | {d for _, d in ef}
+
+    def iterate(u, e):
+        out = defaultdict(int)
+        for s, _ in e:
+            out[s] += 1
+        inc = defaultdict(int)
+        for s, d in e:
+            inc[d] += (17 * u[s]) // (20 * out[s])
+        return {n: PR_BASE_U + inc[n] for n in nodes}
+
+    u = {n: PR_ONE_U for n in nodes}
+    for _ in range(N_ITERS):
+        u = iterate(u, eb)
+    warm = iterate(u, ef)
+    want = sorted(
+        ((abs(warm[n] - u[n]), n) for n in nodes),
+        key=lambda t: (-t[0], t[1]),
+    )[:PRD_TOP]
+    got = q185_pagerank_delta(spark, SF_DIR).collect()
+    assert [(abs(r["delta_u"]), r["node"]) for r in got] == want
+    for r in got:
+        assert r["u_old"] == u[r["node"]]
+        assert r["u_new"] == warm[r["node"]]
