@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "q183_winnow_pairs",
     "q184_burstiness",
     "q185_pagerank_delta",
+    "q186_impact_ordering",
+    "q187_hill_tail",
+    "q188_poisson_bootstrap",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

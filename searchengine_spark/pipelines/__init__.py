@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q188_poisson_bootstrap",
+    "q187_hill_tail",
+    "q186_impact_ordering",
     "q185_pagerank_delta",
     "q184_burstiness",
     "q183_winnow_pairs",

@@ -2402,3 +2402,121 @@ FROM keyed
 ORDER BY key
 LIMIT {INTER_K}
 """
+
+
+# --------------------------------------------------------------------------
+# q186: impact-ordering early-termination audit — the measurement
+# behind impact-ordered/score-at-a-time indexes (Anh/Moffat) and the
+# sibling of the WAND block-max story the serving tier ships: per
+# query term, if postings were stored by descending BM25 impact, what
+# share of the term's total score mass do the first 10% / 25% / 50%
+# of postings carry? Mass concentrated at the head = anytime ranking
+# can stop early with bounded loss; flat mass = impact ordering buys
+# nothing for that term.
+#
+# Determinism: per-posting scores are q13's exact BM25 tree; the
+# cumulative shares quantize each score to int64 at IMP_QUANT
+# (floor(score·10⁹) — one identical multiply+floor) so running sums
+# and the total are order-insensitive integer arithmetic; published
+# shares are single IEEE divisions. Scale shape: one rank window per
+# term (bounded by df), three threshold probes read off the SAME
+# window pass via conditional aggs — no second sort.
+# --------------------------------------------------------------------------
+
+IMP_QUANT = 1_000_000_000
+IMP_DEPTHS = (10, 25, 50)  # percent of postings
+
+
+def q186_impact_ordering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hits = bm25_hits(spark, sf_dir).withColumn(
+        "su",
+        F.floor(F.col("score") * F.lit(float(IMP_QUANT))).cast("long"),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("su"), F.asc("doc_id")
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        hits.withColumn("r", F.row_number().over(w))
+        .withColumn("cum_u", F.sum("su").over(wcum).cast("long"))
+    )
+    n_df = ranked.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_n"),
+        F.sum("su").cast("long").alias("total_u"),
+    )
+    j = ranked.drop("df").join(F.broadcast(n_df), "term")
+    aggs = [
+        F.max(
+            F.when(
+                F.col("r")
+                == F.greatest(
+                    F.expr(f"(df_n * {p}) div 100"), F.lit(1)
+                ),
+                F.col("cum_u"),
+            )
+        ).alias(f"mass_{p}_u")
+        for p in IMP_DEPTHS
+    ]
+    g = j.groupBy("term").agg(
+        F.max("df_n").cast("long").alias("df"),
+        F.max("total_u").cast("long").alias("total_u"),
+        *aggs,
+    )
+    share_cols = [
+        (
+            F.col(f"mass_{p}_u").cast("double")
+            / F.col("total_u").cast("double")
+        ).alias(f"share_{p}")
+        for p in IMP_DEPTHS
+    ]
+    return g.select("term", "df", "total_u", *share_cols).orderBy("term")
+
+
+QUERIES["q186_impact_ordering"] = q186_impact_ordering
+
+_IMP_SHARES = ", ".join(
+    f"""CAST(max(CASE WHEN r = GREATEST((df * {p}) // 100, 1)
+                      THEN cum_u END) AS DOUBLE)
+         / CAST(max(total_u) AS DOUBLE) AS share_{p}"""
+    for p in IMP_DEPTHS
+)
+
+ORACLE["q186_impact_ordering"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(floor(ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                    * (1.2 + 1.0) * tf.tf
+                    / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * dl.dl / ad.avgdl))
+                    * {float(IMP_QUANT)!r}::DOUBLE) AS BIGINT) AS su
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+  CROSS JOIN n CROSS JOIN ad
+  WHERE tf.term IN ('{BM25_QUERY_TERMS[0]}', '{BM25_QUERY_TERMS[1]}',
+                    '{BM25_QUERY_TERMS[2]}')
+),
+ranked AS (
+  SELECT term, doc_id, su,
+         row_number() OVER w AS r,
+         sum(su) OVER (PARTITION BY term ORDER BY su DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      )::BIGINT AS cum_u
+  FROM hits
+  WINDOW w AS (PARTITION BY term ORDER BY su DESC, doc_id ASC)
+),
+tot AS (
+  SELECT term, count(*)::BIGINT AS df, sum(su)::BIGINT AS total_u
+  FROM ranked GROUP BY term
+),
+j AS (SELECT r.*, t.df, t.total_u FROM ranked r JOIN tot t USING (term))
+SELECT term, max(df)::BIGINT AS df, max(total_u)::BIGINT AS total_u,
+       {_IMP_SHARES}
+FROM j GROUP BY term ORDER BY term
+"""

@@ -2587,3 +2587,106 @@ FROM pr{N_ITERS} o JOIN warm w ON o.node = w.node
 ORDER BY abs(w.u - o.u) DESC, o.node ASC
 LIMIT {PRD_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q187: Hill tail-index of the degree distribution — the power-law
+# exponent estimate (Hill 1975; the standard web-graph heavy-tail
+# characterization alongside q95's Zipf slope for text): over the
+# top HILL_K degrees d_1 ≥ … ≥ d_k, α̂ = k / Σ ln(d_i / d_k). A web
+# graph's in-degree tail index near 2.1 is the classic Broder
+# finding; drift in α̂ across crawls flags link farms inflating the
+# tail. Published with the (k-1)-denominator variant too (both
+# conventions appear in practice).
+#
+# Determinism: degrees are exact int64; the top-k is a rank window
+# with total tie-break (degree DESC, node ASC); Σ ln(d_i/d_k) folds
+# as DECIMAL(28,12) partials of identical IEEE ln trees (q95's
+# recipe); final ratios single IEEE divisions, UNROUNDED.
+# Scale shape: one degree agg, one TakeOrdered top-k (tiny), one
+# k-row fold — the estimator never touches the full distribution.
+# --------------------------------------------------------------------------
+
+HILL_K = 100
+
+
+def q187_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    und = copurchase_edges(spark, sf_dir)
+    e = und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    w = Window.orderBy(F.desc("degree"), F.asc("node"))
+    top = deg.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= HILL_K
+    )
+    dk = F.broadcast(
+        top.filter(F.col("r") == HILL_K).select(
+            F.col("degree").alias("d_k")
+        )
+    )
+    g = (
+        top.crossJoin(dk)
+        .withColumn(
+            "lr",
+            F.log(
+                F.col("degree").cast("double") / F.col("d_k").cast("double")
+            ).cast("decimal(28,12)"),
+        )
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.max("d_k").cast("long").alias("d_min_tail"),
+            F.sum("lr").cast("double").alias("log_sum"),
+        )
+    )
+    return g.select(
+        "k",
+        "d_min_tail",
+        "log_sum",
+        (F.col("k").cast("double") / F.col("log_sum")).alias("hill_alpha"),
+        (
+            (F.col("k") - F.lit(1)).cast("double") / F.col("log_sum")
+        ).alias("hill_alpha_unbiased"),
+    )
+
+
+QUERIES["q187_hill_tail"] = q187_hill_tail
+
+ORACLE["q187_hill_tail"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL SELECT pb AS src, pa AS dst FROM und
+),
+deg AS (
+  SELECT src AS node, count(*)::BIGINT AS degree FROM e GROUP BY src
+),
+top AS (
+  SELECT node, degree,
+         row_number() OVER (ORDER BY degree DESC, node ASC) AS r
+  FROM deg QUALIFY r <= {HILL_K}
+),
+dk AS (SELECT degree AS d_k FROM top WHERE r = {HILL_K}),
+g AS (
+  SELECT count(*)::BIGINT AS k,
+         max(d_k)::BIGINT AS d_min_tail,
+         CAST(sum(CAST(ln(CAST(degree AS DOUBLE) / CAST(d_k AS DOUBLE))
+                       AS DECIMAL(28,12))) AS DOUBLE) AS log_sum
+  FROM top, dk
+)
+SELECT k, d_min_tail, log_sum,
+       CAST(k AS DOUBLE) / log_sum AS hill_alpha,
+       CAST(k - 1 AS DOUBLE) / log_sum AS hill_alpha_unbiased
+FROM g
+"""

@@ -3079,3 +3079,189 @@ WHERE df >= {BURST_MIN_DF}
 ORDER BY vmr DESC, term ASC
 LIMIT {BURST_TOP}
 """
+
+# --------------------------------------------------------------------------
+# q188: deterministic Poisson-bootstrap confidence interval for the
+# mean quality score — THE distributed bootstrap (each of B resamples
+# weights every row by an independent Poisson(1) count, so resampling
+# is a map-only weight column instead of n draws — the only bootstrap
+# that runs in one pass over 100 TB). Determinism: the Poisson draw
+# derives from the portable md5 hash of (doc_id, b) inverted through
+# the Poisson(1) CDF as a fixed literal ladder (P(0)=.3679, …) — the
+# same hash gives the same resample everywhere, so the CI is
+# reproducible run to run and engine to engine (a property audit
+# pipelines need and true RNG bootstraps lack).
+#
+# Scale shape: one corpus pass × B weight columns folded as a single
+# explode(B) + (b) hash agg with DECIMAL(28,12) weighted partials;
+# the B resample means then take an exact rank for the percentile CI
+# (B is small — the 2.5%/97.5% probe is a 2-row window read).
+# --------------------------------------------------------------------------
+
+BOOT_B = 40
+# Poisson(1) CDF ladder quantized to 9 digits of the uniform hash
+_POIS_CDF = [
+    367879441,   # P(X<=0)*1e9
+    735758882,
+    919698602,
+    981011843,
+    996340153,
+    1000000000,  # everything else -> 5+ capped at 5
+]
+
+
+def q188_poisson_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    q = docs.select("doc_id", quality_col().alias("quality"))
+    b = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b")
+    rows = q.select("doc_id", "quality", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col("doc_id"), F.col("b"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000_000
+    )
+    wgt = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    means = (
+        rows.withColumn("w", wgt)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(
+                (F.col("w").cast("double") * F.col("quality")).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("qsum"),
+        )
+        .filter(F.col("n_eff") > 0)
+        .select(
+            "b",
+            (
+                F.col("qsum").cast("double") / F.col("n_eff").cast("double")
+            ).alias("mean_q"),
+        )
+    )
+    wr = Window.orderBy("mean_q", "b")
+    ranked = means.withColumn("r", F.row_number().over(wr))
+    nb = F.broadcast(
+        means.groupBy().agg(F.count("*").cast("long").alias("nb"))
+    )
+    lo_r = F.greatest(F.expr("cast(ceil(nb * 0.025) as long)"), F.lit(1))
+    hi_r = F.expr("cast(ceil(nb * 0.975) as long)")
+    g = (
+        ranked.crossJoin(nb)
+        .groupBy()
+        .agg(
+            F.max("nb").cast("long").alias("n_resamples"),
+            F.max(F.when(F.col("r") == lo_r, F.col("mean_q"))).alias(
+                "ci_lo"
+            ),
+            F.max(F.when(F.col("r") == hi_r, F.col("mean_q"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    full = F.broadcast(
+        q.groupBy().agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("quality").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("qs"),
+        )
+    )
+    return (
+        g.crossJoin(full)
+        .select(
+            "n_resamples",
+            "n_docs",
+            (F.col("qs") / F.col("n_docs").cast("double")).alias(
+                "mean_quality"
+            ),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+QUERIES["q188_poisson_bootstrap"] = q188_poisson_bootstrap
+
+_POIS_CASE = (
+    f"CASE WHEN u < {_POIS_CDF[0]} THEN 0 "
+    f"WHEN u < {_POIS_CDF[1]} THEN 1 "
+    f"WHEN u < {_POIS_CDF[2]} THEN 2 "
+    f"WHEN u < {_POIS_CDF[3]} THEN 3 "
+    f"WHEN u < {_POIS_CDF[4]} THEN 4 ELSE 5 END"
+)
+
+ORACLE["q188_poisson_bootstrap"] = f"""
+WITH {{qcte}},
+rows_b AS (
+  SELECT doc_id, quality, unnest(generate_series(1, {BOOT_B})) AS b
+  FROM qual
+),
+uw AS (
+  SELECT quality, b,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                             || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000000 AS u
+  FROM rows_b
+),
+wt AS (SELECT quality, b, {_POIS_CASE} AS w FROM uw),
+means AS (
+  SELECT b,
+         sum(w)::BIGINT AS n_eff,
+         CAST(sum(CAST(CAST(w AS DOUBLE) * quality AS DECIMAL(28,12)))
+              AS DOUBLE) AS qsum
+  FROM wt GROUP BY b HAVING sum(w) > 0
+),
+m2 AS (
+  SELECT b, qsum / CAST(n_eff AS DOUBLE) AS mean_q FROM means
+),
+ranked AS (
+  SELECT b, mean_q, row_number() OVER (ORDER BY mean_q, b) AS r FROM m2
+),
+nb AS (SELECT count(*)::BIGINT AS nb FROM m2),
+g AS (
+  SELECT max(nb)::BIGINT AS n_resamples,
+         max(CASE WHEN r = GREATEST(CAST(ceil(nb * 0.025) AS BIGINT), 1)
+                  THEN mean_q END) AS ci_lo,
+         max(CASE WHEN r = CAST(ceil(nb * 0.975) AS BIGINT)
+                  THEN mean_q END) AS ci_hi
+  FROM ranked, nb
+),
+full_m AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         CAST(sum(CAST(quality AS DECIMAL(28,12))) AS DOUBLE) AS qs
+  FROM qual
+)
+SELECT g.n_resamples, f.n_docs,
+       f.qs / CAST(f.n_docs AS DOUBLE) AS mean_quality,
+       g.ci_lo, g.ci_hi
+FROM g, full_m f
+"""
+
+ORACLE["q188_poisson_bootstrap"] = ORACLE["q188_poisson_bootstrap"].format(
+    qcte="qual AS (SELECT doc_id, quality FROM ("
+    + ORACLE["q23_quality"]
+    + "))"
+)

@@ -187,6 +187,9 @@ ORACLE_CHECKED = [
     "q183_winnow_pairs",
     "q184_burstiness",
     "q185_pagerank_delta",
+    "q186_impact_ordering",
+    "q187_hill_tail",
+    "q188_poisson_bootstrap",
 ]
 
 
@@ -3655,3 +3658,119 @@ def test_pagerank_delta_matches_python_reference(spark):
     for r in got:
         assert r["u_old"] == u[r["node"]]
         assert r["u_new"] == warm[r["node"]]
+
+
+def test_impact_ordering_matches_python_reference(spark):
+    """q186: replay the quantized cumulative-mass probes; head shares
+    must be super-proportional (mass concentrates at the top)."""
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.fulltext import (
+        IMP_DEPTHS,
+        IMP_QUANT,
+        bm25_hits,
+        q186_impact_ordering,
+    )
+
+    hits = bm25_hits(spark, SF_DIR).withColumn(
+        "su", F.floor(F.col("score") * F.lit(float(IMP_QUANT))).cast("long")
+    )
+    per_term = {}
+    for r in hits.select("term", "doc_id", "su").collect():
+        per_term.setdefault(r["term"], []).append((r["su"], r["doc_id"]))
+    got = {r["term"]: r for r in q186_impact_ordering(spark, SF_DIR).collect()}
+    assert set(got) == set(per_term)
+    for t, posts in per_term.items():
+        posts.sort(key=lambda x: (-x[0], x[1]))
+        total = sum(s for s, _ in posts)
+        df = len(posts)
+        r = got[t]
+        assert (r["df"], r["total_u"]) == (df, total)
+        for p in IMP_DEPTHS:
+            depth = max(df * p // 100, 1)
+            cum = sum(s for s, _ in posts[:depth])
+            assert r[f"share_{p}"] == float(cum) / float(total)
+        # super-proportional head (impact ordering is worth something)
+        assert r["share_10"] > 0.10
+        assert r["share_50"] > 0.50
+
+
+def test_hill_tail_matches_python_reference(spark):
+    """q187: replay the top-k log fold within decimal quantization."""
+    import math
+    from collections import Counter
+
+    from searchengine_spark.pipelines.graph import (
+        HILL_K,
+        copurchase_edges,
+        q187_hill_tail,
+    )
+
+    und = copurchase_edges(spark, SF_DIR).collect()
+    deg = Counter()
+    for r in und:
+        deg[r["pa"]] += 1
+        deg[r["pb"]] += 1
+    top = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:HILL_K]
+    dk = top[-1][1]
+    ls = sum(math.log(d / dk) for _, d in top)
+    row = q187_hill_tail(spark, SF_DIR).collect()[0]
+    assert (row["k"], row["d_min_tail"]) == (HILL_K, dk)
+    assert abs(row["log_sum"] - ls) < 1e-8
+    assert abs(row["hill_alpha"] - HILL_K / ls) < 1e-8
+    assert row["hill_alpha"] > 0
+
+
+def test_poisson_bootstrap_matches_python_reference(spark):
+    """q188: replay the hash-deterministic Poisson weights; CI exact
+    and bracketing the point estimate."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.textstats import (
+        BOOT_B,
+        _POIS_CDF,
+        _tok_arr,
+        load_docs,
+        q188_poisson_bootstrap,
+        quality_col,
+    )
+
+    rows = (
+        load_docs(spark, SF_DIR)
+        .withColumn("toks", _tok_arr())
+        .select("doc_id", quality_col().alias("q"))
+        .collect()
+    )
+    means = []
+    for b in range(1, BOOT_B + 1):
+        n_eff = 0
+        qsum = 0.0
+        for r in rows:
+            u = (
+                int(
+                    hashlib.md5(
+                        f"{r['doc_id']}#{b}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % 1_000_000_000
+            )
+            w = next(
+                (i for i, c in enumerate(_POIS_CDF) if u < c), 5
+            )
+            w = min(w, 5)
+            n_eff += w
+            qsum += w * r["q"]
+        if n_eff:
+            means.append((qsum / n_eff, b))
+    means.sort()
+    nb = len(means)
+    import math
+
+    lo = means[max(math.ceil(nb * 0.025), 1) - 1][0]
+    hi = means[math.ceil(nb * 0.975) - 1][0]
+    row = q188_poisson_bootstrap(spark, SF_DIR).collect()[0]
+    assert row["n_resamples"] == nb
+    assert abs(row["ci_lo"] - lo) < 1e-9
+    assert abs(row["ci_hi"] - hi) < 1e-9
+    assert row["ci_lo"] <= row["mean_quality"] <= row["ci_hi"]
