@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "q186_impact_ordering",
     "q187_hill_tail",
     "q188_poisson_bootstrap",
+    "q189_modularity",
+    "q190_freshness_halflife",
+    "q191_session_entropy",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

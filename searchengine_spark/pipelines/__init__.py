@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q191_session_entropy",
+    "q190_freshness_halflife",
+    "q189_modularity",
     "q188_poisson_bootstrap",
     "q187_hill_tail",
     "q186_impact_ordering",

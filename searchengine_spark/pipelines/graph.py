@@ -2690,3 +2690,152 @@ SELECT k, d_min_tail, log_sum,
        CAST(k - 1 AS DOUBLE) / log_sum AS hill_alpha_unbiased
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# q189: modularity of the q130 label-propagation communities — the
+# quality score that makes community detection operable (Newman/
+# Girvan): Q = Σ_c [e_c/m − (d_c/2m)²]. A pipeline never ships
+# "communities" without Q — it is the regression metric when LPA's
+# iteration count or the graph changes.
+#
+# Determinism: Q reduces to exact int64 scalars — Q = (4m·Σe_c −
+# Σd_c²) / (4m²) — so the cross-community reduction is integer
+# arithmetic (the q151 lesson: never sum raw doubles across an
+# unordered reduction); per-community contributions are map-only
+# IEEE trees over exact ints. Scale shape: q130's rounds + one edge
+# relabel join + two community-sized aggs + a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+MOD_TOP = 50
+
+
+def q189_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = label_propagation(und).localCheckpoint(eager=False)
+    lab = labels.select("node", "community")
+    e_in = (
+        und.join(lab.withColumnRenamed("node", "pa"), "pa")
+        .withColumnRenamed("community", "ca")
+        .join(
+            lab.withColumnRenamed("node", "pb").withColumnRenamed(
+                "community", "cb"
+            ),
+            "pb",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    deg = (
+        und.select(F.col("pa").alias("node"))
+        .unionAll(und.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    d_c = (
+        lab.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("degree").cast("long").alias("d_sum"),
+        )
+    )
+    m_row = und.groupBy().agg(F.count("*").cast("long").alias("m"))
+    comm = d_c.join(e_in, "community", "left").withColumn(
+        "e_in", F.coalesce(F.col("e_in"), F.lit(0)).cast("long")
+    )
+    sums = F.broadcast(
+        comm.groupBy()
+        .agg(
+            F.sum("e_in").cast("long").alias("se"),
+            F.sum(F.col("d_sum") * F.col("d_sum"))
+            .cast("long")
+            .alias("sd2"),
+        )
+        .crossJoin(F.broadcast(m_row))
+    )
+    md = F.col("m").cast("double")
+    q_global = (
+        F.lit(4.0) * md * F.col("se").cast("double")
+        - F.col("sd2").cast("double")
+    ) / (F.lit(4.0) * md * md)
+    contrib = F.col("e_in").cast("double") / md - (
+        F.col("d_sum").cast("double") / (F.lit(2.0) * md)
+    ) * (F.col("d_sum").cast("double") / (F.lit(2.0) * md))
+    return (
+        comm.crossJoin(sums)
+        .select(
+            "community",
+            "n_nodes",
+            "e_in",
+            "d_sum",
+            contrib.alias("contribution"),
+            "m",
+            q_global.alias("modularity"),
+        )
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(MOD_TOP)
+    )
+
+
+QUERIES["q189_modularity"] = q189_modularity
+
+ORACLE["q189_modularity"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+{_LPA_CTES},
+lab AS (SELECT node, label AS community FROM l{LPA_ITERS}),
+e_in AS (
+  SELECT la.community, count(*)::BIGINT AS e_in
+  FROM und JOIN lab la ON und.pa = la.node
+           JOIN lab lb ON und.pb = lb.node
+  WHERE la.community = lb.community
+  GROUP BY la.community
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT pa AS node FROM und UNION ALL SELECT pb AS node FROM und
+  ) GROUP BY node
+),
+d_c AS (
+  SELECT lab.community, count(*)::BIGINT AS n_nodes,
+         sum(deg.degree)::BIGINT AS d_sum
+  FROM lab JOIN deg USING (node) GROUP BY lab.community
+),
+mm AS (SELECT count(*)::BIGINT AS m FROM und),
+comm AS (
+  SELECT d.community, d.n_nodes, COALESCE(e.e_in, 0)::BIGINT AS e_in,
+         d.d_sum
+  FROM d_c d LEFT JOIN e_in e USING (community)
+),
+sums AS (
+  SELECT sum(e_in)::BIGINT AS se,
+         sum(d_sum * d_sum)::BIGINT AS sd2
+  FROM comm
+)
+SELECT c.community, c.n_nodes, c.e_in, c.d_sum,
+       CAST(c.e_in AS DOUBLE) / CAST(mm.m AS DOUBLE)
+         - (CAST(c.d_sum AS DOUBLE) / (2.0::DOUBLE * CAST(mm.m AS DOUBLE)))
+           * (CAST(c.d_sum AS DOUBLE) / (2.0::DOUBLE * CAST(mm.m AS DOUBLE)))
+         AS contribution,
+       mm.m,
+       (4.0::DOUBLE * CAST(mm.m AS DOUBLE) * CAST(s.se AS DOUBLE)
+        - CAST(s.sd2 AS DOUBLE))
+       / (4.0::DOUBLE * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+         AS modularity
+FROM comm c, sums s, mm
+ORDER BY c.n_nodes DESC, c.community ASC
+LIMIT {MOD_TOP}
+"""

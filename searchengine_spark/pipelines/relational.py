@@ -2490,3 +2490,211 @@ WHERE z IS NOT NULL
 ORDER BY abs(z) DESC, event_type, bucket
 LIMIT {SEAS_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q190: content-freshness half-life — fit an exponential decay to
+# daily event volume by age (ln(count) ~ age, OLS) and publish the
+# half-life ln2/λ: the number a recrawl scheduler (q142) and a
+# retention policy both key on ("how fast does engagement with
+# content decay?"). The log-linear fit is the standard closed form —
+# q95's DECIMAL(28,12)-partial OLS, so the reduction is
+# order-insensitive; λ and half-life are single IEEE expressions,
+# NULL-guarded when the fitted slope is non-negative (no decay — a
+# growing corpus; both engines agree on the undefined case).
+#
+# Scale shape: one (day) hash agg over the log, a 1-row max-date
+# broadcast, a |days|-row OLS fold, 1-row output.
+# --------------------------------------------------------------------------
+
+
+def q190_freshness_halflife(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day")
+    )
+    per_day = ev.groupBy("day").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    mx = F.broadcast(
+        per_day.groupBy().agg(F.max("day").alias("max_day"))
+    )
+    xy = per_day.crossJoin(mx).select(
+        F.datediff(F.col("max_day"), F.col("day"))
+        .cast("long")
+        .alias("age"),
+        "n",
+    ).select(
+        F.col("age").cast("double").alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    d28 = "decimal(28,12)"
+    sums = xy.groupBy().agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("x").cast(d28)).alias("sx"),
+        F.sum(F.col("y").cast(d28)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d28)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d28)).alias("sxx"),
+    )
+    n = F.col("cnt").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lam = -slope
+    return sums.filter(F.col("cnt") >= 2).select(
+        F.col("cnt").cast("long").alias("n_days"),
+        F.round(slope, 9).alias("decay_slope"),
+        F.when(
+            lam > 0.0,
+            F.round(F.lit(0.6931471805599453) / lam, 9),
+        ).alias("half_life_days"),
+    )
+
+
+QUERIES["q190_freshness_halflife"] = q190_freshness_halflife
+
+ORACLE["q190_freshness_halflife"] = """
+WITH per_day AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n FROM events GROUP BY day
+),
+mx AS (SELECT max(day) AS max_day FROM per_day),
+xy AS (
+  SELECT CAST(date_diff('day', day, max_day) AS DOUBLE) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM per_day, mx
+),
+sums AS (
+  SELECT count(*) AS cnt,
+         CAST(CAST(sum(CAST(x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sx,
+         CAST(CAST(sum(CAST(y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sy,
+         CAST(CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sxy,
+         CAST(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           AS sxx
+  FROM xy
+)
+SELECT cnt::BIGINT AS n_days,
+       round((cnt::DOUBLE * sxy - sx * sy)
+             / (cnt::DOUBLE * sxx - sx * sx), 9) AS decay_slope,
+       CASE WHEN -((cnt::DOUBLE * sxy - sx * sy)
+                   / (cnt::DOUBLE * sxx - sx * sx)) > 0.0
+            THEN round(0.6931471805599453::DOUBLE
+                       / (-((cnt::DOUBLE * sxy - sx * sy)
+                            / (cnt::DOUBLE * sxx - sx * sx))), 9)
+            ELSE NULL END AS half_life_days
+FROM sums WHERE cnt >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q191: per-user session entropy — conditional next-event entropy
+# H(next|cur) per user, the navigation-predictability score behind
+# bot detection (near-zero entropy = scripted loops), prefetch value
+# estimates, and personalization gating (high-entropy users get
+# exploratory ranking). Transitions are q159's in-session lead()
+# pairs; H = Σ n·(ln(rowtot) − ln(n)) / total over the user's
+# transition counts — each term an identical IEEE tree over exact
+# int64 counts, folded as DECIMAL(28,12) partials per user (order-
+# insensitive), ONE double division at the end, UNROUNDED.
+#
+# Scale shape: q159's per-user window pass, one (user, cur, next)
+# hash agg, a per-(user, cur) window sum, one (user) fold. Bounded
+# by each user's observed transition matrix.
+# --------------------------------------------------------------------------
+
+
+def q191_session_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_ep", F.lead("ep").over(w))
+        .filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_ep") - F.col("ep") <= MKV_GAP_S)
+        )
+        .groupBy(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.col("next_type").alias("nxt"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("user_id", "cur")
+    terms = pairs.withColumn(
+        "rowtot", F.sum("n").over(wrow).cast("long")
+    ).withColumn(
+        "term",
+        (
+            F.col("n").cast("double")
+            * (
+                F.log(F.col("rowtot").cast("double"))
+                - F.log(F.col("n").cast("double"))
+            )
+        ).cast("decimal(28,12)"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.countDistinct("cur", "nxt")
+            .cast("long")
+            .alias("n_distinct_pairs"),
+            (
+                F.sum("term").cast("double")
+                / F.sum("n").cast("double")
+            ).alias("h_cond"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["q191_session_entropy"] = q191_session_entropy
+
+ORACLE["q191_session_entropy"] = f"""
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ep, event_id, event_type
+  FROM events
+),
+nx AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER w AS nxt,
+         lead(ep) OVER w - ep AS gap
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+pairs AS (
+  SELECT user_id, cur, nxt, count(*)::BIGINT AS n
+  FROM nx WHERE nxt IS NOT NULL AND gap <= {MKV_GAP_S}
+  GROUP BY user_id, cur, nxt
+),
+terms AS (
+  SELECT user_id, cur, nxt, n,
+         sum(n) OVER (PARTITION BY user_id, cur)::BIGINT AS rowtot
+  FROM pairs
+),
+folded AS (
+  SELECT user_id, cur, nxt, n,
+         CAST(CAST(n AS DOUBLE)
+              * (ln(CAST(rowtot AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+              AS DECIMAL(28,12)) AS term
+  FROM terms
+)
+SELECT user_id,
+       sum(n)::BIGINT AS n_transitions,
+       count(DISTINCT (cur, nxt))::BIGINT AS n_distinct_pairs,
+       CAST(sum(term) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS h_cond
+FROM folded GROUP BY user_id ORDER BY user_id
+"""

@@ -190,6 +190,9 @@ ORACLE_CHECKED = [
     "q186_impact_ordering",
     "q187_hill_tail",
     "q188_poisson_bootstrap",
+    "q189_modularity",
+    "q190_freshness_halflife",
+    "q191_session_entropy",
 ]
 
 
@@ -3774,3 +3777,131 @@ def test_poisson_bootstrap_matches_python_reference(spark):
     assert abs(row["ci_lo"] - lo) < 1e-9
     assert abs(row["ci_hi"] - hi) < 1e-9
     assert row["ci_lo"] <= row["mean_quality"] <= row["ci_hi"]
+
+
+def test_modularity_matches_python_reference(spark):
+    """q189: replay Q from the engine's own labels; global Q equals
+    the exact-integer closed form and lies in [-0.5, 1]."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.graph import (
+        MOD_TOP,
+        copurchase_edges,
+        label_propagation,
+        q189_modularity,
+    )
+
+    und = [(r["pa"], r["pb"]) for r in copurchase_edges(spark, SF_DIR).collect()]
+    lab = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            copurchase_edges(spark, SF_DIR)
+        ).collect()
+    }
+    m = len(und)
+    deg = Counter()
+    e_in = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+        if lab[a] == lab[b]:
+            e_in[lab[a]] += 1
+    d_c = Counter()
+    n_c = Counter()
+    for n, c in lab.items():
+        d_c[c] += deg[n]
+        n_c[c] += 1
+    se = sum(e_in.values())
+    sd2 = sum(d * d for d in d_c.values())
+    q_want = (4.0 * m * se - sd2) / (4.0 * m * m)
+    got = q189_modularity(spark, SF_DIR).collect()
+    want_order = sorted(n_c, key=lambda c: (-n_c[c], c))[:MOD_TOP]
+    assert [r["community"] for r in got] == want_order
+    for r in got:
+        c = r["community"]
+        assert (r["n_nodes"], r["e_in"], r["d_sum"], r["m"]) == (
+            n_c[c], e_in[c], d_c[c], m,
+        )
+        assert r["modularity"] == q_want
+    assert -0.5 <= q_want <= 1.0
+
+
+def test_freshness_halflife_matches_python_reference(spark):
+    """q190: replay the log-linear decay fit; half-life consistency
+    with the published slope."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from searchengine_spark.pipelines.relational import (
+        load,
+        q190_freshness_halflife,
+    )
+
+    days = Counter(
+        r["day"]
+        for r in load(spark, SF_DIR, "events")
+        .selectExpr("CAST(ts AS DATE) AS day")
+        .collect()
+    )
+    mx = max(days)
+    pts = [
+        (float((mx - d).days), math.log(float(n)))
+        for d, n in days.items()
+    ]
+    q = Decimal("1.000000000000")
+    n = len(pts)
+    sx = float(sum(Decimal(x).quantize(q) for x, _ in pts))
+    sy = float(sum(Decimal(y).quantize(q) for _, y in pts))
+    sxy = float(sum(Decimal(x * y).quantize(q) for x, y in pts))
+    sxx = float(sum(Decimal(x * x).quantize(q) for x, _ in pts))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = q190_freshness_halflife(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["decay_slope"] - slope) < 1e-8
+    if row["half_life_days"] is not None:
+        assert (
+            abs(row["half_life_days"] - math.log(2) / -slope) < 1e-6
+        )
+        assert row["decay_slope"] < 0
+
+
+def test_session_entropy_matches_python_reference(spark):
+    """q191: replay conditional entropy; H in [0, ln(n_types)]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from searchengine_spark.pipelines.relational import (
+        MKV_GAP_S,
+        load,
+        q191_session_entropy,
+    )
+
+    ev = sorted(
+        load(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id", "unix_timestamp(ts) AS ep", "event_id", "event_type"
+        )
+        .collect(),
+        key=lambda r: (r["user_id"], r["ep"], r["event_id"]),
+    )
+    trans = defaultdict(Counter)
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"] and b["ep"] - a["ep"] <= MKV_GAP_S:
+            trans[a["user_id"]][(a["event_type"], b["event_type"])] += 1
+    got = {r["user_id"]: r for r in q191_session_entropy(spark, SF_DIR).collect()}
+    assert set(got) == set(trans)
+    for u, cnts in trans.items():
+        rowtot = Counter()
+        for (c, _n), k in cnts.items():
+            rowtot[c] += k
+        total = sum(cnts.values())
+        h = sum(
+            k * (math.log(rowtot[c]) - math.log(k))
+            for (c, _n), k in cnts.items()
+        ) / total
+        r = got[u]
+        assert r["n_transitions"] == total
+        assert r["n_distinct_pairs"] == len(cnts)
+        assert abs(r["h_cond"] - h) < 1e-9
+        assert -1e-12 <= r["h_cond"] <= math.log(5) + 1e-9
