@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "q189_modularity",
     "q190_freshness_halflife",
     "q191_session_entropy",
+    "q192_negative_sampling",
+    "q193_mlm_masking_plan",
+    "q194_bm25_sensitivity",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q194_bm25_sensitivity",
+    "q193_mlm_masking_plan",
+    "q192_negative_sampling",
     "q191_session_entropy",
     "q190_freshness_halflife",
     "q189_modularity",

@@ -2110,3 +2110,161 @@ SELECT step, source, gain,
 FROM u, vocab
 ORDER BY step
 """
+
+
+# --------------------------------------------------------------------------
+# q193: deterministic MLM masking plan (BERT's 15% / 80-10-10 recipe,
+# Devlin et al.) — the pre-training data op that turns a corpus into
+# (input, label) pairs: per token decide mask / random-replace / keep
+# via the portable hash of (doc, position), so the SAME corpus always
+# yields the SAME masking plan (reproducible pre-training, and the
+# plan can be re-derived anywhere instead of stored; the random-
+# replacement TOKEN would come from a broadcast rank-indexed vocab —
+# the plan census here carries everything needed to draw it).
+#
+# Determinism: every decision is integer arithmetic on the md5
+# uniform (u < 150e6 of 1e9 → masked; then 80/10/10 ladder on a
+# SECOND hash so the two draws are independent); counts exact int64.
+# Scale shape: map-only over tokens; output = per-doc plan census +
+# global shares off a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+MLM_RATE_U = 150_000_000       # 15% of 1e9
+MLM_MASK_U = 800_000_000       # of selected: 80% -> [MASK]
+MLM_RAND_U = 900_000_000       # next 10% -> random token; rest keep
+
+
+def q193_mlm_masking_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "term"),
+    )
+
+    def u_of(tag: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.lit(tag),
+                            F.col("doc_id"),
+                            F.col("pos"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000_000
+        )
+    sel = u_of("sel")
+    arm = u_of("arm")
+    action = F.when(sel >= MLM_RATE_U, "keep_unselected").otherwise(
+        F.when(arm < MLM_MASK_U, "mask")
+        .when(arm < MLM_RAND_U, "random")
+        .otherwise("keep_selected")
+    )
+    planned = tok.withColumn("action", action)
+    per_doc = planned.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("action") == "mask", 1).otherwise(0))
+        .cast("long")
+        .alias("n_mask"),
+        F.sum(F.when(F.col("action") == "random", 1).otherwise(0))
+        .cast("long")
+        .alias("n_random"),
+        F.sum(
+            F.when(F.col("action") == "keep_selected", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_keep_selected"),
+    )
+    tot = F.broadcast(
+        per_doc.groupBy().agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_mask").cast("long").alias("total_mask"),
+            F.sum("n_random").cast("long").alias("total_random"),
+            F.sum("n_keep_selected")
+            .cast("long")
+            .alias("total_keep_sel"),
+        )
+    )
+    sel_share = (
+        F.col("total_mask")
+        + F.col("total_random")
+        + F.col("total_keep_sel")
+    ).cast("double") / F.col("total_tokens").cast("double")
+    return (
+        per_doc.crossJoin(tot)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_mask",
+            "n_random",
+            "n_keep_selected",
+            sel_share.alias("global_selected_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q193_mlm_masking_plan"] = q193_mlm_masking_plan
+
+_MLM_U = (
+    "('0x' || substr(md5('{tag}' || '#' || CAST(doc_id AS VARCHAR) || '#'"
+    " || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 1000000000"
+)
+
+ORACLE["q193_mlm_masking_plan"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+         toks
+  FROM d
+),
+acts AS (
+  SELECT doc_id,
+         CASE WHEN {_MLM_U.format(tag='sel')} >= {MLM_RATE_U}
+              THEN 'keep_unselected'
+              WHEN {_MLM_U.format(tag='arm')} < {MLM_MASK_U} THEN 'mask'
+              WHEN {_MLM_U.format(tag='arm')} < {MLM_RAND_U} THEN 'random'
+              ELSE 'keep_selected' END AS action
+  FROM tp
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN action = 'mask' THEN 1 ELSE 0 END)::BIGINT
+           AS n_mask,
+         sum(CASE WHEN action = 'random' THEN 1 ELSE 0 END)::BIGINT
+           AS n_random,
+         sum(CASE WHEN action = 'keep_selected' THEN 1 ELSE 0 END)::BIGINT
+           AS n_keep_selected
+  FROM acts GROUP BY doc_id
+),
+tot AS (
+  SELECT sum(n_tokens)::BIGINT AS total_tokens,
+         sum(n_mask)::BIGINT AS total_mask,
+         sum(n_random)::BIGINT AS total_random,
+         sum(n_keep_selected)::BIGINT AS total_keep_sel
+  FROM per_doc
+)
+SELECT doc_id, n_tokens, n_mask, n_random, n_keep_selected,
+       CAST(total_mask + total_random + total_keep_sel AS DOUBLE)
+         / CAST(total_tokens AS DOUBLE) AS global_selected_share
+FROM per_doc, tot
+ORDER BY doc_id
+"""

@@ -2520,3 +2520,168 @@ SELECT term, max(df)::BIGINT AS df, max(total_u)::BIGINT AS total_u,
        {_IMP_SHARES}
 FROM j GROUP BY term ORDER BY term
 """
+
+
+# --------------------------------------------------------------------------
+# q194: BM25 parameter-sensitivity audit — before anyone "tunes k1/b"
+# they should know whether the ranking even moves: for a grid of
+# (k1, b) settings, the top-K overlap (Jaccard) and the rank
+# displacement of the default top-K versus each candidate setting.
+# Stable top-K across the grid = tuning is a no-op for this corpus;
+# low overlap = the parameter actually matters and an eval is worth
+# running. This is the audit the serving team runs BEFORE an A/B.
+#
+# Determinism: per-setting scores are q13's exact BM25 tree with the
+# grid constants as literals; rankings use (score DESC, doc_id ASC)
+# total orders; overlap/displacement are exact integer counts off a
+# self-join of the two top-K sets. Scale shape: the scored candidate
+# set is computed ONCE per setting from the same tf/dl frame (one
+# scan, grid of map-only score columns), top-K via per-setting rank
+# windows, and the audit joins K-row sets.
+# --------------------------------------------------------------------------
+
+SENS_GRID = [(0.6, 0.5), (1.2, 0.75), (2.0, 0.9)]  # (k1, b); mid = default
+SENS_K = 20
+
+
+def q194_bm25_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats_row = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        load_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    base = (
+        tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats_row))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+
+    def doc_scores(k1: float, b: float) -> DataFrame:
+        s = (
+            idf
+            * F.lit(k1 + 1.0)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        return base.withColumn("s", s).groupBy("doc_id").agg(
+            F.sum(F.col("s").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score")
+        )
+
+    def topk(k1: float, b: float) -> DataFrame:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            doc_scores(k1, b)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= SENS_K)
+            .select("doc_id", "r")
+        )
+
+    dk1, dbb = SENS_GRID[1]
+    default = topk(dk1, dbb)
+    outs = []
+    for k1, b in SENS_GRID:
+        cand = topk(k1, b).select(
+            F.col("doc_id"), F.col("r").alias("r_cand")
+        )
+        j = default.join(cand, "doc_id", "inner")
+        agg = j.groupBy().agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.abs(F.col("r") - F.col("r_cand")))
+            .cast("long")
+            .alias("disp_sum"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(k1).alias("k1"),
+                F.lit(b).alias("b"),
+                "n_common",
+                (
+                    F.col("n_common").cast("double")
+                    / F.lit(float(2 * SENS_K))
+                    / (
+                        F.lit(1.0)
+                        - F.col("n_common").cast("double")
+                        / F.lit(float(2 * SENS_K))
+                    )
+                ).alias("jaccard_topk"),
+                "disp_sum",
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.orderBy("k1", "b")
+
+
+QUERIES["q194_bm25_sensitivity"] = q194_bm25_sensitivity
+
+_SENS_SCORE = """
+  SELECT tfq.doc_id,
+         sum(CAST(ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                  * ({k1} + 1.0) * tfq.tf
+                  / (tfq.tf + {k1} * ((1.0 - {b})
+                                      + {b} * dl.dl / ad.avgdl))
+                  AS DECIMAL(28,12)))::DOUBLE AS score
+  FROM tfq JOIN dl USING (doc_id) JOIN dft ON tfq.term = dft.term
+  CROSS JOIN n CROSS JOIN ad
+  GROUP BY tfq.doc_id
+"""
+
+_SENS_TOPK = """
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM ({score})
+  QUALIFY r <= {k}
+"""
+
+
+def _sens_leg(k1: float, b: float) -> str:
+    cand = _SENS_TOPK.format(
+        score=_SENS_SCORE.format(k1=repr(k1), b=repr(b)), k=SENS_K
+    )
+    return f"""
+SELECT {k1!r}::DOUBLE AS k1, {b!r}::DOUBLE AS b,
+       count(*)::BIGINT AS n_common,
+       (CAST(count(*) AS DOUBLE) / {float(2 * SENS_K)!r}::DOUBLE)
+         / (1.0::DOUBLE - CAST(count(*) AS DOUBLE)
+                          / {float(2 * SENS_K)!r}::DOUBLE)
+         AS jaccard_topk,
+       sum(abs(d.r - c.r))::BIGINT AS disp_sum
+FROM dflt d JOIN ({cand}) c USING (doc_id)
+"""
+
+
+ORACLE["q194_bm25_sensitivity"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+tfq AS (SELECT * FROM tf
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})),
+dflt AS ({_SENS_TOPK.format(
+    score=_SENS_SCORE.format(
+        k1=repr(SENS_GRID[1][0]), b=repr(SENS_GRID[1][1])
+    ),
+    k=SENS_K,
+)})
+{" UNION ALL ".join(_sens_leg(k1, b) for k1, b in SENS_GRID)}
+ORDER BY k1, b
+"""

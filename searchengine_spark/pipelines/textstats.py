@@ -3265,3 +3265,91 @@ ORACLE["q188_poisson_bootstrap"] = ORACLE["q188_poisson_bootstrap"].format(
     + ORACLE["q23_quality"]
     + "))"
 )
+
+# --------------------------------------------------------------------------
+# q192: word2vec negative-sampling table — the unigram^0.75
+# distribution (Mikolov et al. NIPS'13) every embedding trainer
+# materializes: per term the smoothed sampling weight cf^α and its
+# cumulative probability range [cum_lo, cum_hi) over the (term)
+# total order, which IS the inverse-CDF sampler a trainer keys
+# uniforms into. α=0.75 flattens the head so frequent words don't
+# swamp the negatives.
+#
+# Determinism: α = 3/4 exactly, so cf^0.75 = sqrt(cf·sqrt(cf)) —
+# ONLY multiplies and sqrt, and IEEE 754 REQUIRES sqrt to be
+# correctly rounded, so the weight is bit-identical on any engine
+# (pow() AND exp() both differ by 1 ulp JVM-vs-libm — measured here
+# before this rewrite; the q172 lesson extends to exp); the cumulative
+# sum runs over the (term) total order — a window prefix sum is
+# sequential along its order, so both engines fold identically.
+# Scale shape: one (term) agg (vocab-sized), one ordered cumsum, a
+# 1-row total broadcast. UNROUNDED.
+# --------------------------------------------------------------------------
+
+NEG_ALPHA = 0.75
+
+
+def q192_negative_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    cf = (
+        docs.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    cfd = F.col("cf").cast("double")
+    wgt = F.sqrt(cfd * F.sqrt(cfd))
+    w = Window.orderBy("term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cf.withColumn("w", wgt).withColumn(
+        "cum_hi_w", F.sum("w").over(w)
+    )
+    tot = F.broadcast(
+        cum.groupBy().agg(F.max("cum_hi_w").alias("total_w"))
+    )
+    return (
+        cum.crossJoin(tot)
+        .select(
+            "term",
+            "cf",
+            "w",
+            ((F.col("cum_hi_w") - F.col("w")) / F.col("total_w")).alias(
+                "cum_lo"
+            ),
+            (F.col("cum_hi_w") / F.col("total_w")).alias("cum_hi"),
+        )
+        .orderBy("term")
+    )
+
+
+QUERIES["q192_negative_sampling"] = q192_negative_sampling
+
+ORACLE["q192_negative_sampling"] = f"""
+WITH cf AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS term FROM documents)
+  GROUP BY term
+),
+wt AS (
+  SELECT term, cf,
+         sqrt(CAST(cf AS DOUBLE) * sqrt(CAST(cf AS DOUBLE))) AS w
+  FROM cf
+),
+cum AS (
+  SELECT term, cf, w,
+         sum(w) OVER (ORDER BY term ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_hi_w
+  FROM wt
+),
+tot AS (SELECT max(cum_hi_w) AS total_w FROM cum)
+SELECT term, cf, w,
+       (cum_hi_w - w) / total_w AS cum_lo,
+       cum_hi_w / total_w AS cum_hi
+FROM cum, tot
+ORDER BY term
+"""

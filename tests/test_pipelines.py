@@ -193,6 +193,9 @@ ORACLE_CHECKED = [
     "q189_modularity",
     "q190_freshness_halflife",
     "q191_session_entropy",
+    "q192_negative_sampling",
+    "q193_mlm_masking_plan",
+    "q194_bm25_sensitivity",
 ]
 
 
@@ -3905,3 +3908,110 @@ def test_session_entropy_matches_python_reference(spark):
         assert r["n_distinct_pairs"] == len(cnts)
         assert abs(r["h_cond"] - h) < 1e-9
         assert -1e-12 <= r["h_cond"] <= math.log(5) + 1e-9
+
+
+def test_negative_sampling_matches_python_reference(spark):
+    """q192: bit-exact sqrt-spelled cf^0.75 replay; ranges partition
+    [0, 1) contiguously."""
+    import math
+    from collections import Counter
+
+    from searchengine_spark.pipelines.textstats import (
+        load_docs,
+        q192_negative_sampling,
+    )
+
+    docs = load_docs(spark, SF_DIR).select("text").collect()
+    cf = Counter(t for r in docs for t in r["text"].split(" ") if t)
+    got = q192_negative_sampling(spark, SF_DIR).collect()
+    assert len(got) == len(cf)
+    cum = 0.0
+    total = None
+    ws = {}
+    for t in sorted(cf):
+        ws[t] = math.sqrt(cf[t] * math.sqrt(cf[t]))
+    totw = sum(ws[t] for t in sorted(cf))  # same fold order as window
+    cumv = 0.0
+    prev_hi = 0.0
+    for r in got:  # ordered by term
+        t = r["term"]
+        assert r["cf"] == cf[t]
+        assert r["w"] == ws[t]
+        cumv = cumv + ws[t]
+        assert abs(r["cum_hi"] - cumv / totw) < 1e-12
+        assert r["cum_lo"] == r["cum_hi"] - ws[t] / totw or abs(
+            r["cum_lo"] - (cumv - ws[t]) / totw
+        ) < 1e-12
+        assert r["cum_lo"] >= prev_hi - 1e-12
+        prev_hi = r["cum_hi"]
+    assert abs(got[-1]["cum_hi"] - 1.0) < 1e-12
+
+
+def test_mlm_masking_plan_matches_python_reference(spark):
+    """q193: replay the two-hash decision ladder; global selected
+    share lands near 15%."""
+    import hashlib
+
+    from searchengine_spark.pipelines.curation import (
+        MLM_MASK_U,
+        MLM_RAND_U,
+        MLM_RATE_U,
+        q193_mlm_masking_plan,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    def u(tag, d, p):
+        return (
+            int(
+                hashlib.md5(f"{tag}#{d}#{p}".encode()).hexdigest()[:15], 16
+            )
+            % 1_000_000_000
+        )
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    want = {}
+    tot_sel = tot_tok = 0
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        nm = nr = nk = 0
+        for p, _t in enumerate(toks):
+            if u("sel", r["doc_id"], p) < MLM_RATE_U:
+                a = u("arm", r["doc_id"], p)
+                if a < MLM_MASK_U:
+                    nm += 1
+                elif a < MLM_RAND_U:
+                    nr += 1
+                else:
+                    nk += 1
+        want[r["doc_id"]] = (len(toks), nm, nr, nk)
+        tot_tok += len(toks)
+        tot_sel += nm + nr + nk
+    got = q193_mlm_masking_plan(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (
+            r["n_tokens"], r["n_mask"], r["n_random"], r["n_keep_selected"]
+        ) == want[r["doc_id"]]
+        assert r["global_selected_share"] == tot_sel / tot_tok
+    assert 0.12 < tot_sel / tot_tok < 0.18
+
+
+def test_bm25_sensitivity_audit_properties(spark):
+    """q194: the default-vs-default leg must be a perfect overlap
+    (n_common = K, jaccard = 1, displacement 0); off-default legs
+    bounded sanely."""
+    from searchengine_spark.pipelines.fulltext import (
+        SENS_GRID,
+        SENS_K,
+        q194_bm25_sensitivity,
+    )
+
+    got = {(r["k1"], r["b"]): r for r in q194_bm25_sensitivity(spark, SF_DIR).collect()}
+    assert set(got) == set(SENS_GRID)
+    d = got[SENS_GRID[1]]
+    assert d["n_common"] == SENS_K
+    assert d["jaccard_topk"] == 1.0
+    assert d["disp_sum"] == 0
+    for key, r in got.items():
+        assert 0 < r["n_common"] <= SENS_K
+        assert 0.0 < r["jaccard_topk"] <= 1.0
