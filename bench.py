@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "q192_negative_sampling",
     "q193_mlm_masking_plan",
     "q194_bm25_sensitivity",
+    "q195_shrunken_rates",
+    "q196_sprt",
+    "q197_slice_parity",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q197_slice_parity",
+    "q196_sprt",
+    "q195_shrunken_rates",
     "q194_bm25_sensitivity",
     "q193_mlm_masking_plan",
     "q192_negative_sampling",

@@ -2268,3 +2268,148 @@ SELECT doc_id, n_tokens, n_mask, n_random, n_keep_selected,
 FROM per_doc, tot
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# q197: slice-parity report — per-source quality parity against the
+# REST of the corpus (the slice-regression finder a data team runs
+# after every pipeline change: which feed's quality moved relative
+# to everyone else's?). Metric: share of docs above the GLOBAL
+# quality median (an exact rank probe — median-share is robust where
+# means are skew-dominated), tested per source with q160's pooled
+# two-proportion z against its complement, |z| > crit flagged.
+#
+# Determinism: all counts exact int64 off ONE (source) agg + a 1-row
+# median broadcast; per-source z is one identical IEEE tree over
+# exact ints, NULL-guarded at degenerate pools (the q160 rule).
+# Scale shape: one quality pass, one rank probe, |sources|-row math.
+# --------------------------------------------------------------------------
+
+PARITY_Z_CRIT = 2.575829304  # two-sided 99% (many slices -> stricter)
+
+
+def q197_slice_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textstats import quality_col
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    q = docs.select(
+        "doc_id", "source", quality_col().alias("quality")
+    )
+    w = Window.orderBy("quality", "doc_id")
+    cnt = q.groupBy().agg(F.count("*").cast("long").alias("n"))
+    med = F.broadcast(
+        q.withColumn("r", F.row_number().over(w))
+        .crossJoin(F.broadcast(cnt))
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select(F.col("quality").alias("med_q"))
+    )
+    per_src = (
+        q.crossJoin(med)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_src"),
+            F.sum(
+                F.when(F.col("quality") > F.col("med_q"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k_src"),
+        )
+    )
+    tot = F.broadcast(
+        per_src.groupBy().agg(
+            F.sum("n_src").cast("long").alias("n_all"),
+            F.sum("k_src").cast("long").alias("k_all"),
+        )
+    )
+    j = per_src.crossJoin(tot).withColumn(
+        "n_rest", (F.col("n_all") - F.col("n_src")).cast("long")
+    ).withColumn(
+        "k_rest", (F.col("k_all") - F.col("k_src")).cast("long")
+    )
+    p_src = F.col("k_src").cast("double") / F.col("n_src").cast("double")
+    p_rest = F.col("k_rest").cast("double") / F.col("n_rest").cast("double")
+    pp = F.col("k_all").cast("double") / F.col("n_all").cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_src").cast("double")
+            + F.lit(1.0) / F.col("n_rest").cast("double")
+        )
+    )
+    z = F.when((se > 0.0) & (F.col("n_rest") > 0), (p_src - p_rest) / se)
+    return (
+        j.select(
+            "source",
+            "n_src",
+            "k_src",
+            p_src.alias("share_above_median"),
+            p_rest.alias("rest_share"),
+            z.alias("z"),
+            F.when(
+                z.isNotNull(), F.abs(z) > F.lit(PARITY_Z_CRIT)
+            ).alias("flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q197_slice_parity"] = q197_slice_parity
+
+ORACLE["q197_slice_parity"] = f"""
+WITH qual AS (SELECT doc_id, quality FROM ({{q23}})),
+d AS (
+  SELECT q.doc_id, doc.source, q.quality
+  FROM qual q JOIN documents doc ON q.doc_id = doc.doc_id
+),
+cnt AS (SELECT count(*)::BIGINT AS n FROM d),
+med AS (
+  SELECT quality AS med_q FROM (
+    SELECT quality, row_number() OVER (ORDER BY quality, doc_id) AS r
+    FROM d
+  ), cnt WHERE r = (n + 1) // 2
+),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_src,
+         sum(CASE WHEN quality > med_q THEN 1 ELSE 0 END)::BIGINT
+           AS k_src
+  FROM d, med GROUP BY source
+),
+tot AS (
+  SELECT sum(n_src)::BIGINT AS n_all, sum(k_src)::BIGINT AS k_all
+  FROM per_src
+),
+j AS (
+  SELECT p.*, t.n_all, t.k_all,
+         (t.n_all - p.n_src)::BIGINT AS n_rest,
+         (t.k_all - p.k_src)::BIGINT AS k_rest
+  FROM per_src p, tot t
+),
+scored AS (
+  SELECT source, n_src, k_src, n_rest, k_rest, n_all, k_all,
+         CAST(k_src AS DOUBLE) / CAST(n_src AS DOUBLE) AS p_src,
+         CAST(k_rest AS DOUBLE) / CAST(n_rest AS DOUBLE) AS p_rest,
+         sqrt((CAST(k_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+              * (1.0::DOUBLE - CAST(k_all AS DOUBLE)
+                               / CAST(n_all AS DOUBLE))
+              * (1.0::DOUBLE / CAST(n_src AS DOUBLE)
+                 + 1.0::DOUBLE / CAST(n_rest AS DOUBLE))) AS se
+  FROM j
+)
+SELECT source, n_src, k_src,
+       p_src AS share_above_median,
+       p_rest AS rest_share,
+       CASE WHEN se > 0.0 AND n_rest > 0
+            THEN (p_src - p_rest) / se ELSE NULL END AS z,
+       CASE WHEN se > 0.0 AND n_rest > 0
+            THEN abs((p_src - p_rest) / se) > {PARITY_Z_CRIT!r}::DOUBLE
+            ELSE NULL END AS flagged
+FROM scored
+ORDER BY source
+"""
+
+ORACLE["q197_slice_parity"] = ORACLE["q197_slice_parity"].format(
+    q23=_TS_ORACLE["q23_quality"]
+)

@@ -2698,3 +2698,268 @@ SELECT user_id,
        CAST(sum(term) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS h_cond
 FROM folded GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# q195: empirical-Bayes shrunken item rates (Beta-binomial shrinkage)
+# — the cold-start estimator every popularity/CTR prior uses: a part
+# seen 3 times with 2 "hits" must NOT outrank one seen 500 times at
+# 40% — shrink every per-item rate toward the global prior with
+# strength SHRINK_TAU: rate* = (k + τ·p̄)/(n + τ). Hit here = a
+# lineitem with quantity ≥ the global median (an exact rank probe,
+# q177's idiom). Ranked by shrunken rate the list is stable; ranked
+# by raw rate it is noise — both are published so the audit shows
+# the correction.
+#
+# Determinism: k, n exact int64; p̄ and every rate are single IEEE
+# trees over exact ints (τ integer). Scale shape: one (part) hash
+# agg, a 1-row median + prior broadcast, map-only shrinkage,
+# TakeOrdered head.
+# --------------------------------------------------------------------------
+
+SHRINK_TAU = 20
+SHRINK_TOP = 100
+
+
+def q195_shrunken_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("part"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    w = Window.orderBy("qty", "ok", "ln")
+    cnt = li.groupBy().agg(F.count("*").cast("long").alias("n"))
+    med = F.broadcast(
+        li.withColumn("r", F.row_number().over(w))
+        .crossJoin(F.broadcast(cnt))
+        .filter(F.col("r") == F.expr("(n + 1) div 2"))
+        .select(F.col("qty").alias("med_qty"))
+    )
+    per_part = (
+        li.crossJoin(med)
+        .groupBy("part")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("qty") >= F.col("med_qty"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    prior = F.broadcast(
+        per_part.groupBy().agg(
+            F.sum("k").cast("long").alias("k_tot"),
+            F.sum("n").cast("long").alias("n_tot"),
+        )
+    )
+    pbar = F.col("k_tot").cast("double") / F.col("n_tot").cast("double")
+    raw = F.col("k").cast("double") / F.col("n").cast("double")
+    shrunk = (
+        F.col("k").cast("double") + F.lit(float(SHRINK_TAU)) * pbar
+    ) / (F.col("n") + F.lit(SHRINK_TAU)).cast("double")
+    return (
+        per_part.crossJoin(prior)
+        .select(
+            "part",
+            "n",
+            "k",
+            raw.alias("rate_raw"),
+            shrunk.alias("rate_shrunk"),
+            pbar.alias("prior_rate"),
+        )
+        .orderBy(F.desc("rate_shrunk"), F.asc("part"))
+        .limit(SHRINK_TOP)
+    )
+
+
+QUERIES["q195_shrunken_rates"] = q195_shrunken_rates
+
+ORACLE["q195_shrunken_rates"] = f"""
+WITH li AS (
+  SELECT l_partkey::BIGINT AS part, l_quantity::BIGINT AS qty,
+         l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem
+),
+cnt AS (SELECT count(*)::BIGINT AS n FROM li),
+med AS (
+  SELECT qty AS med_qty FROM (
+    SELECT qty, row_number() OVER (ORDER BY qty, ok, ln) AS r FROM li
+  ), cnt WHERE r = (n + 1) // 2
+),
+per_part AS (
+  SELECT part, count(*)::BIGINT AS n,
+         sum(CASE WHEN qty >= med_qty THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM li, med GROUP BY part
+),
+prior AS (
+  SELECT sum(k)::BIGINT AS k_tot, sum(n)::BIGINT AS n_tot FROM per_part
+)
+SELECT part, n, k,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate_raw,
+       (CAST(k AS DOUBLE) + {float(SHRINK_TAU)!r}::DOUBLE
+        * (CAST(k_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+       / CAST(n + {SHRINK_TAU} AS DOUBLE) AS rate_shrunk,
+       CAST(k_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS prior_rate
+FROM per_part, prior
+ORDER BY rate_shrunk DESC, part ASC
+LIMIT {SHRINK_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# q196: sequential probability ratio test (Wald SPRT) replayed over
+# the treatment arm's purchase stream — modern experimentation stops
+# tests EARLY: instead of q160's fixed-horizon z-test, the SPRT walks
+# the log-likelihood ratio observation by observation and stops at
+# the first boundary crossing (α=0.05, β=0.2, H0 p=0.40 vs H1
+# p=0.45 over the q160 conversion rule). This replay answers "when
+# WOULD we have stopped" on historical data — the calibration every
+# sequential-testing rollout runs first.
+#
+# Determinism: the LLR at row n is cum_s·L1 + cum_f·L2 with EXACT
+# integer cumulative counts and L1/L2/boundaries as Python-literal
+# doubles — one identical IEEE tree per row (no float accumulation);
+# first crossing = an exact integer argmin. Scale shape: one ordered
+# per-arm window pass (at scale, per-experiment partitions), a 1-row
+# decision rollup.
+# --------------------------------------------------------------------------
+
+SPRT_P0 = 0.40
+SPRT_P1 = 0.45
+SPRT_L_S = 0.11778303565638346    # ln(p1/p0)
+SPRT_L_F = -0.08701137698962969   # ln((1-p1)/(1-p0))
+SPRT_A = 2.772588722239781        # ln((1-beta)/alpha)
+SPRT_B = -1.5581446180465497      # ln(beta/(1-alpha))
+
+
+def q196_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    obs = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("arm", arm)
+        .filter(F.col("arm") == 1)
+        .select(
+            F.expr("unix_timestamp(ts)").alias("ep"),
+            "event_id",
+            F.when(F.col("value") > AB_CONV_MIN, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    w = Window.orderBy("ep", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy("ep", "event_id")
+    walked = (
+        obs.withColumn("n", F.row_number().over(wr).cast("long"))
+        .withColumn("cs", F.sum("s").over(w).cast("long"))
+        .withColumn("cf", (F.col("n") - F.col("cs")).cast("long"))
+        .withColumn(
+            "llr",
+            F.col("cs").cast("double") * F.lit(SPRT_L_S)
+            + F.col("cf").cast("double") * F.lit(SPRT_L_F),
+        )
+    )
+    crossed = walked.withColumn(
+        "cross",
+        F.when(F.col("llr") >= F.lit(SPRT_A), F.lit("accept_h1"))
+        .when(F.col("llr") <= F.lit(SPRT_B), F.lit("accept_h0")),
+    )
+    first = F.broadcast(
+        crossed.filter(F.col("cross").isNotNull())
+        .orderBy("n")
+        .limit(1)
+        .select(
+            F.col("n").alias("n_decision"),
+            F.col("cross").alias("decision"),
+            F.col("cs").alias("s_at_decision"),
+            F.col("llr").alias("llr_at_decision"),
+        )
+    )
+    tot = F.broadcast(
+        crossed.groupBy().agg(F.max("n").cast("long").alias("n_obs"))
+    )
+    fin = (
+        crossed.crossJoin(tot)
+        .filter(F.col("n") == F.col("n_obs"))
+        .select("n_obs", F.col("llr").alias("llr_final"))
+    )
+    return (
+        fin.join(first, F.lit(True), "left")
+        .select(
+            "n_obs",
+            F.coalesce(F.col("decision"), F.lit("continue")).alias(
+                "decision"
+            ),
+            "n_decision",
+            "s_at_decision",
+            "llr_at_decision",
+            "llr_final",
+        )
+    )
+
+
+QUERIES["q196_sprt"] = q196_sprt
+
+ORACLE["q196_sprt"] = f"""
+WITH obs AS (
+  SELECT floor(epoch(ts))::BIGINT AS ep, event_id,
+         CASE WHEN value > {AB_CONV_MIN!r}::DOUBLE THEN 1 ELSE 0 END
+           AS s
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2 = 1
+),
+walked AS (
+  SELECT row_number() OVER w AS n,
+         sum(s) OVER (ORDER BY ep, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cs
+  FROM obs
+  WINDOW w AS (ORDER BY ep, event_id)
+),
+llrd AS (
+  SELECT n, cs, (n - cs)::BIGINT AS cf,
+         CAST(cs AS DOUBLE) * {SPRT_L_S!r}::DOUBLE
+         + CAST(n - cs AS DOUBLE) * {SPRT_L_F!r}::DOUBLE AS llr
+  FROM walked
+),
+crossed AS (
+  SELECT *,
+         CASE WHEN llr >= {SPRT_A!r}::DOUBLE THEN 'accept_h1'
+              WHEN llr <= {SPRT_B!r}::DOUBLE THEN 'accept_h0' END
+           AS cross_kind
+  FROM llrd
+),
+first_x AS (
+  SELECT n AS n_decision, cross_kind AS decision,
+         cs AS s_at_decision, llr AS llr_at_decision
+  FROM crossed WHERE cross_kind IS NOT NULL
+  ORDER BY n LIMIT 1
+),
+fin AS (
+  SELECT max(n)::BIGINT AS n_obs,
+         max(CASE WHEN n = (SELECT max(n) FROM crossed) THEN llr END)
+           AS llr_final
+  FROM crossed
+)
+SELECT f.n_obs,
+       COALESCE(x.decision, 'continue') AS decision,
+       x.n_decision, x.s_at_decision, x.llr_at_decision,
+       f.llr_final
+FROM fin f LEFT JOIN first_x x ON TRUE
+"""

@@ -196,6 +196,9 @@ ORACLE_CHECKED = [
     "q192_negative_sampling",
     "q193_mlm_masking_plan",
     "q194_bm25_sensitivity",
+    "q195_shrunken_rates",
+    "q196_sprt",
+    "q197_slice_parity",
 ]
 
 
@@ -4015,3 +4018,151 @@ def test_bm25_sensitivity_audit_properties(spark):
     for key, r in got.items():
         assert 0 < r["n_common"] <= SENS_K
         assert 0.0 < r["jaccard_topk"] <= 1.0
+
+
+def test_shrunken_rates_matches_python_reference(spark):
+    """q195: replay median probe + shrinkage; shrunken rates sit
+    between raw and prior (the defining property)."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.relational import (
+        SHRINK_TAU,
+        SHRINK_TOP,
+        load,
+        q195_shrunken_rates,
+    )
+
+    li = sorted(
+        load(spark, SF_DIR, "lineitem")
+        .selectExpr(
+            "CAST(l_partkey AS LONG) AS part",
+            "CAST(l_quantity AS LONG) AS qty",
+            "l_orderkey AS ok",
+            "l_linenumber AS ln",
+        )
+        .collect(),
+        key=lambda r: (r["qty"], r["ok"], r["ln"]),
+    )
+    med = li[(len(li) + 1) // 2 - 1]["qty"]
+    n_c, k_c = Counter(), Counter()
+    for r in li:
+        n_c[r["part"]] += 1
+        if r["qty"] >= med:
+            k_c[r["part"]] += 1
+    n_tot = sum(n_c.values())
+    k_tot = sum(k_c.values())
+    pbar = k_tot / n_tot
+    got = q195_shrunken_rates(spark, SF_DIR).collect()
+    assert len(got) == min(SHRINK_TOP, len(n_c))
+    for r in got:
+        p = r["part"]
+        assert (r["n"], r["k"]) == (n_c[p], k_c[p])
+        assert r["rate_raw"] == k_c[p] / n_c[p]
+        want = (k_c[p] + SHRINK_TAU * pbar) / (n_c[p] + SHRINK_TAU)
+        assert r["rate_shrunk"] == want
+        lo, hi = sorted([r["rate_raw"], pbar])
+        assert lo - 1e-12 <= r["rate_shrunk"] <= hi + 1e-12
+
+
+def test_sprt_matches_python_reference(spark):
+    """q196: replay the LLR walk; first crossing exact."""
+    import hashlib
+
+    from searchengine_spark.pipelines.relational import (
+        AB_CONV_MIN,
+        SPRT_A,
+        SPRT_B,
+        SPRT_L_F,
+        SPRT_L_S,
+        load,
+        q196_sprt,
+    )
+
+    obs = sorted(
+        (
+            r
+            for r in load(spark, SF_DIR, "events")
+            .selectExpr(
+                "user_id",
+                "unix_timestamp(ts) AS ep",
+                "event_id",
+                "event_type",
+                "value",
+            )
+            .collect()
+            if r["event_type"] == "purchase"
+            and int(
+                hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:15],
+                16,
+            )
+            % 2
+            == 1
+        ),
+        key=lambda r: (r["ep"], r["event_id"]),
+    )
+    cs = 0
+    decision = None
+    nd = sd = None
+    llr_at = None
+    llr = 0.0
+    for i, r in enumerate(obs, 1):
+        cs += 1 if r["value"] > AB_CONV_MIN else 0
+        llr = cs * SPRT_L_S + (i - cs) * SPRT_L_F
+        if decision is None:
+            if llr >= SPRT_A:
+                decision, nd, sd, llr_at = "accept_h1", i, cs, llr
+            elif llr <= SPRT_B:
+                decision, nd, sd, llr_at = "accept_h0", i, cs, llr
+    row = q196_sprt(spark, SF_DIR).collect()[0]
+    assert row["n_obs"] == len(obs)
+    assert row["decision"] == (decision or "continue")
+    assert row["n_decision"] == nd
+    assert row["s_at_decision"] == sd
+    if llr_at is not None:
+        assert row["llr_at_decision"] == llr_at
+    assert row["llr_final"] == llr
+
+
+def test_slice_parity_matches_python_reference(spark):
+    """q197: replay the median-share z per source."""
+    import math
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+    from searchengine_spark.pipelines.curation import (
+        PARITY_Z_CRIT,
+        q197_slice_parity,
+    )
+    from searchengine_spark.pipelines.textstats import (
+        _tok_arr,
+        load_docs,
+        quality_col,
+    )
+
+    rows = sorted(
+        load_docs(spark, SF_DIR)
+        .withColumn("toks", _tok_arr())
+        .select("doc_id", "source", quality_col().alias("q"))
+        .collect(),
+        key=lambda r: (r["q"], r["doc_id"]),
+    )
+    med = rows[(len(rows) + 1) // 2 - 1]["q"]
+    n_c, k_c = Counter(), Counter()
+    for r in rows:
+        n_c[r["source"]] += 1
+        if r["q"] > med:
+            k_c[r["source"]] += 1
+    n_all = sum(n_c.values())
+    k_all = sum(k_c.values())
+    got = q197_slice_parity(spark, SF_DIR).collect()
+    assert len(got) == len(n_c)
+    for r in got:
+        s = r["source"]
+        n_rest = n_all - n_c[s]
+        k_rest = k_all - k_c[s]
+        pp = k_all / n_all
+        se = math.sqrt(pp * (1 - pp) * (1 / n_c[s] + 1 / n_rest))
+        z = (k_c[s] / n_c[s] - k_rest / n_rest) / se
+        assert (r["n_src"], r["k_src"]) == (n_c[s], k_c[s])
+        assert r["z"] == z
+        assert r["flagged"] == (abs(z) > PARITY_Z_CRIT)
