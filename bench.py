@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "q195_shrunken_rates",
     "q196_sprt",
     "q197_slice_parity",
+    "q198_rbo",
+    "q199_stopword_stability",
+    "q200_dataset_card",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q200_dataset_card",
+    "q199_stopword_stability",
+    "q198_rbo",
     "q197_slice_parity",
     "q196_sprt",
     "q195_shrunken_rates",

@@ -2413,3 +2413,237 @@ ORDER BY source
 ORACLE["q197_slice_parity"] = ORACLE["q197_slice_parity"].format(
     q23=_TS_ORACLE["q23_quality"]
 )
+
+
+# --------------------------------------------------------------------------
+# q200: the dataset card — the one-row datasheet a training-data
+# release ships (Gebru et al.'s "Datasheets for Datasets" made the
+# case; every serious corpus release now carries one): corpus size,
+# vocabulary, duplication share, mean quality, language-mix entropy,
+# source concentration (Gini), and the median document length — each
+# computed with the repo's established exact recipe, composed into
+# ONE plan so the card is a single action, not a notebook of ad-hoc
+# scans.
+#
+# Determinism: every number reuses a proven shape — exact int64
+# censuses, exact rank probes for medians (q177), DECIMAL(28,12)
+# folds for the quality mean and entropy terms (q191), q155's
+# integer rank-weighted Gini. All published floats are single IEEE
+# trees, UNROUNDED. Scale shape: a handful of independent aggs over
+# two scans (docs, tokens), all joined as 1-row broadcasts.
+# --------------------------------------------------------------------------
+
+
+def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textstats import quality_col
+
+    docs = load_docs(spark, sf_dir).withColumn("toks", _tok_arr())
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.md5("text").alias("h"),
+        quality_col().alias("quality"),
+    ).localCheckpoint(eager=False)
+
+    counts = base.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum(F.col("quality").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("q_sum"),
+    )
+    vocab = F.broadcast(
+        docs.select(F.explode("toks").alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("vocab_size"))
+    )
+    dups = F.broadcast(
+        base.groupBy("h")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    # entropy terms fold in LANG ORDER (a window prefix sum is a
+    # sequential left fold, bit-identical on both engines) — the
+    # DECIMAL-quantized unordered sum hit a 1e-12 rounding-boundary
+    # divergence at sf0.1 (the q112 class: Spark HALF_UP on exact
+    # binary vs DuckDB scaled-float)
+    wl = Window.orderBy("lang")
+    lang_e = F.broadcast(
+        base.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("nl"))
+        .crossJoin(
+            F.broadcast(
+                base.groupBy().agg(
+                    F.count("*").cast("long").alias("nn")
+                )
+            )
+        )
+        .withColumn(
+            "term",
+            F.col("nl").cast("double")
+            * (
+                F.log(F.col("nn").cast("double"))
+                - F.log(F.col("nl").cast("double"))
+            ),
+        )
+        .withColumn(
+            "cum",
+            F.sum("term").over(
+                wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wl))
+        .withColumn(
+            "nlangs_all",
+            F.count("*").over(
+                wl.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.col("rn") == F.col("nlangs_all"))
+        .select(
+            F.col("nlangs_all").cast("long").alias("n_langs"),
+            (F.col("cum") / F.col("nn").cast("double")).alias(
+                "lang_entropy"
+            ),
+        )
+    )
+    src = base.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("w")
+    )
+    wsrc = Window.orderBy(F.asc("w"), F.asc("source"))
+    gini = F.broadcast(
+        src.withColumn("i", F.row_number().over(wsrc).cast("long"))
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum("w").cast("long").alias("total_w"),
+            F.sum(F.col("i") * F.col("w")).cast("long").alias("iw"),
+        )
+        .select(
+            "n_sources",
+            (
+                F.col("iw").cast("double")
+                * F.lit(2.0)
+                / (
+                    F.col("n_sources").cast("double")
+                    * F.col("total_w").cast("double")
+                )
+                - (F.col("n_sources") + 1).cast("double")
+                / F.col("n_sources").cast("double")
+            ).alias("source_gini"),
+        )
+    )
+    wlen = Window.orderBy("n_toks", "doc_id")
+    med = F.broadcast(
+        base.withColumn("r", F.row_number().over(wlen))
+        .crossJoin(F.broadcast(counts.select("n_docs")))
+        .filter(F.col("r") == F.expr("(n_docs + 1) div 2"))
+        .select(F.col("n_toks").alias("p50_tokens"))
+    )
+    return (
+        counts.crossJoin(vocab)
+        .crossJoin(dups)
+        .crossJoin(lang_e)
+        .crossJoin(gini)
+        .crossJoin(med)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            (
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_doc_share"),
+            (F.col("q_sum") / F.col("n_docs").cast("double")).alias(
+                "mean_quality"
+            ),
+            "n_langs",
+            "lang_entropy",
+            "n_sources",
+            "source_gini",
+            "p50_tokens",
+        )
+    )
+
+
+QUERIES["q200_dataset_card"] = q200_dataset_card
+
+ORACLE["q200_dataset_card"] = f"""
+WITH qual AS (SELECT doc_id, quality FROM ({{q23}})),
+base AS (
+  SELECT d.doc_id, d.source, d.lang,
+         len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT
+           AS n_toks,
+         md5(d.text) AS h, q.quality
+  FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+),
+counts AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+         CAST(sum(CAST(quality AS DECIMAL(28,12))) AS DOUBLE) AS q_sum
+  FROM base
+),
+vocab AS (
+  SELECT count(DISTINCT t)::BIGINT AS vocab_size
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS t FROM documents)
+),
+dups AS (
+  SELECT sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup_docs
+  FROM (SELECT h, count(*)::BIGINT AS c FROM base GROUP BY h)
+),
+lang_e AS (
+  SELECT n_langs, cum / CAST(nn AS DOUBLE) AS lang_entropy
+  FROM (
+    SELECT lang, nn,
+           sum(CAST(nl AS DOUBLE)
+               * (ln(CAST(nn AS DOUBLE)) - ln(CAST(nl AS DOUBLE))))
+             OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum,
+           row_number() OVER (ORDER BY lang) AS rn,
+           count(*) OVER ()::BIGINT AS n_langs
+    FROM (SELECT lang, count(*)::BIGINT AS nl FROM base GROUP BY lang),
+         (SELECT count(*)::BIGINT AS nn FROM base)
+  ) WHERE rn = n_langs
+),
+src AS (
+  SELECT source, sum(n_toks)::BIGINT AS w FROM base GROUP BY source
+),
+gini AS (
+  SELECT count(*)::BIGINT AS n_sources,
+         CAST(sum(i * w) AS DOUBLE) * 2.0::DOUBLE
+           / (CAST(count(*) AS DOUBLE) * CAST(sum(w) AS DOUBLE))
+           - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS source_gini
+  FROM (SELECT w, row_number() OVER (ORDER BY w ASC, source ASC)::BIGINT
+               AS i
+        FROM src)
+),
+med AS (
+  SELECT n_toks AS p50_tokens FROM (
+    SELECT n_toks, row_number() OVER (ORDER BY n_toks, doc_id) AS r
+    FROM base
+  ), counts WHERE r = (n_docs + 1) // 2
+)
+SELECT c.n_docs, c.n_tokens, v.vocab_size,
+       CAST(d.n_dup_docs AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+         AS dup_doc_share,
+       c.q_sum / CAST(c.n_docs AS DOUBLE) AS mean_quality,
+       l.n_langs, l.lang_entropy,
+       g.n_sources, g.source_gini,
+       m.p50_tokens
+FROM counts c, vocab v, dups d, lang_e l, gini g, med m
+"""
+
+ORACLE["q200_dataset_card"] = ORACLE["q200_dataset_card"].format(
+    q23=_TS_ORACLE["q23_quality"]
+)

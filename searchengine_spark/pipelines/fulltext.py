@@ -2685,3 +2685,306 @@ dflt AS ({_SENS_TOPK.format(
 {" UNION ALL ".join(_sens_leg(k1, b) for k1, b in SENS_GRID)}
 ORDER BY k1, b
 """
+
+
+# --------------------------------------------------------------------------
+# q198: rank-biased overlap between the BM25 and QL rankings (Webber
+# et al. TOIS'10) — the top-weighted list-similarity metric that
+# fixes what q194's flat Jaccard cannot see: two lists agreeing at
+# ranks 1–5 and disagreeing at 15–20 should score far higher than
+# the reverse. RBO(p) = (1−p)·Σ_d p^{d−1}·X_d/d with X_d the prefix
+# overlap at depth d; truncated at RBO_K (the RBO_min convention,
+# no residual — documented).
+#
+# Determinism: X_d is exact — a doc enters the overlap at depth
+# max(rank_a, rank_b), so X_d is ONE cumulative integer count over a
+# literal 1..K depth table; the depth weights (1−p)p^{d−1}/d are
+# PYTHON-LITERAL doubles (the q172 rule: pow at build time, never at
+# run time), and Σ w_d·X_d folds as DECIMAL(28,12) partials of
+# identical per-depth IEEE products. Scale shape: q174's two scored
+# rankings + a K-row join — constant beyond the scoring.
+# --------------------------------------------------------------------------
+
+RBO_P = 0.9
+RBO_K = 20
+_RBO_W = [
+    (1 - RBO_P) * RBO_P ** (d - 1) / d for d in range(1, RBO_K + 1)
+]
+
+
+def q198_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats_row = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        load_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    )
+    total_row = toks.agg(F.count("*").cast("double").alias("total_c"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf_q = tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
+    cf = tf_q.groupBy("term").agg(F.sum("tf").alias("cf"))
+    cand = tf_q.select("doc_id").distinct()
+    bm25_doc = (
+        tf_q.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats_row))
+        .withColumn(
+            "s",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            * F.lit(K1 + 1.0)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("s").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score_a")
+        )
+    )
+    grid = (
+        cand.join(dl, "doc_id")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(total_row))
+    )
+    ql_doc = (
+        grid.join(tf_q, ["doc_id", "term"], "left")
+        .withColumn("tf0", F.coalesce(F.col("tf"), F.lit(0)))
+        .withColumn(
+            "s",
+            F.log(
+                (
+                    F.col("tf0")
+                    + F.lit(QL_MU) * F.col("cf") / F.col("total_c")
+                )
+                / (F.col("dl") + F.lit(QL_MU))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("s").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score_b")
+        )
+    )
+    ranked = (
+        bm25_doc.join(ql_doc, "doc_id")
+        .withColumn(
+            "ra",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_a"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn(
+            "rb",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_b"), F.asc("doc_id"))
+            ),
+        )
+    )
+    entry = (
+        ranked.filter((F.col("ra") <= RBO_K) & (F.col("rb") <= RBO_K))
+        .select(F.greatest("ra", "rb").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    depths = spark.createDataFrame(
+        [(d, _RBO_W[d - 1]) for d in range(1, RBO_K + 1)],
+        "d int, w double",
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    xd = (
+        depths.join(entry, depths.d == entry.m, "left")
+        .withColumn(
+            "x_d",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(wcum)
+            .cast("long"),
+        )
+        .withColumn(
+            "contrib",
+            (F.col("w") * F.col("x_d").cast("double")).cast(
+                "decimal(28,12)"
+            ),
+        )
+    )
+    return xd.groupBy().agg(
+        F.lit(RBO_K).cast("int").alias("k"),
+        F.lit(RBO_P).alias("p"),
+        F.max(F.when(F.col("d") == RBO_K, F.col("x_d")))
+        .cast("long")
+        .alias("overlap_at_k"),
+        F.sum("contrib").cast("double").alias("rbo_min"),
+    )
+
+
+QUERIES["q198_rbo"] = q198_rbo
+
+_RBO_W_SQL = ", ".join(
+    f"({d}, {w!r}::DOUBLE)" for d, w in enumerate(_RBO_W, 1)
+)
+
+ORACLE["q198_rbo"] = f"""
+WITH {{prefix}},
+entry AS (
+  SELECT GREATEST(rank_a, rank_b) AS m, count(*)::BIGINT AS c
+  FROM ranked
+  WHERE rank_a <= {RBO_K} AND rank_b <= {RBO_K}
+  GROUP BY m
+),
+depths(d, w) AS (VALUES {_RBO_W_SQL}),
+xd AS (
+  SELECT d.d, d.w,
+         sum(COALESCE(e.c, 0)) OVER (ORDER BY d.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS x_d
+  FROM depths d LEFT JOIN entry e ON d.d = e.m
+)
+SELECT {RBO_K}::INT AS k, {RBO_P!r}::DOUBLE AS p,
+       max(CASE WHEN d = {RBO_K} THEN x_d END)::BIGINT AS overlap_at_k,
+       CAST(sum(CAST(w * CAST(x_d AS DOUBLE) AS DECIMAL(28,12)))
+            AS DOUBLE) AS rbo_min
+FROM xd
+"""
+
+# reuse q174's scoring-CTE prefix up to `ranked` so the two entries
+# cannot drift (the q183 pattern)
+_Q174_SQL = ORACLE["q174_interleave"]
+_RBO_PREFIX = _Q174_SQL[
+    _Q174_SQL.index("WITH ") + 5 : _Q174_SQL.index("keyed AS")
+].rstrip().rstrip(",")
+ORACLE["q198_rbo"] = ORACLE["q198_rbo"].format(prefix=_RBO_PREFIX)
+
+
+# --------------------------------------------------------------------------
+# q199: stopword-list stability between corpus halves — the feature-
+# stability audit for q127's discovered list: a stopword list is
+# pipeline INFRASTRUCTURE (q22/q161/q166 all consume one), so before
+# refreshing it from a new crawl you check that the discovery rule
+# yields the same set on independent halves; low agreement means the
+# df-ratio threshold rides sampling noise and must not auto-deploy.
+# Same rule as q127 (df·den ≥ n_docs·num), evaluated per half, set
+# agreement as exact integer counts + Jaccard.
+#
+# Scale shape: ONE (term, half) agg with conditional partials, two
+# 1-row half-size broadcasts, a vocab-sized membership expression,
+# 1-row census. All exact int64; Jaccard one IEEE division.
+# --------------------------------------------------------------------------
+
+
+def q199_stopword_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    num, den = STOPDISC_DF_RATIO
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).cast("int").alias("half"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    df_h = toks.groupBy("term").agg(
+        F.countDistinct(
+            F.when(F.col("half") == 1, F.col("doc_id"))
+        ).cast("long").alias("df_a"),
+        F.countDistinct(
+            F.when(F.col("half") == 0, F.col("doc_id"))
+        ).cast("long").alias("df_b"),
+    )
+    halves = F.broadcast(
+        docs.groupBy().agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("doc_id") % 2 != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    j = df_h.crossJoin(halves).withColumn(
+        "in_a",
+        (F.col("df_a") * den >= F.col("n_a") * num).cast("int"),
+    ).withColumn(
+        "in_b",
+        (F.col("df_b") * den >= F.col("n_b") * num).cast("int"),
+    )
+    g = j.groupBy().agg(
+        F.sum("in_a").cast("long").alias("n_stop_a"),
+        F.sum("in_b").cast("long").alias("n_stop_b"),
+        F.sum(F.col("in_a") * F.col("in_b"))
+        .cast("long")
+        .alias("n_common"),
+    )
+    union = (
+        F.col("n_stop_a") + F.col("n_stop_b") - F.col("n_common")
+    ).cast("long")
+    return g.select(
+        "n_stop_a",
+        "n_stop_b",
+        "n_common",
+        union.alias("n_union"),
+        F.when(
+            union > 0,
+            F.col("n_common").cast("double") / union.cast("double"),
+        ).alias("jaccard"),
+    )
+
+
+QUERIES["q199_stopword_stability"] = q199_stopword_stability
+
+ORACLE["q199_stopword_stability"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS half,
+         w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+df_h AS (
+  SELECT term,
+         count(DISTINCT CASE WHEN half = 1 THEN doc_id END)::BIGINT
+           AS df_a,
+         count(DISTINCT CASE WHEN half = 0 THEN doc_id END)::BIGINT
+           AS df_b
+  FROM toks GROUP BY term
+),
+halves AS (
+  SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM documents
+),
+j AS (
+  SELECT CASE WHEN df_a * {STOPDISC_DF_RATIO[1]}
+                   >= n_a * {STOPDISC_DF_RATIO[0]} THEN 1 ELSE 0 END
+           AS in_a,
+         CASE WHEN df_b * {STOPDISC_DF_RATIO[1]}
+                   >= n_b * {STOPDISC_DF_RATIO[0]} THEN 1 ELSE 0 END
+           AS in_b
+  FROM df_h, halves
+),
+g AS (
+  SELECT sum(in_a)::BIGINT AS n_stop_a,
+         sum(in_b)::BIGINT AS n_stop_b,
+         sum(in_a * in_b)::BIGINT AS n_common
+  FROM j
+)
+SELECT n_stop_a, n_stop_b, n_common,
+       (n_stop_a + n_stop_b - n_common)::BIGINT AS n_union,
+       CASE WHEN n_stop_a + n_stop_b - n_common > 0
+            THEN CAST(n_common AS DOUBLE)
+                 / CAST(n_stop_a + n_stop_b - n_common AS DOUBLE)
+            ELSE NULL END AS jaccard
+FROM g
+"""
