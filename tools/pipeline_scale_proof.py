@@ -65,6 +65,14 @@ OPS = [
     "q126_ann_ndcg_audit",
     "q127_stopword_discovery",
     "q128_embedding_drift",
+    # round-5 heavy additions (iterative graph ops, pair joins)
+    "q157_harmonic_centrality",
+    "q162_bowtie",
+    "q166_textrank_keywords",
+    "q175_cdc_chunks",
+    "q183_winnow_pairs",
+    "q185_pagerank_delta",
+    "q189_modularity",
 ]
 
 
@@ -165,9 +173,11 @@ def write_embeddings(path: str, n: int) -> None:
 
 
 def write_lineitem(path: str, n_docs: int) -> None:
-    """Only the columns q59 reads (l_suppkey, l_partkey) — the explicit
-    read schema null-fills the rest. Edge density matches sf0.1
-    (~120 rows/doc, supp fan-in ~ docs/2, part universe ~ 4x docs)."""
+    """The columns the graph family reads (l_suppkey, l_partkey, and —
+    since the round-5 co-purchase/sequence ops — l_orderkey with ~6
+    lines per order and l_linenumber) — the explicit read schema
+    null-fills the rest. Edge density matches sf0.1 (~120 rows/doc,
+    supp fan-in ~ docs/2, part universe ~ 4x docs)."""
     n = n_docs * LI_PER_DOC
     supp_n = max(64, n_docs // 2)
     part_n = 4 * n_docs
@@ -175,6 +185,8 @@ def write_lineitem(path: str, n_docs: int) -> None:
         os.path.join(path, "part-0.parquet"),
         pa.schema(
             [
+                pa.field("l_orderkey", pa.int64()),
+                pa.field("l_linenumber", pa.int32()),
                 pa.field("l_suppkey", pa.int64()),
                 pa.field("l_partkey", pa.int64()),
             ]
@@ -187,6 +199,8 @@ def write_lineitem(path: str, n_docs: int) -> None:
             writer.write_table(
                 pa.table(
                     {
+                        "l_orderkey": [1 + i // 6 for i in range(lo, hi)],
+                        "l_linenumber": pa.array([1 + i % 6 for i in range(lo, hi)], type=pa.int32()),
                         "l_suppkey": [1 + (i * 7919) % supp_n
                                       for i in range(lo, hi)],
                         "l_partkey": [1 + (i * 104729) % part_n
@@ -228,6 +242,9 @@ def main() -> None:
     from searchengine_spark.pipelines import all_queries
     from searchengine_spark.session import get_spark
 
+    # optional argv subset: time only the named ops (fresh additions)
+    ops = [a for a in sys.argv[1:] if a.startswith("q")] or OPS
+
     t0 = time.time()
     dirs = {n: gen_scale(n) for n in (BASE_DOCS, BASE_DOCS * FACTOR)}
     gen_wall = round(time.time() - t0, 1)
@@ -248,9 +265,9 @@ def main() -> None:
         import bench as _bench
 
         warm = gen_scale(500)
-        for op in OPS:
+        for op in ops:
             _bench._consume(registry[op](spark, warm))
-        for op in OPS:
+        for op in ops:
             legs = {}
             for n, d in dirs.items():
                 t0 = time.time()
