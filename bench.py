@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     "q198_rbo",
     "q199_stopword_stability",
     "q200_dataset_card",
+    "q201_triangle_null_model",
+    "q202_novelty_curve",
+    "q203_zero_results_audit",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -2647,3 +2647,75 @@ FROM counts c, vocab v, dups d, lang_e l, gini g, med m
 ORACLE["q200_dataset_card"] = ORACLE["q200_dataset_card"].format(
     q23=_TS_ORACLE["q23_quality"]
 )
+
+
+# --------------------------------------------------------------------------
+# q202: crawl-order novelty curve — q105 scores each doc's shingle
+# novelty; this rolls the per-doc scores into the DECILE curve a
+# crawl-budget owner actually reads: novelty per crawl-order decile
+# falls as the corpus saturates (diminishing returns), and the decile
+# where it flattens is where the budget should stop. Composes q105's
+# exact first-occurrence machinery (MIN over doc_id = crawl order on
+# the fixture) with an ntile cut.
+#
+# Determinism: per-decile sums are exact int64 (novel and total
+# shingle counts); shares single IEEE divisions. Scale shape: q105's
+# two hash aggs + one ntile window over |docs| + a 10-row rollup.
+# --------------------------------------------------------------------------
+
+NOVC_DECILES = 10
+
+
+def q202_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    nov = ngram_novelty_from(
+        novelty_occurrences(load_docs(spark, sf_dir))
+    )
+    w = Window.orderBy("doc_id")
+    cut = nov.withColumn(
+        "decile", (F.ntile(NOVC_DECILES).over(w) - 1).cast("int")
+    )
+    g = cut.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_novel").cast("long").alias("novel"),
+        F.sum("n_shingles").cast("long").alias("total"),
+    )
+    return (
+        g.select(
+            "decile",
+            "n_docs",
+            "novel",
+            "total",
+            F.when(
+                F.col("total") > 0,
+                F.col("novel").cast("double")
+                / F.col("total").cast("double"),
+            ).alias("novelty_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["q202_novelty_curve"] = q202_novelty_curve
+
+ORACLE["q202_novelty_curve"] = f"""
+WITH nov AS ({{q105}}),
+cut AS (
+  SELECT *, (ntile({NOVC_DECILES}) OVER (ORDER BY doc_id) - 1)::INT
+           AS decile
+  FROM nov
+)
+SELECT decile, count(*)::BIGINT AS n_docs,
+       sum(n_novel)::BIGINT AS novel,
+       sum(n_shingles)::BIGINT AS total,
+       CASE WHEN sum(n_shingles) > 0
+            THEN CAST(sum(n_novel) AS DOUBLE)
+                 / CAST(sum(n_shingles) AS DOUBLE)
+            ELSE NULL END AS novelty_share
+FROM cut GROUP BY decile ORDER BY decile
+"""
+
+ORACLE["q202_novelty_curve"] = ORACLE["q202_novelty_curve"].format(
+    q105=ORACLE["q105_ngram_novelty"]
+)

@@ -2988,3 +2988,106 @@ SELECT n_stop_a, n_stop_b, n_common,
             ELSE NULL END AS jaccard
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# q203: zero-results audit — the serving-health number a search team
+# tracks weekly: over every 2-term conjunctive query the vocabulary
+# can form, how many return NOTHING? (Zero-result rate drives both
+# recall work and the q84/q78 fallback policies — expansion and
+# spell-correct exist to drain exactly this bucket.) Plus the co-df
+# distribution median so "how thin are the non-empty ones" rides
+# along.
+#
+# Determinism: all counts exact int64 — pair co-df from ONE
+# presence self-join on doc_id (never a cartesian over the vocab),
+# possible pairs = V(V−1)/2 closed form, the median an exact rank
+# probe (q177's idiom). Scale shape: the self-join is bounded by
+# per-doc distinct-term counts (Σ tpd² over docs), the classic
+# co-occurrence bound; the audit result is a 1-row dashboard scalar.
+# --------------------------------------------------------------------------
+
+
+def q203_zero_results_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pres = (
+        tokens(spark, sf_dir)
+        .select("doc_id", "term")
+        .distinct()
+    )
+    a = pres.select("doc_id", F.col("term").alias("ta"))
+    b = pres.select("doc_id", F.col("term").alias("tb"))
+    pair_df = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("co_df"))
+    )
+    vocab = F.broadcast(
+        pres.agg(F.countDistinct("term").cast("long").alias("v"))
+    )
+    w = Window.orderBy("co_df", "ta", "tb")
+    nz = F.broadcast(
+        pair_df.groupBy().agg(
+            F.count("*").cast("long").alias("n_nonzero")
+        )
+    )
+    med = F.broadcast(
+        pair_df.withColumn("r", F.row_number().over(w))
+        .crossJoin(nz)
+        .filter(F.col("r") == F.expr("(n_nonzero + 1) div 2"))
+        .select(F.col("co_df").alias("p50_co_df"))
+    )
+    possible = (F.col("v") * (F.col("v") - 1) / 2).cast("long")
+    return (
+        vocab.crossJoin(nz)
+        .crossJoin(med)
+        .select(
+            F.col("v").alias("n_terms"),
+            possible.alias("n_pairs_possible"),
+            "n_nonzero",
+            (possible - F.col("n_nonzero")).cast("long").alias(
+                "n_zero_result"
+            ),
+            (
+                (possible - F.col("n_nonzero")).cast("double")
+                / possible.cast("double")
+            ).alias("zero_rate"),
+            "p50_co_df",
+        )
+    )
+
+
+QUERIES["q203_zero_results_audit"] = q203_zero_results_audit
+
+ORACLE["q203_zero_results_audit"] = """
+WITH pres AS (
+  SELECT DISTINCT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+pair_df AS (
+  SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS co_df
+  FROM pres a JOIN pres b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+vocab AS (SELECT count(DISTINCT term)::BIGINT AS v FROM pres),
+nz AS (SELECT count(*)::BIGINT AS n_nonzero FROM pair_df),
+med AS (
+  SELECT co_df AS p50_co_df FROM (
+    SELECT co_df, row_number() OVER (ORDER BY co_df, ta, tb) AS r
+    FROM pair_df
+  ), nz WHERE r = (n_nonzero + 1) // 2
+)
+SELECT v AS n_terms,
+       (v * (v - 1) // 2)::BIGINT AS n_pairs_possible,
+       nz.n_nonzero,
+       (v * (v - 1) // 2 - nz.n_nonzero)::BIGINT AS n_zero_result,
+       CAST(v * (v - 1) // 2 - nz.n_nonzero AS DOUBLE)
+         / CAST(v * (v - 1) // 2 AS DOUBLE) AS zero_rate,
+       med.p50_co_df
+FROM vocab, nz, med
+"""

@@ -2839,3 +2839,124 @@ FROM comm c, sums s, mm
 ORDER BY c.n_nodes DESC, c.community ASC
 LIMIT {MOD_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q201: triangle-count null model — is the co-purchase graph's
+# clustering REAL structure or just what its degree sequence forces?
+# The configuration-model expectation (Newman): a random graph with
+# the same degrees has expected transitivity C_rand ≈ <k²−k>² /
+# (n·<k>³); comparing q58's measured transitivity against it is the
+# difference between "communities exist" and "hubs make everything
+# look clustered". The ratio C/C_rand is the headline.
+#
+# Determinism: the degree moments are exact int64 sums; transitivity
+# = 3·triangles/wedges with both counts exact int64 (q58's
+# degree-ordered triangle count, wedges = Σd(d−1)/2 exact); the
+# null expectation and the ratio are single IEEE trees, NULL-guarded
+# when wedges = 0. Scale shape: q58's O(m^1.5) plan + one degree-
+# moment agg + a 1-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q201_triangle_null_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tc = triangle_counts(copurchase_edges(spark, sf_dir))
+    g = tc.groupBy().agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("n_triangles").cast("long").alias("tri3"),
+        F.sum("degree").cast("long").alias("d1"),
+        F.sum(F.col("degree") * F.col("degree"))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.col("degree") * (F.col("degree") - 1))
+        .cast("long")
+        .alias("wedges2"),
+    )
+    n = F.col("n_nodes").cast("double")
+    k1 = F.col("d1").cast("double") / n
+    k2k = (F.col("d2") - F.col("d1")).cast("double") / n
+    c_rand = k2k * k2k / (n * k1 * k1 * k1)
+    # per-node triangle counts sum each triangle 3 times (tri3 = 3T);
+    # wedges2 = 2W -> transitivity 3T/W = 2*tri3/wedges2
+    trans = F.when(
+        F.col("wedges2") > 0,
+        (F.lit(2.0) * F.col("tri3").cast("double"))
+        / F.col("wedges2").cast("double"),
+    )
+    return g.select(
+        "n_nodes",
+        F.expr("tri3 div 3").cast("long").alias("n_triangles"),
+        F.expr("wedges2 div 2").cast("long").alias("n_wedges"),
+        trans.alias("transitivity"),
+        c_rand.alias("c_random"),
+        F.when(c_rand > 0.0, trans / c_rand).alias("clustering_lift"),
+    )
+
+
+QUERIES["q201_triangle_null_model"] = q201_triangle_null_model
+
+ORACLE["q201_triangle_null_model"] = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL SELECT pb AS src, pa AS dst FROM und
+),
+deg AS (
+  SELECT src AS node, count(*)::BIGINT AS degree FROM e GROUP BY src
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM und ab JOIN und bc ON ab.pb = bc.pa
+              JOIN und ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         sum(degree)::BIGINT AS d1,
+         sum(degree * degree)::BIGINT AS d2,
+         sum(degree * (degree - 1))::BIGINT AS wedges2
+  FROM deg
+)
+SELECT m.n_nodes,
+       tri.t AS n_triangles,
+       (m.wedges2 // 2)::BIGINT AS n_wedges,
+       CASE WHEN m.wedges2 > 0
+            THEN (2.0::DOUBLE * CAST(3 * tri.t AS DOUBLE))
+                 / CAST(m.wedges2 AS DOUBLE)
+            ELSE NULL END AS transitivity,
+       (CAST(m.d2 - m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+         * (CAST(m.d2 - m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+         / (CAST(m.n_nodes AS DOUBLE)
+            * (CAST(m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+            * (CAST(m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+            * (CAST(m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE)))
+         AS c_random,
+       CASE WHEN m.wedges2 > 0
+                 AND (CAST(m.d2 - m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+                     * (CAST(m.d2 - m.d1 AS DOUBLE)
+                        / CAST(m.n_nodes AS DOUBLE))
+                     / (CAST(m.n_nodes AS DOUBLE)
+                        * (CAST(m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+                        * (CAST(m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+                        * (CAST(m.d1 AS DOUBLE)
+                           / CAST(m.n_nodes AS DOUBLE))) > 0.0
+            THEN ((2.0::DOUBLE * CAST(3 * tri.t AS DOUBLE))
+                  / CAST(m.wedges2 AS DOUBLE))
+                 / ((CAST(m.d2 - m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+                    * (CAST(m.d2 - m.d1 AS DOUBLE)
+                       / CAST(m.n_nodes AS DOUBLE))
+                    / (CAST(m.n_nodes AS DOUBLE)
+                       * (CAST(m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+                       * (CAST(m.d1 AS DOUBLE) / CAST(m.n_nodes AS DOUBLE))
+                       * (CAST(m.d1 AS DOUBLE)
+                          / CAST(m.n_nodes AS DOUBLE))))
+            ELSE NULL END AS clustering_lift
+FROM mom m, tri
+"""

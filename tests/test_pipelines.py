@@ -202,6 +202,9 @@ ORACLE_CHECKED = [
     "q198_rbo",
     "q199_stopword_stability",
     "q200_dataset_card",
+    "q201_triangle_null_model",
+    "q202_novelty_curve",
+    "q203_zero_results_audit",
 ]
 
 
@@ -4294,3 +4297,106 @@ def test_dataset_card_matches_python_reference(spark):
     assert abs(card["lang_entropy"] - ent) < 1e-12
     assert card["source_gini"] == gini
     assert card["p50_tokens"] == p50
+
+
+def test_triangle_null_model_matches_python_reference(spark):
+    """q201: replay moments + null expectation off the engine's own
+    triangle counts; lift consistent."""
+    from searchengine_spark.pipelines.graph import (
+        copurchase_edges,
+        q201_triangle_null_model,
+        triangle_counts,
+    )
+
+    tc = triangle_counts(copurchase_edges(spark, SF_DIR)).collect()
+    n = len(tc)
+    tri3 = sum(r["n_triangles"] for r in tc)
+    d1 = sum(r["degree"] for r in tc)
+    d2 = sum(r["degree"] ** 2 for r in tc)
+    w2 = sum(r["degree"] * (r["degree"] - 1) for r in tc)
+    row = q201_triangle_null_model(spark, SF_DIR).collect()[0]
+    assert (row["n_nodes"], row["n_triangles"], row["n_wedges"]) == (
+        n, tri3 // 3, w2 // 2,
+    )
+    assert row["transitivity"] == (2.0 * tri3) / w2
+    k1 = d1 / n
+    k2k = (d2 - d1) / n
+    assert row["c_random"] == k2k * k2k / (n * k1 * k1 * k1)
+    assert row["clustering_lift"] == row["transitivity"] / row["c_random"]
+    assert 0.0 <= row["transitivity"] <= 1.0
+
+
+def test_novelty_curve_matches_python_reference(spark):
+    """q202: the decile rollup must partition q105's rows and novelty
+    must fall from the first decile to the last (saturation)."""
+    from searchengine_spark.pipelines.curation import (
+        NOVC_DECILES,
+        ngram_novelty_from,
+        novelty_occurrences,
+        q202_novelty_curve,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    nov = sorted(
+        ngram_novelty_from(
+            novelty_occurrences(load_docs(spark, SF_DIR))
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    n = len(nov)
+    base, rem = divmod(n, NOVC_DECILES)
+    want = []
+    idx = 0
+    for d in range(NOVC_DECILES):
+        size = base + (1 if d < rem else 0)
+        chunk = nov[idx : idx + size]
+        idx += size
+        want.append(
+            (
+                d,
+                len(chunk),
+                sum(r["n_novel"] for r in chunk),
+                sum(r["n_shingles"] for r in chunk),
+            )
+        )
+    got = q202_novelty_curve(spark, SF_DIR).collect()
+    assert [
+        (r["decile"], r["n_docs"], r["novel"], r["total"]) for r in got
+    ] == want
+    assert got[0]["novelty_share"] > got[-1]["novelty_share"]
+
+
+def test_zero_results_audit_matches_python_reference(spark):
+    """q203: replay the pair coverage census exactly."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.fulltext import (
+        q203_zero_results_audit,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    pres = {}
+    vocab = set()
+    for r in docs:
+        ts = {t for t in r["text"].split(" ") if t}
+        vocab |= ts
+        pres[r["doc_id"]] = ts
+    co = Counter()
+    for ts in pres.values():
+        st = sorted(ts)
+        for i in range(len(st)):
+            for j in range(i + 1, len(st)):
+                co[(st[i], st[j])] += 1
+    v = len(vocab)
+    possible = v * (v - 1) // 2
+    nz = len(co)
+    dfs = sorted(co.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+    p50 = dfs[(nz + 1) // 2 - 1][1]
+    row = q203_zero_results_audit(spark, SF_DIR).collect()[0]
+    assert (row["n_terms"], row["n_pairs_possible"], row["n_nonzero"]) == (
+        v, possible, nz,
+    )
+    assert row["n_zero_result"] == possible - nz
+    assert row["zero_rate"] == (possible - nz) / possible
+    assert row["p50_co_df"] == p50
