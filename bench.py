@@ -221,6 +221,9 @@ BENCH_QUERIES = [
     "q201_triangle_null_model",
     "q202_novelty_curve",
     "q203_zero_results_audit",
+    "q204_scorer_rank_corr",
+    "q205_hot_term_routing",
+    "q206_nprobe_curve",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -44,6 +44,9 @@ _MODULES = [
 # went green. Recompute each round from the CORRECTNESS_r*.json files.
 _CHECK_FIRST = [
     # --- new in r5, never driver-sampled ---
+    "q206_nprobe_curve",
+    "q205_hot_term_routing",
+    "q204_scorer_rank_corr",
     "q203_zero_results_audit",
     "q202_novelty_curve",
     "q201_triangle_null_model",

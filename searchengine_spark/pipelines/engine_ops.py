@@ -798,3 +798,159 @@ SELECT strategy, shard, n_keys, mass,
 FROM per_shard, tot
 ORDER BY strategy, shard
 """
+
+
+# --------------------------------------------------------------------------
+# q205: hot-term replicated routing table — the fix for the skew
+# q171 measured: assign the top ROUTE_HOT terms (by posting mass) to
+# ALL shards (replicated — each shard serves its local fraction of a
+# hot term's postings, the doc-partitioned "hybrid" scheme Elastic/
+# Lucene deployments use for hot shards) and hash-route the cold
+# tail. The table IS the serving artifact; alongside it the audit
+# re-computes the q171 balance under the hybrid scheme so the
+# improvement is a number, not a hope: cold mass lands by term hash,
+# hot mass divides by ROUTE_N evenly (its per-shard share is
+# mass div N + pro-rata remainder by shard index — exact integers).
+#
+# Determinism: masses exact int64; the hot set is a TakeOrdered
+# top-H with total tie-break; remainder distribution uses integer
+# compares only. Scale shape: one (term) mass agg, H-row broadcast,
+# ≤ N-row balance rollup.
+# --------------------------------------------------------------------------
+
+ROUTE_N = 16
+# on a Zipf corpus a handful of head terms suffices; the fixture's
+# flat 31-word mass needs H covering most of the head before the
+# replicated fraction dominates the lumpy hashed tail (measured:
+# H=8 WORSENS the worst shard 2.15->2.38, H=20 improves it to 1.71
+# at BOTH sf0.01 and sf0.1 — pinned by the pytest)
+ROUTE_HOT = 20
+
+
+def q205_hot_term_routing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _tables.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    mass = tok.groupBy("term").agg(
+        F.count("*").cast("long").alias("mass")
+    )
+    w = Window.orderBy(F.desc("mass"), F.asc("term"))
+    ranked = mass.withColumn("rnk", F.row_number().over(w).cast("long"))
+    hot = ranked.filter(F.col("rnk") <= ROUTE_HOT)
+    cold = ranked.filter(F.col("rnk") > ROUTE_HOT)
+    shards = spark.createDataFrame(
+        [(s,) for s in range(ROUTE_N)], "shard int"
+    )
+    hot_rows = (
+        hot.crossJoin(F.broadcast(shards))
+        .select(
+            "term",
+            "shard",
+            F.lit("replicated").alias("route"),
+            (
+                F.expr(f"mass div {ROUTE_N}")
+                + F.when(
+                    F.col("shard")
+                    < F.col("mass") % ROUTE_N,
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("shard_mass"),
+        )
+    )
+    cold_rows = cold.select(
+        "term",
+        (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+            .cast("long")
+            % ROUTE_N
+        ).cast("int").alias("shard"),
+        F.lit("hashed").alias("route"),
+        F.col("mass").alias("shard_mass"),
+    )
+    rows = hot_rows.unionByName(cold_rows)
+    balance = rows.groupBy("shard").agg(
+        F.sum("shard_mass").cast("long").alias("total_mass")
+    )
+    tot = F.broadcast(
+        balance.groupBy().agg(
+            F.sum("total_mass").cast("long").alias("grand"),
+            F.max("total_mass").cast("long").alias("max_shard"),
+        )
+    )
+    return (
+        balance.crossJoin(tot)
+        .select(
+            "shard",
+            "total_mass",
+            (
+                F.col("total_mass").cast("double")
+                / (F.col("grand").cast("double") / F.lit(float(ROUTE_N)))
+            ).alias("straggler"),
+            (
+                F.col("max_shard").cast("double")
+                / (F.col("grand").cast("double") / F.lit(float(ROUTE_N)))
+            ).alias("worst_straggler"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["q205_hot_term_routing"] = q205_hot_term_routing
+
+ORACLE["q205_hot_term_routing"] = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents
+),
+mass AS (SELECT term, count(*)::BIGINT AS mass FROM tok GROUP BY term),
+ranked AS (
+  SELECT term, mass,
+         row_number() OVER (ORDER BY mass DESC, term ASC)::BIGINT AS rnk
+  FROM mass
+),
+shards AS (SELECT unnest(generate_series(0, {ROUTE_N - 1}))::INT AS shard),
+hot_rows AS (
+  SELECT r.term, s.shard,
+         (r.mass // {ROUTE_N}
+          + CASE WHEN s.shard < r.mass % {ROUTE_N} THEN 1 ELSE 0 END
+         )::BIGINT AS shard_mass
+  FROM ranked r CROSS JOIN shards s WHERE r.rnk <= {ROUTE_HOT}
+),
+cold_rows AS (
+  SELECT term,
+         (('0x' || substr(md5(term), 1, 15))::BIGINT % {ROUTE_N})::INT
+           AS shard,
+         mass AS shard_mass
+  FROM ranked WHERE rnk > {ROUTE_HOT}
+),
+rows_all AS (
+  SELECT shard, shard_mass FROM hot_rows
+  UNION ALL SELECT shard, shard_mass FROM cold_rows
+),
+balance AS (
+  SELECT shard, sum(shard_mass)::BIGINT AS total_mass
+  FROM rows_all GROUP BY shard
+),
+tot AS (
+  SELECT sum(total_mass)::BIGINT AS grand,
+         max(total_mass)::BIGINT AS max_shard
+  FROM balance
+)
+SELECT b.shard, b.total_mass,
+       CAST(b.total_mass AS DOUBLE)
+         / (CAST(t.grand AS DOUBLE) / {float(ROUTE_N)!r}::DOUBLE)
+         AS straggler,
+       CAST(t.max_shard AS DOUBLE)
+         / (CAST(t.grand AS DOUBLE) / {float(ROUTE_N)!r}::DOUBLE)
+         AS worst_straggler
+FROM balance b, tot t
+ORDER BY b.shard
+"""

@@ -3091,3 +3091,141 @@ SELECT v AS n_terms,
        med.p50_co_df
 FROM vocab, nz, med
 """
+
+
+# --------------------------------------------------------------------------
+# q204: BM25-vs-TFIDF rank correlation — the "is the fancy scorer
+# even different here" audit: Spearman rho between the two scoring
+# functions over the shared candidate set (q156's rank-difference
+# machinery). rho ≈ 1 means augmented-TFIDF (the reference's own
+# scorer, TF_IDF.java) and BM25 order this corpus identically and a
+# migration is rank-neutral; a low rho localizes where the length
+# normalization actually bites.
+#
+# Determinism: both scores are DECIMAL-folded per-doc sums of exact
+# trees; ranks over (score DESC, doc_id) total orders; Σd² and
+# n(n²−1) exact int64 (q156's recipe); rho ONE IEEE tree, UNROUNDED.
+# Scale shape: one tf/dl frame, two map-only score columns, two rank
+# windows, a 1-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q204_scorer_rank_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats_row = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        load_docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf_q = tf.filter(F.col("term").isin(BM25_QUERY_TERMS))
+    max_tf = tf_q.groupBy("doc_id").agg(F.max("tf").alias("max_tf"))
+    base = (
+        tf_q.join(dl, "doc_id")
+        .join(max_tf, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats_row))
+    )
+    bm25 = (
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.lit(K1 + 1.0)
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    tfidf = (0.4 + 0.6 * F.col("tf") / F.col("max_tf")) * F.log(
+        F.col("n_docs").cast("double") / F.col("df")
+    )
+    scored = base.withColumn("sa", bm25).withColumn("sb", tfidf).groupBy(
+        "doc_id"
+    ).agg(
+        F.sum(F.col("sa").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("score_a"),
+        F.sum(F.col("sb").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("score_b"),
+    )
+    ranked = scored.withColumn(
+        "ra",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_a"), F.asc("doc_id")))
+        .cast("long"),
+    ).withColumn(
+        "rb",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_b"), F.asc("doc_id")))
+        .cast("long"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    g = ranked.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs_ranked"),
+        F.sum(d2).cast("long").alias("d2_sum"),
+    )
+    nn = F.col("n_docs_ranked")
+    return g.filter(nn >= 2).select(
+        "n_docs_ranked",
+        "d2_sum",
+        (
+            F.lit(1.0)
+            - (F.lit(6) * F.col("d2_sum")).cast("double")
+            / (nn * (nn * nn - 1)).cast("double")
+        ).alias("spearman_rho"),
+    )
+
+
+QUERIES["q204_scorer_rank_corr"] = q204_scorer_rank_corr
+
+_Q204_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+ORACLE["q204_scorer_rank_corr"] = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+tfq AS (SELECT * FROM tf WHERE term IN ({_Q204_TERMS})),
+mx AS (SELECT doc_id, max(tf) AS max_tf FROM tfq GROUP BY doc_id),
+scored AS (
+  SELECT tfq.doc_id,
+         sum(CAST(ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                  * (1.2 + 1.0) * tfq.tf
+                  / (tfq.tf + 1.2 * ((1.0 - 0.75)
+                                     + 0.75 * dl.dl / ad.avgdl))
+                  AS DECIMAL(28,12)))::DOUBLE AS score_a,
+         sum(CAST((0.4 + 0.6 * tfq.tf / mx.max_tf)
+                  * ln(CAST(n.n_docs AS DOUBLE) / dft.df)
+                  AS DECIMAL(28,12)))::DOUBLE AS score_b
+  FROM tfq JOIN dl USING (doc_id) JOIN mx USING (doc_id)
+           JOIN dft ON tfq.term = dft.term
+  CROSS JOIN n CROSS JOIN ad
+  GROUP BY tfq.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_a DESC, doc_id ASC)::BIGINT
+           AS ra,
+         row_number() OVER (ORDER BY score_b DESC, doc_id ASC)::BIGINT
+           AS rb
+  FROM scored
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_docs_ranked,
+         sum((ra - rb) * (ra - rb))::BIGINT AS d2_sum
+  FROM ranked
+)
+SELECT n_docs_ranked, d2_sum,
+       1.0::DOUBLE - CAST(6 * d2_sum AS DOUBLE)
+         / CAST(n_docs_ranked * (n_docs_ranked * n_docs_ranked - 1)
+                AS DOUBLE) AS spearman_rho
+FROM g WHERE n_docs_ranked >= 2
+"""

