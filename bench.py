@@ -224,6 +224,9 @@ BENCH_QUERIES = [
     "q204_scorer_rank_corr",
     "q205_hot_term_routing",
     "q206_nprobe_curve",
+    "q207_query_decode_budget",
+    "q208_wedge_sampling",
+    "q209_embedding_norms",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

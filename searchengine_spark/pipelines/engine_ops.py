@@ -954,3 +954,122 @@ SELECT b.shard, b.total_mass,
 FROM balance b, tot t
 ORDER BY b.shard
 """
+
+
+# --------------------------------------------------------------------------
+# q207: query decode-budget estimator — the per-term serving cost
+# model behind WAND's range planning (wand.py's n_ranges scales with
+# df): for each query term, the EXACT varbyte posting-list size from
+# the real doc-id gap distribution (delta + varbyte is the classic
+# postings layout, q138's audit measures the corpus-wide version;
+# this is the per-QUERY-term view a query planner prices before
+# choosing ranges/caches). Bytes(gap) is the integer 7-bit-group
+# ladder — pure integer compares, exact on any engine.
+#
+# Scale shape: posting lists per query term (df-bounded), one lag()
+# window per term over the doc-id order (the salted index stores
+# exactly this order), one |terms|-row rollup. At 100 TB this reads
+# the dictionary's stored sizes; the estimator here derives them
+# from first principles for the audit.
+# --------------------------------------------------------------------------
+
+DECODE_MBPS = 400.0  # conservative per-task varbyte decode rate
+
+
+def q207_query_decode_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _tables.load(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .filter(F.col("term").isin(["spark", "query", "table"]))
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = pres.withColumn(
+        "gap",
+        F.when(
+            F.lag("doc_id").over(w).isNull(), F.col("doc_id")
+        ).otherwise(F.col("doc_id") - F.lag("doc_id").over(w)),
+    )
+    vb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .when(F.col("gap") < 268435456, 4)
+        .when(F.col("gap") < 34359738368, 5)
+        .when(F.col("gap") < 4398046511104, 6)
+        .when(F.col("gap") < 562949953421312, 7)
+        .when(F.col("gap") < 72057594037927936, 8)
+        .otherwise(9)
+        .cast("long")
+    )
+    g = gaps.withColumn("vb", vb).groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("vb").cast("long").alias("bytes_varbyte"),
+        F.max("vb").cast("long").alias("max_gap_bytes"),
+    )
+    return g.select(
+        "term",
+        "df",
+        "bytes_varbyte",
+        (
+            F.col("bytes_varbyte").cast("double")
+            / F.col("df").cast("double")
+        ).alias("bytes_per_posting"),
+        "max_gap_bytes",
+        (
+            F.col("bytes_varbyte").cast("double")
+            / F.lit(DECODE_MBPS * 1e6)
+            * F.lit(1e3)
+        ).alias("decode_ms_est"),
+    ).orderBy("term")
+
+
+QUERIES["q207_query_decode_budget"] = q207_query_decode_budget
+
+_VB_SQL = """CASE WHEN gap < 128 THEN 1
+     WHEN gap < 16384 THEN 2
+     WHEN gap < 2097152 THEN 3
+     WHEN gap < 268435456 THEN 4
+     WHEN gap < 34359738368 THEN 5
+     WHEN gap < 4398046511104 THEN 6
+     WHEN gap < 562949953421312 THEN 7
+     WHEN gap < 72057594037927936 THEN 8
+     ELSE 9 END"""
+
+ORACLE["q207_query_decode_budget"] = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w IN ('spark', 'query', 'table')
+),
+gaps AS (
+  SELECT term,
+         CASE WHEN lag(doc_id) OVER w IS NULL THEN doc_id
+              ELSE doc_id - lag(doc_id) OVER w END AS gap
+  FROM pres
+  WINDOW w AS (PARTITION BY term ORDER BY doc_id)
+),
+g AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum({_VB_SQL})::BIGINT AS bytes_varbyte,
+         max({_VB_SQL})::BIGINT AS max_gap_bytes
+  FROM gaps GROUP BY term
+)
+SELECT term, df, bytes_varbyte,
+       CAST(bytes_varbyte AS DOUBLE) / CAST(df AS DOUBLE)
+         AS bytes_per_posting,
+       max_gap_bytes,
+       CAST(bytes_varbyte AS DOUBLE) / ({DECODE_MBPS!r}::DOUBLE * 1e6)
+         * 1e3 AS decode_ms_est
+FROM g ORDER BY term
+"""

@@ -2960,3 +2960,168 @@ SELECT m.n_nodes,
             ELSE NULL END AS clustering_lift
 FROM mom m, tri
 """
+
+
+# --------------------------------------------------------------------------
+# q208: wedge-sampling triangle estimate (Seshadhri/Pinar/Kolda) —
+# the sketch a 100 TB graph runs when even q58's O(m^1.5) is too
+# much: sample wedges DETERMINISTICALLY (portable hash of the wedge
+# key under a rate threshold), check which close via one semi-join
+# against the edge set, and scale up: T̂ = (closed/sampled)·W/3.
+# Published next to the exact count so the estimate's relative error
+# IS the audit (the q31/q44 approx-vs-exact convention).
+#
+# Determinism: the sample is hash-selected (same wedges anywhere —
+# no RNG), closure is an exact semi-join, the estimator one IEEE
+# tree over exact ints. Scale shape: the estimator must sample
+# uniformly over ALL wedges, so enumeration is wedge-mass bounded
+# (Σd(d−1)/2) with the hash filter pushed into the join output —
+# only the sampled fraction materializes/joins. At true scale the
+# production variant samples CENTERS first (degree-weighted) to
+# avoid full enumeration; the fixture audit also computes q58's
+# exact count alongside, which a real deployment would skip — the
+# estimate-only plan is the cheap path.
+# --------------------------------------------------------------------------
+
+WEDGE_MOD = 10  # keep wedges with hash % MOD == 0 (10% sample)
+
+
+def q208_wedge_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    total_wedges = F.broadcast(
+        deg.groupBy().agg(
+            F.sum(
+                F.col("degree") * (F.col("degree") - 1)
+            ).cast("long").alias("wedges2")
+        )
+    )
+    nb = e.select(F.col("src").alias("c"), F.col("dst").alias("n"))
+    wedges = (
+        nb.alias("x")
+        .join(nb.alias("y"), F.col("x.c") == F.col("y.c"))
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.c").alias("center"),
+            F.col("x.n").alias("a"),
+            F.col("y.n").alias("b"),
+        )
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col("center"), F.col("a"), F.col("b")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % WEDGE_MOD
+            == 0
+        )
+    )
+    und_norm = und.select(
+        F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
+    ).distinct()
+    closed = wedges.join(und_norm, ["a", "b"], "left_semi")
+    n_s = F.broadcast(
+        wedges.groupBy().agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    n_c = F.broadcast(
+        closed.groupBy().agg(F.count("*").cast("long").alias("n_closed"))
+    )
+    exact = F.broadcast(
+        triangle_counts(und)
+        .groupBy()
+        .agg(
+            F.expr("sum(n_triangles) div 3").cast("long").alias("t_exact")
+        )
+    )
+    est = (
+        F.col("n_closed").cast("double")
+        / F.col("n_sampled").cast("double")
+        * (F.col("wedges2").cast("double") / F.lit(2.0))
+        / F.lit(3.0)
+    )
+    return (
+        n_s.crossJoin(n_c)
+        .crossJoin(total_wedges)
+        .crossJoin(exact)
+        .select(
+            "n_sampled",
+            "n_closed",
+            F.expr("wedges2 div 2").cast("long").alias("n_wedges"),
+            est.alias("t_estimate"),
+            "t_exact",
+            F.when(
+                F.col("t_exact") > 0,
+                F.abs(est - F.col("t_exact").cast("double"))
+                / F.col("t_exact").cast("double"),
+            ).alias("rel_error"),
+        )
+    )
+
+
+QUERIES["q208_wedge_sampling"] = q208_wedge_sampling
+
+ORACLE["q208_wedge_sampling"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+e AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL SELECT pb AS src, pa AS dst FROM und
+),
+deg AS (
+  SELECT src AS node, count(*)::BIGINT AS degree FROM e GROUP BY src
+),
+tw AS (SELECT sum(degree * (degree - 1))::BIGINT AS wedges2 FROM deg),
+wedges AS (
+  SELECT x.src AS center, x.dst AS a, y.dst AS b
+  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+  WHERE ('0x' || substr(md5(CAST(x.src AS VARCHAR) || '#'
+                            || CAST(x.dst AS VARCHAR) || '#'
+                            || CAST(y.dst AS VARCHAR)), 1, 15))::BIGINT
+        % {WEDGE_MOD} = 0
+),
+closed AS (
+  SELECT w.* FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM und u
+                WHERE u.pa = w.a AND u.pb = w.b)
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t_exact
+  FROM und ab JOIN und bc ON ab.pb = bc.pa
+              JOIN und ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+),
+ns AS (SELECT count(*)::BIGINT AS n_sampled FROM wedges),
+nc AS (SELECT count(*)::BIGINT AS n_closed FROM closed)
+SELECT ns.n_sampled, nc.n_closed,
+       (tw.wedges2 // 2)::BIGINT AS n_wedges,
+       CAST(nc.n_closed AS DOUBLE) / CAST(ns.n_sampled AS DOUBLE)
+         * (CAST(tw.wedges2 AS DOUBLE) / 2.0::DOUBLE) / 3.0::DOUBLE
+         AS t_estimate,
+       tri.t_exact,
+       CASE WHEN tri.t_exact > 0
+            THEN abs(CAST(nc.n_closed AS DOUBLE)
+                     / CAST(ns.n_sampled AS DOUBLE)
+                     * (CAST(tw.wedges2 AS DOUBLE) / 2.0::DOUBLE)
+                     / 3.0::DOUBLE
+                     - CAST(tri.t_exact AS DOUBLE))
+                 / CAST(tri.t_exact AS DOUBLE)
+            ELSE NULL END AS rel_error
+FROM ns, nc, tw, tri
+"""

@@ -2256,3 +2256,139 @@ WITH exact AS (
     + _NPROBE_LEGS
     + "\nORDER BY nprobe"
 )
+
+
+# --------------------------------------------------------------------------
+# q209: embedding-norm hygiene audit — the first thing a vector-
+# platform on-call checks when recall dips: norm collapse (an encoder
+# bug zeroing vectors), norm drift per label, and outliers. Cosine
+# retrieval is norm-invariant only if norms are SANE — zero or huge
+# norms poison IVF training (q43) and SQ quantization (q61). Per
+# label: exact-int count, norm percentiles (q39's exact rank probe),
+# and the global outlier count beyond NORM_OUT_LO/HI.
+#
+# Determinism: norms are sqrt of the _dot fold — bit-identical (the
+# q192 sqrt rule); percentiles exact rank probes over (norm, vec_id)
+# total orders; outlier thresholds literal compares. Scale shape:
+# map-only norms, one rank window per label, 3-row probes, a 1-row
+# outlier census joined alongside.
+# --------------------------------------------------------------------------
+
+NORM_OUT_LO = 0.5
+NORM_OUT_HI = 2.0
+NORM_QS = (0.5, 0.9)
+
+
+def q209_embedding_norms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _with_norm(load_emb(spark, sf_dir)).select(
+        "vec_id", "label", F.col("nrm").alias("norm")
+    )
+    w = Window.partitionBy("label").orderBy("norm", "vec_id")
+    ranked = e.withColumn("r", F.row_number().over(w) - 1)
+    n = e.groupBy("label").agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in NORM_QS], "q double")
+    pos = (
+        n.crossJoin(F.broadcast(qs))
+        .withColumn("pos", F.col("q") * (F.col("n") - 1))
+        .withColumn("lo", F.floor("pos").cast("long"))
+        .withColumn("hi", F.ceil("pos").cast("long"))
+    )
+    rl = ranked.select(
+        "label", F.col("r").alias("lo"), F.col("norm").alias("vlo")
+    )
+    rh = ranked.select(
+        "label", F.col("r").alias("hi"), F.col("norm").alias("vhi")
+    )
+    vals = (
+        pos.join(rl, ["label", "lo"])
+        .join(rh, ["label", "hi"])
+        .withColumn(
+            "val",
+            F.col("vlo")
+            + (F.col("pos") - F.col("lo")) * (F.col("vhi") - F.col("vlo")),
+        )
+    )
+    aggs = [
+        F.round(
+            F.max(F.when(F.col("q") == F.lit(q), F.col("val"))), 9
+        ).alias(f"p{int(q * 100)}")
+        for q in NORM_QS
+    ]
+    per_label = vals.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"), *aggs
+    )
+    outliers = F.broadcast(
+        e.groupBy().agg(
+            F.sum(
+                F.when(
+                    (F.col("norm") < NORM_OUT_LO)
+                    | (F.col("norm") > NORM_OUT_HI),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        per_label.crossJoin(outliers)
+        .select("label", "n_vecs", "p50", "p90", "n_outliers")
+        .orderBy("label")
+    )
+
+
+QUERIES["q209_embedding_norms"] = q209_embedding_norms
+
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "list_transform(generate_series(1, len(v)), i -> v[i] * v[i])), "
+    "(acc, x) -> acc + x))"
+)
+
+_NORM_QCOLS = ", ".join(
+    f"round(max(CASE WHEN q = {q!r} THEN val END), 9) AS p{int(q * 100)}"
+    for q in NORM_QS
+)
+
+_NORM_QVALS = ", ".join(f"({q!r}::DOUBLE)" for q in NORM_QS)
+
+ORACLE["q209_embedding_norms"] = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+nm AS (SELECT vec_id, label, {_NORM_SQL} AS norm FROM e),
+ranked AS (
+  SELECT label, norm,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY norm, vec_id) - 1 AS r
+  FROM nm
+),
+n AS (SELECT label, count(*) AS n FROM nm GROUP BY label),
+qs AS (SELECT unnest([{_NORM_QVALS}]) AS q),
+pos AS (
+  SELECT label, n, q, q * (n - 1) AS pos,
+         CAST(floor(q * (n - 1)) AS BIGINT) AS lo,
+         CAST(ceil(q * (n - 1)) AS BIGINT) AS hi
+  FROM n, qs
+),
+vals AS (
+  SELECT p.label, p.n, p.q,
+         rl.norm + (p.pos - p.lo) * (rh.norm - rl.norm) AS val
+  FROM pos p
+  JOIN ranked rl ON p.label = rl.label AND p.lo = rl.r
+  JOIN ranked rh ON p.label = rh.label AND p.hi = rh.r
+),
+outl AS (
+  SELECT sum(CASE WHEN norm < {NORM_OUT_LO!r}::DOUBLE
+                    OR norm > {NORM_OUT_HI!r}::DOUBLE
+             THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+  FROM nm
+)
+SELECT label, max(n)::BIGINT AS n_vecs, {_NORM_QCOLS},
+       (SELECT n_outliers FROM outl) AS n_outliers
+FROM vals GROUP BY label ORDER BY label
+"""

@@ -208,6 +208,9 @@ ORACLE_CHECKED = [
     "q204_scorer_rank_corr",
     "q205_hot_term_routing",
     "q206_nprobe_curve",
+    "q207_query_decode_budget",
+    "q208_wedge_sampling",
+    "q209_embedding_norms",
 ]
 
 
@@ -4484,3 +4487,125 @@ def test_nprobe_curve_matches_reference_points(spark):
     ][0]
     assert got[IVF_NPROBE]["recall_at_k"] == macro["recall_at_k"]
     assert got[IVF_NPROBE]["n_hit"] == macro["n_hit"]
+
+
+def test_query_decode_budget_matches_python_reference(spark):
+    """q207: replay the varbyte gap ladder exactly."""
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.engine_ops import (
+        DECODE_MBPS,
+        q207_query_decode_budget,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    posts = defaultdict(set)
+    for r in docs:
+        for t in set(x for x in r["text"].split(" ") if x):
+            if t in ("spark", "query", "table"):
+                posts[t].add(r["doc_id"])
+
+    def vb(gap):
+        for i, lim in enumerate(
+            (128, 16384, 2097152, 268435456, 34359738368,
+             4398046511104, 562949953421312, 72057594037927936), 1
+        ):
+            if gap < lim:
+                return i
+        return 9
+
+    got = {r["term"]: r for r in q207_query_decode_budget(spark, SF_DIR).collect()}
+    assert set(got) == set(posts)
+    for t, ids in posts.items():
+        ds = sorted(ids)
+        gaps = [ds[0]] + [b - a for a, b in zip(ds, ds[1:])]
+        bytes_ = sum(vb(g) for g in gaps)
+        r = got[t]
+        assert (r["df"], r["bytes_varbyte"]) == (len(ds), bytes_)
+        assert r["max_gap_bytes"] == max(vb(g) for g in gaps)
+        assert r["bytes_per_posting"] == bytes_ / len(ds)
+        assert r["decode_ms_est"] == bytes_ / (DECODE_MBPS * 1e6) * 1e3
+
+
+def test_wedge_sampling_matches_python_reference(spark):
+    """q208: replay the hash-selected wedge sample and closure; the
+    estimate lands within 30% of exact on the fixture."""
+    import hashlib
+    from collections import defaultdict
+
+    from searchengine_spark.pipelines.graph import (
+        WEDGE_MOD,
+        copurchase_edges,
+        q208_wedge_sampling,
+    )
+
+    und = {(r["pa"], r["pb"]) for r in copurchase_edges(spark, SF_DIR).collect()}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    sampled = closed = 0
+    for c, ns in adj.items():
+        nss = sorted(ns)
+        for i in range(len(nss)):
+            for j in range(i + 1, len(nss)):
+                a, b = nss[i], nss[j]
+                h = int(
+                    hashlib.md5(f"{c}#{a}#{b}".encode()).hexdigest()[:15],
+                    16,
+                )
+                if h % WEDGE_MOD == 0:
+                    sampled += 1
+                    lo, hi = (a, b) if a < b else (b, a)
+                    if (lo, hi) in und:
+                        closed += 1
+    wedges2 = sum(len(ns) * (len(ns) - 1) for ns in adj.values())
+    row = q208_wedge_sampling(spark, SF_DIR).collect()[0]
+    assert (row["n_sampled"], row["n_closed"]) == (sampled, closed)
+    assert row["n_wedges"] == wedges2 // 2
+    est = closed / sampled * (wedges2 / 2.0) / 3.0
+    assert row["t_estimate"] == est
+    assert row["rel_error"] < 0.30
+
+
+def test_embedding_norms_matches_python_reference(spark):
+    """q209: bit-exact norms (sqrt fold), exact percentile probes."""
+    import math
+
+    from searchengine_spark.pipelines.similarity import (
+        NORM_OUT_HI,
+        NORM_OUT_LO,
+        NORM_QS,
+        load_emb,
+        q209_embedding_norms,
+    )
+
+    vecs = load_emb(spark, SF_DIR).collect()
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    by_label = {}
+    outliers = 0
+    for r in vecs:
+        nm = norm(r["v"])
+        by_label.setdefault(r["label"], []).append((nm, r["vec_id"]))
+        if nm < NORM_OUT_LO or nm > NORM_OUT_HI:
+            outliers += 1
+    got = {r["label"]: r for r in q209_embedding_norms(spark, SF_DIR).collect()}
+    assert set(got) == set(by_label)
+    for lbl, vals in by_label.items():
+        vals.sort()
+        n = len(vals)
+        r = got[lbl]
+        assert r["n_vecs"] == n
+        assert r["n_outliers"] == outliers
+        for q in NORM_QS:
+            pos = q * (n - 1)
+            lo, hi = int(pos // 1), int(-(-pos // 1))
+            v = vals[lo][0] + (pos - lo) * (vals[hi][0] - vals[lo][0])
+            assert r[f"p{int(q * 100)}"] == round(v, 9)
