@@ -227,6 +227,9 @@ BENCH_QUERIES = [
     "q207_query_decode_budget",
     "q208_wedge_sampling",
     "q209_embedding_norms",
+    "q210_cache_hit_model",
+    "q211_lsm_writeamp",
+    "q212_power_analysis",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -1073,3 +1073,78 @@ SELECT term, df, bytes_varbyte,
          * 1e3 AS decode_ms_est
 FROM g ORDER BY term
 """
+
+
+# --------------------------------------------------------------------------
+# q211: LSM merge-policy write-amplification planner — the closed-
+# form table behind merge.py's tiered(ratio=0.10) choice: for a
+# literal grid of total-data/flush-size ratios, the bytes-rewritten
+# multiplier under LEVELED (each level rewrites ~fanout× per level:
+# WA ≈ F·log_F(D/s)) vs TIERED (each byte rewritten once per level:
+# WA ≈ log_F(D/s)) and the read-amplification trade (leveled reads 1
+# sorted run per level; tiered reads up to F). This is q172's
+# literal-grid pattern applied to the storage engine — the table an
+# LSM operator actually consults, with the repo's own measured 10.3×
+# (BASELINE LSM proof) sitting on the tiered row it predicts.
+#
+# Determinism: the grid is FIXED literals, log/div closed forms
+# rounded 9 on both engines (the q172 rule: data-independent grids
+# may round — the 24 values can never drift). ZERO data reads.
+# --------------------------------------------------------------------------
+
+LSM_FANOUTS = [4, 10]
+LSM_RATIOS = [100, 1_000, 10_000, 100_000]  # D / flush_size
+
+
+def q211_lsm_writeamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.createDataFrame(
+        [(f, r) for f in LSM_FANOUTS for r in LSM_RATIOS],
+        "fanout int, ratio int",
+    )
+    levels = F.ceil(
+        F.log(F.col("ratio").cast("double"))
+        / F.log(F.col("fanout").cast("double"))
+    ).cast("long")
+    wa_leveled = F.round(
+        F.col("fanout").cast("double") * levels.cast("double"), 9
+    )
+    wa_tiered = levels.cast("double")
+    ra_leveled = levels.cast("double")
+    ra_tiered = F.round(
+        F.col("fanout").cast("double") * levels.cast("double"), 9
+    )
+    return grid.select(
+        "fanout",
+        "ratio",
+        levels.alias("n_levels"),
+        wa_leveled.alias("wa_leveled"),
+        wa_tiered.alias("wa_tiered"),
+        ra_leveled.alias("ra_leveled"),
+        ra_tiered.alias("ra_tiered_worst"),
+    ).orderBy("fanout", "ratio")
+
+
+QUERIES["q211_lsm_writeamp"] = q211_lsm_writeamp
+
+_LSM_GRID = ", ".join(
+    f"({f}, {r})" for f in LSM_FANOUTS for r in LSM_RATIOS
+)
+
+ORACLE["q211_lsm_writeamp"] = f"""
+WITH grid(fanout, ratio) AS (VALUES {_LSM_GRID}),
+lv AS (
+  SELECT fanout, ratio,
+         CAST(ceil(ln(CAST(ratio AS DOUBLE))
+                   / ln(CAST(fanout AS DOUBLE))) AS BIGINT) AS n_levels
+  FROM grid
+)
+SELECT fanout::INT AS fanout, ratio::INT AS ratio, n_levels,
+       round(CAST(fanout AS DOUBLE) * CAST(n_levels AS DOUBLE), 9)
+         AS wa_leveled,
+       CAST(n_levels AS DOUBLE) AS wa_tiered,
+       CAST(n_levels AS DOUBLE) AS ra_leveled,
+       round(CAST(fanout AS DOUBLE) * CAST(n_levels AS DOUBLE), 9)
+         AS ra_tiered_worst
+FROM lv
+ORDER BY fanout, ratio
+"""

@@ -3229,3 +3229,106 @@ SELECT n_docs_ranked, d2_sum,
                 AS DOUBLE) AS spearman_rho
 FROM g WHERE n_docs_ranked >= 2
 """
+
+
+# --------------------------------------------------------------------------
+# q210: result-cache hit-rate model — how much of the query stream
+# would an LFU result cache of size C absorb? Query popularity proxy:
+# the conjunctive pair census (q203's co-df — pairs users can ask
+# that actually have results, weighted by their match mass, the
+# standard proxy when no log exists yet). LFU at size C captures
+# exactly the top-C pairs' share of total mass — a closed form over
+# the ranked census, evaluated at CACHE_SIZES in ONE window pass.
+#
+# Determinism: masses exact int64; cumulative shares off a rank
+# window with total tie-break; shares single IEEE divisions.
+# Scale shape: q203's bounded pair census + one rank window + a
+# |sizes|-row probe (exact-rank, q186's conditional-agg idiom).
+# --------------------------------------------------------------------------
+
+CACHE_SIZES = (8, 64, 256)
+
+
+def q210_cache_hit_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pres = tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    a = pres.select("doc_id", F.col("term").alias("ta"))
+    b = pres.select("doc_id", F.col("term").alias("tb"))
+    pair = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("mass"))
+    )
+    w = Window.orderBy(F.desc("mass"), F.asc("ta"), F.asc("tb"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = pair.withColumn("r", F.row_number().over(w)).withColumn(
+        "cum", F.sum("mass").over(wcum).cast("long")
+    )
+    tot = F.broadcast(
+        pair.groupBy().agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("mass").cast("long").alias("total_mass"),
+        )
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("r") == F.least(F.lit(c), F.col("n_pairs")), F.col("cum"))
+        )
+        .cast("long")
+        .alias(f"cum_{c}")
+        for c in CACHE_SIZES
+    ]
+    g = ranked.crossJoin(tot).groupBy().agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.max("total_mass").cast("long").alias("total_mass"),
+        *aggs,
+    )
+    shares = [
+        (
+            F.col(f"cum_{c}").cast("double")
+            / F.col("total_mass").cast("double")
+        ).alias(f"hit_rate_{c}")
+        for c in CACHE_SIZES
+    ]
+    return g.select("n_pairs", "total_mass", *shares)
+
+
+QUERIES["q210_cache_hit_model"] = q210_cache_hit_model
+
+_CACHE_COLS = ", ".join(
+    f"""CAST(max(CASE WHEN r = LEAST({c}, n_pairs) THEN cum END)
+         AS DOUBLE) / CAST(max(total_mass) AS DOUBLE) AS hit_rate_{c}"""
+    for c in CACHE_SIZES
+)
+
+ORACLE["q210_cache_hit_model"] = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+pair AS (
+  SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS mass
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+ranked AS (
+  SELECT ta, tb, mass,
+         row_number() OVER (ORDER BY mass DESC, ta ASC, tb ASC) AS r,
+         sum(mass) OVER (ORDER BY mass DESC, ta ASC, tb ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )::BIGINT AS cum
+  FROM pair
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_pairs, sum(mass)::BIGINT AS total_mass
+  FROM pair
+)
+SELECT max(n_pairs)::BIGINT AS n_pairs,
+       max(total_mass)::BIGINT AS total_mass,
+       {_CACHE_COLS}
+FROM ranked, tot
+"""

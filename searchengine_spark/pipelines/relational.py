@@ -2963,3 +2963,85 @@ SELECT f.n_obs,
        f.llr_final
 FROM fin f LEFT JOIN first_x x ON TRUE
 """
+
+
+# --------------------------------------------------------------------------
+# q212: experiment sample-size calculator (two-proportion power
+# analysis) — the table consulted BEFORE q160's z-test or q196's
+# SPRT ever runs: per (baseline rate, detectable lift) on a literal
+# grid, n per arm = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / δ².
+# Shipping it as a registry op means the experiment platform's
+# sizing math is versioned, tested, and engine-exact like everything
+# else — not a spreadsheet.
+#
+# Determinism: fixed literal grid; z constants Python literals; the
+# formula uses ONLY +,·,/ and sqrt (correctly rounded — the q192
+# rule), so every value is bit-identical cross-engine; n rounds UP
+# via ceil over the exact double. ZERO data reads.
+# --------------------------------------------------------------------------
+
+POWER_Z_A = 1.959963985   # alpha = 0.05 two-sided
+POWER_Z_B = 0.8416212336  # power = 0.80
+POWER_BASE = [0.02, 0.05, 0.10, 0.20]
+POWER_LIFT = [0.01, 0.02, 0.05]  # absolute detectable delta
+
+
+def q212_power_analysis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    grid = spark.createDataFrame(
+        [(p, d) for p in POWER_BASE for d in POWER_LIFT],
+        "p0 double, delta double",
+    )
+    p1 = F.col("p0") + F.col("delta")
+    pbar = (F.col("p0") + p1) / F.lit(2.0)
+    num = F.lit(POWER_Z_A) * F.sqrt(
+        F.lit(2.0) * pbar * (F.lit(1.0) - pbar)
+    ) + F.lit(POWER_Z_B) * F.sqrt(
+        F.col("p0") * (F.lit(1.0) - F.col("p0"))
+        + p1 * (F.lit(1.0) - p1)
+    )
+    n = F.ceil(num * num / (F.col("delta") * F.col("delta"))).cast(
+        "long"
+    )
+    return grid.select(
+        "p0",
+        "delta",
+        p1.alias("p1"),
+        n.alias("n_per_arm"),
+        (n * 2).cast("long").alias("n_total"),
+    ).orderBy("p0", "delta")
+
+
+QUERIES["q212_power_analysis"] = q212_power_analysis
+
+_POWER_GRID = ", ".join(
+    f"({p!r}::DOUBLE, {d!r}::DOUBLE)"
+    for p in POWER_BASE
+    for d in POWER_LIFT
+)
+
+ORACLE["q212_power_analysis"] = f"""
+WITH grid(p0, delta) AS (VALUES {_POWER_GRID}),
+calc AS (
+  SELECT p0, delta, p0 + delta AS p1,
+         CAST(ceil(
+           ({POWER_Z_A!r}::DOUBLE
+              * sqrt(2.0::DOUBLE * ((p0 + (p0 + delta)) / 2.0::DOUBLE)
+                     * (1.0::DOUBLE - (p0 + (p0 + delta)) / 2.0::DOUBLE))
+            + {POWER_Z_B!r}::DOUBLE
+              * sqrt(p0 * (1.0::DOUBLE - p0)
+                     + (p0 + delta) * (1.0::DOUBLE - (p0 + delta))))
+           * ({POWER_Z_A!r}::DOUBLE
+              * sqrt(2.0::DOUBLE * ((p0 + (p0 + delta)) / 2.0::DOUBLE)
+                     * (1.0::DOUBLE - (p0 + (p0 + delta)) / 2.0::DOUBLE))
+            + {POWER_Z_B!r}::DOUBLE
+              * sqrt(p0 * (1.0::DOUBLE - p0)
+                     + (p0 + delta) * (1.0::DOUBLE - (p0 + delta))))
+           / (delta * delta)) AS BIGINT) AS n_per_arm
+  FROM grid
+)
+SELECT p0, delta, p1, n_per_arm, (n_per_arm * 2)::BIGINT AS n_total
+FROM calc
+ORDER BY p0, delta
+"""

@@ -211,6 +211,9 @@ ORACLE_CHECKED = [
     "q207_query_decode_budget",
     "q208_wedge_sampling",
     "q209_embedding_norms",
+    "q210_cache_hit_model",
+    "q211_lsm_writeamp",
+    "q212_power_analysis",
 ]
 
 
@@ -4609,3 +4612,83 @@ def test_embedding_norms_matches_python_reference(spark):
             lo, hi = int(pos // 1), int(-(-pos // 1))
             v = vals[lo][0] + (pos - lo) * (vals[hi][0] - vals[lo][0])
             assert r[f"p{int(q * 100)}"] == round(v, 9)
+
+
+def test_cache_hit_model_matches_python_reference(spark):
+    """q210: replay the ranked-census probes; hit rate monotone in C."""
+    from collections import Counter
+
+    from searchengine_spark.pipelines.fulltext import (
+        CACHE_SIZES,
+        q210_cache_hit_model,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    docs = load_docs(spark, SF_DIR).select("doc_id", "text").collect()
+    co = Counter()
+    for r in docs:
+        ts = sorted({t for t in r["text"].split(" ") if t})
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                co[(ts[i], ts[j])] += 1
+    ranked = sorted(co.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    total = sum(co.values())
+    row = q210_cache_hit_model(spark, SF_DIR).collect()[0]
+    assert (row["n_pairs"], row["total_mass"]) == (len(co), total)
+    prev = 0.0
+    for c in CACHE_SIZES:
+        cum = sum(m for _p, m in ranked[: min(c, len(ranked))])
+        assert row[f"hit_rate_{c}"] == cum / total
+        assert row[f"hit_rate_{c}"] >= prev
+        prev = row[f"hit_rate_{c}"]
+
+
+def test_lsm_writeamp_matches_python_reference(spark):
+    """q211: closed-form replay; tiered always cheaper to write,
+    leveled always cheaper to read — and the repo's measured 10.3x
+    write-amp sits in the tiered column's neighborhood."""
+    import math
+
+    from searchengine_spark.pipelines.engine_ops import (
+        LSM_FANOUTS,
+        LSM_RATIOS,
+        q211_lsm_writeamp,
+    )
+
+    got = q211_lsm_writeamp(spark, SF_DIR).collect()
+    assert len(got) == len(LSM_FANOUTS) * len(LSM_RATIOS)
+    for r in got:
+        lv = math.ceil(math.log(r["ratio"]) / math.log(r["fanout"]))
+        assert r["n_levels"] == lv
+        assert r["wa_leveled"] == round(float(r["fanout"]) * lv, 9)
+        assert r["wa_tiered"] == float(lv)
+        assert r["wa_tiered"] < r["wa_leveled"]
+        assert r["ra_leveled"] < r["ra_tiered_worst"]
+
+
+def test_power_analysis_matches_python_reference(spark):
+    """q212: bit-exact closed-form replay; n shrinks as delta grows."""
+    import math
+
+    from searchengine_spark.pipelines.relational import (
+        POWER_BASE,
+        POWER_LIFT,
+        POWER_Z_A,
+        POWER_Z_B,
+        q212_power_analysis,
+    )
+
+    got = {(r["p0"], r["delta"]): r for r in q212_power_analysis(spark, SF_DIR).collect()}
+    assert len(got) == len(POWER_BASE) * len(POWER_LIFT)
+    for (p0, d), r in got.items():
+        p1 = p0 + d
+        pbar = (p0 + p1) / 2.0
+        num = POWER_Z_A * math.sqrt(2.0 * pbar * (1.0 - pbar)) + (
+            POWER_Z_B
+            * math.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))
+        )
+        assert r["n_per_arm"] == math.ceil(num * num / (d * d))
+        assert r["n_total"] == 2 * r["n_per_arm"]
+    for p0 in POWER_BASE:
+        ns = [got[(p0, d)]["n_per_arm"] for d in sorted(POWER_LIFT)]
+        assert ns == sorted(ns, reverse=True)
