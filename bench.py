@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "q210_cache_hit_model",
     "q211_lsm_writeamp",
     "q212_power_analysis",
+    "q213_consistent_hash_ring",
+    "q214_simhash_histogram",
 ]
 
 PAGES_PER_SF = 2_000_000  # sf=0.1 -> 200k-page bench corpus (FIXTURES sf-bench)

@@ -2238,3 +2238,112 @@ HAVING count(*) >= {WNP_MIN}
 ORDER BY n_shared DESC, doc_a, doc_b
 LIMIT {WNP_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# q214: SimHash hamming-distance histogram — the threshold-design
+# audit for q18/q32: the banded scale path (q32) is lossless only for
+# hamming ≤ its pigeonhole bound, so the DISTRIBUTION of pairwise
+# distances among banding CANDIDATES tells you whether the bound sits
+# in the valley between the near-dup mode and the random-pair mode
+# (64-bit simhash of random docs concentrates near 32). Histogram
+# over the q32 candidate pairs, with the q32 threshold marked per
+# bucket.
+#
+# Determinism: signatures are q18's exact integer simhash; popcount
+# via bit_count on the XOR — exact int64; histogram = one (distance)
+# census. Scale shape: candidates come from q32's 7-band pigeonhole
+# equi-join (never all pairs); the histogram is ≤ 65 rows.
+# --------------------------------------------------------------------------
+
+
+def q214_simhash_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sh = simhash_docs(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                (
+                    F.shiftright("simhash", SIMHASH_BAND_LO[j]).bitwiseAND(
+                        F.lit((1 << (SIMHASH_BAND_LO[j + 1]
+                                     - SIMHASH_BAND_LO[j])) - 1)
+                    )
+                ).alias("band_val"),
+            )
+            for j in range(SIMHASH_MAX_HAMMING + 1)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bv")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    l = banded.select(
+        "band", "band_val", F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+    )
+    r = banded.select(
+        "band", "band_val", F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+    )
+    dist = (
+        l.join(r, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .select(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    tot = F.broadcast(
+        dist.groupBy().agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    return (
+        dist.groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(tot)
+        .select(
+            "hamming",
+            "n",
+            (
+                F.col("n").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("share"),
+            (F.col("hamming") <= SIMHASH_MAX_HAMMING).alias(
+                "within_banded_bound"
+            ),
+        )
+        .orderBy("hamming")
+    )
+
+
+QUERIES["q214_simhash_histogram"] = q214_simhash_histogram
+
+# q214 oracle: q32's CTE chain up to `cand` (reused verbatim so the
+# candidate semantics cannot drift), then the distance census.
+_Q32_SQL = ORACLE["q32_simhash_banded"]
+_Q214_PREFIX = _Q32_SQL[: _Q32_SQL.index("SELECT doc_a, doc_b")].rstrip()
+
+ORACLE["q214_simhash_histogram"] = (
+    _Q214_PREFIX
+    + f"""
+, dist AS (
+  SELECT bit_count(xor(ha, hb))::INT AS hamming FROM cand
+),
+tot AS (SELECT count(*)::BIGINT AS n_pairs FROM dist)
+SELECT hamming, count(*)::BIGINT AS n,
+       CAST(count(*) AS DOUBLE) / CAST(max(tot.n_pairs) AS DOUBLE)
+         AS share,
+       hamming <= {SIMHASH_MAX_HAMMING} AS within_banded_bound
+FROM dist, tot
+GROUP BY hamming
+ORDER BY hamming
+"""
+)

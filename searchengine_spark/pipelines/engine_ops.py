@@ -1148,3 +1148,179 @@ SELECT fanout::INT AS fanout, ratio::INT AS ratio, n_levels,
 FROM lv
 ORDER BY fanout, ratio
 """
+
+
+# --------------------------------------------------------------------------
+# q213: consistent-hash ring balance — the THIRD partitioning scheme
+# next to q171 (static hash) and q205 (hot replication): consistent
+# hashing is what lets a 100 TB index ADD a shard without reshuffling
+# everything (only ~1/N of keys move), and its known cost is balance
+# variance, tamed with virtual nodes. This op builds the ring
+# (RING_SHARDS × RING_VNODES md5 positions), assigns every term's
+# posting mass to its clockwise successor vnode, and publishes the
+# per-shard census — the straggler column is directly comparable to
+# q171's.
+#
+# Determinism: ring positions and key positions are portable md5
+# ints; successor assignment = an exact range lookup (sorted vnode
+# intervals via lead(), wrap handled by routing keys past the last
+# vnode to the ring's FIRST — min position — vnode). All exact
+# int64. Scale shape: the ring is a literal-grid broadcast (~N·V
+# rows); assignment is ONE range join of the vocab census against
+# the broadcast intervals; census ≤ N rows.
+# --------------------------------------------------------------------------
+
+RING_SHARDS = 16
+RING_VNODES = 8
+RING_SPACE = 1 << 60
+
+
+def q213_consistent_hash_ring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _tables.load(spark, sf_dir, "documents")
+    mass = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("mass"))
+        .withColumn(
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.col("term")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    vgrid = spark.createDataFrame(
+        [
+            (s, v)
+            for s in range(RING_SHARDS)
+            for v in range(RING_VNODES)
+        ],
+        "shard int, vnode int",
+    )
+    ring = vgrid.select(
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.lit("ring"), F.col("shard"), F.col("vnode"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("vpos"),
+    )
+    w = Window.orderBy("vpos")
+    iv = ring.withColumn(
+        "nxt", F.lead("vpos").over(w)
+    )
+    # ownership convention: the LAST vnode at or before the key owns it
+    # (cyclic — keys below the first vnode wrap to the last); the same
+    # ring algebra as successor-ownership, equally standard, and it
+    # maps to ONE [vpos, nxt) interval join
+    assigned = mass.join(
+        F.broadcast(iv),
+        (F.col("pos") >= F.col("vpos"))
+        & (F.col("nxt").isNull() | (F.col("pos") < F.col("nxt"))),
+        "left",
+    )
+    # keys BELOW the first vnode wrap to the LAST vnode (owner = last
+    # at-or-before, cyclic): those got no interval match above
+    last_shard = F.broadcast(
+        iv.filter(F.col("nxt").isNull()).select(
+            F.col("shard").alias("wrap_shard")
+        )
+    )
+    out = (
+        assigned.crossJoin(last_shard)
+        .select(
+            "term",
+            "mass",
+            F.coalesce(F.col("shard"), F.col("wrap_shard")).alias(
+                "owner"
+            ),
+        )
+    )
+    census = out.groupBy(F.col("owner").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("mass").cast("long").alias("total_mass"),
+    )
+    tot = F.broadcast(
+        census.groupBy().agg(
+            F.sum("total_mass").cast("long").alias("grand")
+        )
+    )
+    return (
+        census.crossJoin(tot)
+        .select(
+            "shard",
+            "n_terms",
+            "total_mass",
+            (
+                F.col("total_mass").cast("double")
+                / (
+                    F.col("grand").cast("double")
+                    / F.lit(float(RING_SHARDS))
+                )
+            ).alias("straggler"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["q213_consistent_hash_ring"] = q213_consistent_hash_ring
+
+ORACLE["q213_consistent_hash_ring"] = f"""
+WITH mass AS (
+  SELECT term, count(*)::BIGINT AS mass,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS pos
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS term FROM documents)
+  GROUP BY term
+),
+vgrid AS (
+  SELECT s.shard, v.vnode
+  FROM (SELECT unnest(generate_series(0, {RING_SHARDS - 1}))::INT
+          AS shard) s,
+       (SELECT unnest(generate_series(0, {RING_VNODES - 1}))::INT
+          AS vnode) v
+),
+ring AS (
+  SELECT shard,
+         ('0x' || substr(md5('ring' || '#' || CAST(shard AS VARCHAR)
+                          || '#' || CAST(vnode AS VARCHAR)), 1, 15))::BIGINT
+           AS vpos
+  FROM vgrid
+),
+iv AS (
+  SELECT shard, vpos, lead(vpos) OVER (ORDER BY vpos) AS nxt FROM ring
+),
+wrap AS (SELECT shard AS wrap_shard FROM iv WHERE nxt IS NULL),
+owned AS (
+  SELECT m.term, m.mass,
+         COALESCE(i.shard, w.wrap_shard) AS owner
+  FROM mass m
+  LEFT JOIN iv i
+    ON m.pos >= i.vpos AND (i.nxt IS NULL OR m.pos < i.nxt), wrap w
+),
+census AS (
+  SELECT owner AS shard, count(*)::BIGINT AS n_terms,
+         sum(mass)::BIGINT AS total_mass
+  FROM owned GROUP BY owner
+),
+tot AS (SELECT sum(total_mass)::BIGINT AS grand FROM census)
+SELECT shard, n_terms, total_mass,
+       CAST(total_mass AS DOUBLE)
+         / (CAST(grand AS DOUBLE) / {float(RING_SHARDS)!r}::DOUBLE)
+         AS straggler
+FROM census, tot
+ORDER BY shard
+"""

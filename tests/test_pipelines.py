@@ -214,6 +214,8 @@ ORACLE_CHECKED = [
     "q210_cache_hit_model",
     "q211_lsm_writeamp",
     "q212_power_analysis",
+    "q213_consistent_hash_ring",
+    "q214_simhash_histogram",
 ]
 
 
@@ -4692,3 +4694,67 @@ def test_power_analysis_matches_python_reference(spark):
     for p0 in POWER_BASE:
         ns = [got[(p0, d)]["n_per_arm"] for d in sorted(POWER_LIFT)]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_consistent_hash_ring_matches_python_reference(spark):
+    """q213: replay ring construction + cyclic ownership; mass
+    conserved across shards."""
+    import hashlib
+    from collections import Counter
+
+    from searchengine_spark.pipelines.engine_ops import (
+        RING_SHARDS,
+        RING_VNODES,
+        q213_consistent_hash_ring,
+    )
+    from searchengine_spark.pipelines.textstats import load_docs
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ring = sorted(
+        (h(f"ring#{s}#{v}"), s)
+        for s in range(RING_SHARDS)
+        for v in range(RING_VNODES)
+    )
+    docs = load_docs(spark, SF_DIR).select("text").collect()
+    mass = Counter(t for r in docs for t in r["text"].split(" ") if t)
+    import bisect
+
+    shard_mass = Counter()
+    shard_terms = Counter()
+    positions = [p for p, _ in ring]
+    for t, m in mass.items():
+        i = bisect.bisect_right(positions, h(t)) - 1
+        owner = ring[i][1] if i >= 0 else ring[-1][1]
+        shard_mass[owner] += m
+        shard_terms[owner] += 1
+    grand = sum(mass.values())
+    got = q213_consistent_hash_ring(spark, SF_DIR).collect()
+    assert sum(r["total_mass"] for r in got) == grand
+    for r in got:
+        assert r["total_mass"] == shard_mass[r["shard"]]
+        assert r["n_terms"] == shard_terms[r["shard"]]
+        assert r["straggler"] == r["total_mass"] / (grand / RING_SHARDS)
+
+
+def test_simhash_histogram_matches_python_reference(spark):
+    """q214: the histogram sums to the candidate-pair count, shares
+    sum to 1, and every hamming <= bound bucket is flagged."""
+    from searchengine_spark.pipelines.dedup import (
+        SIMHASH_MAX_HAMMING,
+        q214_simhash_histogram,
+    )
+
+    got = q214_simhash_histogram(spark, SF_DIR).collect()
+    assert len(got) >= 2
+    total_share = sum(r["share"] for r in got)
+    assert abs(total_share - 1.0) < 1e-9
+    n_pairs = sum(r["n"] for r in got)
+    for r in got:
+        assert r["share"] == r["n"] / n_pairs
+        assert r["within_banded_bound"] == (
+            r["hamming"] <= SIMHASH_MAX_HAMMING
+        )
+    hams = [r["hamming"] for r in got]
+    assert hams == sorted(hams)
